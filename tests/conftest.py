@@ -1,0 +1,28 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+
+Must run before the first ``import jax`` anywhere in the test session so the
+multi-chip sharding tests can exercise real pjit/shard_map partitioning
+without TPU hardware.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest  # noqa: E402
+
+REFERENCE_PATH = "/root/reference"
+
+
+def has_reference() -> bool:
+    return os.path.isdir(REFERENCE_PATH)
+
+
+requires_reference = pytest.mark.skipif(
+    not has_reference(), reason="reference checkout not available"
+)

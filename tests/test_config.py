@@ -1,0 +1,168 @@
+"""VoiceConfig format detection/parsing tests (+ parity vs reference)."""
+
+import sys
+
+from phoonnx_tpu.config import Alphabet, PhonemeType, VoiceConfig
+from phoonnx_tpu.phoneme_ids import BlankBetween
+
+from .conftest import REFERENCE_PATH, requires_reference
+
+PIPER_CONFIG = {
+    "phoneme_type": "espeak",
+    "phoneme_id_map": {"_": [0], "^": [1], "$": [2], " ": [3], "a": [14]},
+    "language": {"code": "en-US"},
+    "espeak": {"voice": "en-us"},
+    "audio": {"sample_rate": 22050},
+    "num_symbols": 256,
+    "num_speakers": 1,
+    "inference": {"noise_scale": 0.5, "length_scale": 1.2, "noise_w": 0.7},
+}
+
+PHOONNX_CONFIG = {
+    "phoneme_type": "espeak",
+    "lang_code": "en-GB",
+    "alphabet": "ipa",
+    "phoneme_id_map": {"_": 0, "^": 1, "$": 2, " ": 3, "a": 14},
+    "audio": {"sample_rate": 22050},
+    "num_symbols": 161,
+    "num_speakers": 1,
+}
+
+MIMIC3_CONFIG = {
+    "phonemizer": "espeak",
+    "text_language": "en",
+    "phonemes": {"blank_between": "words", "pad": "_", "bos": "^", "eos": "$"},
+    "audio": {"sample_rate": 22050},
+}
+
+COQUI_CONFIG = {
+    "characters": {
+        "characters_class": "TTS.tts.models.vits.VitsCharacters",
+        "pad": "<PAD>",
+        "characters": "abc ",
+        "punctuations": ".,",
+        "blank": "<BLNK>",
+    },
+    "add_blank": True,
+    "datasets": [{"language": "pt"}],
+    "audio": {"sample_rate": 16000},
+}
+
+
+def test_sniffers():
+    assert VoiceConfig.is_piper(PIPER_CONFIG)
+    assert not VoiceConfig.is_piper(MIMIC3_CONFIG)
+    assert VoiceConfig.is_mimic3(MIMIC3_CONFIG)
+    assert not VoiceConfig.is_mimic3(PIPER_CONFIG)
+    assert VoiceConfig.is_coqui_vits(COQUI_CONFIG)
+    assert VoiceConfig.is_phoonnx(PHOONNX_CONFIG)
+    assert not VoiceConfig.is_cotovia(COQUI_CONFIG)
+
+
+def test_piper_parse():
+    cfg = VoiceConfig.from_dict(dict(PIPER_CONFIG))
+    assert cfg.phoneme_type == PhonemeType.ESPEAK
+    assert cfg.alphabet == Alphabet.IPA
+    assert cfg.lang_code == "en-US"
+    assert cfg.sample_rate == 22050
+    assert cfg.noise_scale == 0.5
+    assert cfg.length_scale == 1.2
+    assert cfg.noise_w_scale == 0.7
+    assert cfg.pad_token == "_"
+    assert cfg.bos_token == "^"
+    assert cfg.eos_token == "$"
+    assert cfg.include_whitespace  # " " in phoneme_id_map
+
+
+def test_piper_text_model():
+    config = dict(PIPER_CONFIG)
+    config["phoneme_type"] = "text"
+    cfg = VoiceConfig.from_dict(config)
+    assert cfg.phoneme_type == PhonemeType.UNICODE
+    assert cfg.alphabet == Alphabet.UNICODE
+
+
+def test_phoonnx_parse():
+    # An espeak phoonnx config also satisfies the piper sniffer (the piper
+    # branch runs first and fixes up the token symbols) — same as reference.
+    cfg = VoiceConfig.from_dict(dict(PHOONNX_CONFIG))
+    assert cfg.phoneme_type == PhonemeType.ESPEAK
+    assert cfg.lang_code == "en-GB"
+    assert cfg.pad_token == "_"
+    assert cfg.bos_token == "^"
+
+
+def test_phoonnx_parse_non_piper_type():
+    config = dict(PHOONNX_CONFIG)
+    config["phoneme_type"] = "byt5"
+    cfg = VoiceConfig.from_dict(config)
+    assert cfg.phoneme_type == PhonemeType.BYT5
+    # true phoonnx configs carry no explicit token keys
+    assert cfg.pad_token is None
+    assert cfg.bos_token is None
+
+
+def test_mimic3_parse(tmp_path):
+    phonemes_txt = tmp_path / "phonemes.txt"
+    phonemes_txt.write_text("0 _\n1 ^\n2 $\n3 \n4 a\n", encoding="utf-8")
+    cfg = VoiceConfig.from_dict(dict(MIMIC3_CONFIG), phonemes_txt=str(phonemes_txt))
+    assert cfg.phoneme_type == PhonemeType.ESPEAK
+    assert cfg.blank_between == BlankBetween.WORDS
+    assert cfg.phoneme_id_map[" "] == 3
+    assert cfg.lang_code == "en"
+
+
+def test_mimic3_requires_phonemes_txt():
+    import pytest
+
+    with pytest.raises(ValueError):
+        VoiceConfig.from_dict(dict(MIMIC3_CONFIG))
+
+
+def test_coqui_parse():
+    cfg = VoiceConfig.from_dict(dict(COQUI_CONFIG))
+    assert cfg.phoneme_type == PhonemeType.GRAPHEMES
+    assert cfg.alphabet == Alphabet.UNICODE
+    assert cfg.lang_code == "pt"
+    assert cfg.blank_between == BlankBetween.TOKENS
+    # vocab order: [pad, punctuations, characters, blank]
+    assert cfg.phoneme_id_map["<PAD>"] == 0
+    assert cfg.phoneme_id_map["."] == 1
+    assert cfg.phoneme_id_map[","] == 2
+    assert cfg.phoneme_id_map["a"] == 3
+    assert cfg.phoneme_id_map["<BLNK>"] == 7
+    assert cfg.include_whitespace
+
+
+@requires_reference
+def test_parity_with_reference():
+    sys.path.insert(0, REFERENCE_PATH)
+    try:
+        from phoonnx import config as ref
+    finally:
+        sys.path.remove(REFERENCE_PATH)
+
+    for config in (PIPER_CONFIG, PHOONNX_CONFIG, COQUI_CONFIG):
+        ours = VoiceConfig.from_dict(dict(config))
+        theirs = ref.VoiceConfig.from_dict(dict(config))
+        assert ours.num_symbols == theirs.num_symbols
+        assert ours.num_speakers == theirs.num_speakers
+        assert ours.sample_rate == theirs.sample_rate
+        assert ours.lang_code == theirs.lang_code
+        assert ours.phoneme_type.value == theirs.phoneme_type.value
+        assert (ours.alphabet.value if ours.alphabet else None) == (
+            theirs.alphabet.value
+            if getattr(theirs.alphabet, "value", None)
+            else theirs.alphabet
+        )
+        assert dict(ours.phoneme_id_map or {}) == dict(theirs.phoneme_id_map or {})
+        assert ours.length_scale == theirs.length_scale
+        assert ours.noise_scale == theirs.noise_scale
+        assert ours.noise_w_scale == theirs.noise_w_scale
+        assert ours.pad_token == theirs.pad_token
+        assert ours.blank_token == theirs.blank_token
+        assert ours.bos_token == theirs.bos_token
+        assert ours.eos_token == theirs.eos_token
+        assert ours.word_sep_token == theirs.word_sep_token
+        assert ours.include_whitespace == theirs.include_whitespace
+        assert ours.blank_between.value == theirs.blank_between.value
