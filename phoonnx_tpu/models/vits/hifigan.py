@@ -1,0 +1,101 @@
+"""HiFi-GAN generator (vocoder).
+
+Reference: phoonnx_train/vits/models.py:299-375. Transposed convs are
+realised as input-dilated MXU convolutions (see nn.conv_transpose1d); the
+whole stack compiles to one fused XLA program per frame bucket.
+"""
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from phoonnx_tpu.models.vits import modules, nn
+
+Array = jax.Array
+
+
+def init_generator(rng, initial_channel: int, resblock: str,
+                   resblock_kernel_sizes: Sequence[int],
+                   resblock_dilation_sizes: Sequence[Sequence[int]],
+                   upsample_rates: Sequence[int],
+                   upsample_initial_channel: int,
+                   upsample_kernel_sizes: Sequence[int],
+                   gin_channels: int = 0):
+    params = {
+        "resblock_type": resblock,
+        "num_kernels": len(resblock_kernel_sizes),
+        "upsample_rates": tuple(upsample_rates),
+        "upsample_kernel_sizes": tuple(upsample_kernel_sizes),
+    }
+    rng, k_pre, k_post, k_cond = jax.random.split(rng, 4)
+    params["conv_pre"] = nn.init_conv(k_pre, upsample_initial_channel,
+                                      initial_channel, 7)
+
+    ups = []
+    for i, (rate, kernel) in enumerate(zip(upsample_rates,
+                                           upsample_kernel_sizes)):
+        rng, key = jax.random.split(rng)
+        in_ch = upsample_initial_channel // (2 ** i)
+        out_ch = upsample_initial_channel // (2 ** (i + 1))
+        # torch ConvTranspose1d layout [I, O, K]; normal(0, 0.01) init
+        # (commons.init_weights, applied at models.py:343)
+        v = 0.01 * jax.random.normal(key, (in_ch, out_ch, kernel),
+                                     dtype=jnp.float32)
+        axes = (1, 2)
+        g = jnp.sqrt(jnp.sum(jnp.square(v), axis=axes, keepdims=True))
+        ups.append({"weight_v": v, "weight_g": g,
+                    "bias": jnp.zeros((out_ch,), jnp.float32)})
+    params["ups"] = ups
+
+    resblocks = []
+    init_fn = (modules.init_resblock1 if resblock == "1"
+               else modules.init_resblock2)
+    for i in range(len(ups)):
+        ch = upsample_initial_channel // (2 ** (i + 1))
+        for kernel, dilations in zip(resblock_kernel_sizes,
+                                     resblock_dilation_sizes):
+            rng, key = jax.random.split(rng)
+            resblocks.append(init_fn(key, ch, kernel, dilations))
+    params["resblocks"] = resblocks
+
+    final_ch = upsample_initial_channel // (2 ** len(ups))
+    post = nn.init_conv(k_post, 1, final_ch, 7, bias=False)
+    params["conv_post"] = post
+
+    if gin_channels:
+        params["cond"] = nn.init_conv(k_cond, upsample_initial_channel,
+                                      gin_channels, 1)
+    return params
+
+
+def generator(params, x: Array, g: Optional[Array] = None) -> Array:
+    """Latent frames [B, T, C] -> waveform [B, T * prod(rates)]."""
+    num_kernels = params["num_kernels"]
+    resblock_fn = (modules.resblock1 if params["resblock_type"] == "1"
+                   else modules.resblock2)
+
+    x = nn.apply_conv(params["conv_pre"], x, padding=3)
+    if g is not None:
+        x = x + nn.apply_conv(params["cond"], g)
+
+    for i, up in enumerate(params["ups"]):
+        rate = params["upsample_rates"][i]
+        kernel = params["upsample_kernel_sizes"][i]
+        x = nn.leaky_relu(x, modules.LRELU_SLOPE)
+        x = nn.conv_transpose1d(
+            x, nn.resolve_weight(up), up.get("bias"),
+            stride=rate, padding=(kernel - rate) // 2,
+        )
+        acc = None
+        for j in range(num_kernels):
+            block = params["resblocks"][i * num_kernels + j]
+            out = resblock_fn(block, x)
+            acc = out if acc is None else acc + out
+        x = acc / num_kernels
+
+    # Final activation uses torch's default leaky slope 0.01 (models.py:364).
+    x = nn.leaky_relu(x, 0.01)
+    x = nn.apply_conv(params["conv_post"], x, padding=3)
+    x = jnp.tanh(x)
+    return x[..., 0]

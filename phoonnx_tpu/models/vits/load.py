@@ -1,0 +1,293 @@
+"""Checkpoint import: reference parameter names -> phoonnx_tpu pytree.
+
+The reference exports ONNX graphs whose initializers keep the torch
+state_dict names (phoonnx_train/export_onnx.py:318-327), and training
+checkpoints are Lightning state dicts with a ``model_g.`` prefix. This
+module translates the flat ``enc_p.encoder.attn_layers.0.conv_q.weight``-style
+names into the functional parameter tree used by
+:mod:`phoonnx_tpu.models.vits.model`.
+
+Layout notes: conv kernels keep the torch layouts ([O, I/g, K] for Conv1d,
+[I, O, K] for ConvTranspose1d) — see models/vits/nn.py — so values are
+copied verbatim. Only ElementwiseAffine ([C, 1] -> [C]) is squeezed.
+"""
+
+import re
+from typing import Any, Dict, Mapping, Optional, Set, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phoonnx_tpu.models.vits.model import VitsHParams, random_params
+
+
+def _set_leaf(tree: Dict[str, Any], path: Tuple, value: np.ndarray) -> None:
+    node = tree
+    for key in path[:-1]:
+        node = node[key]
+    leaf = path[-1]
+    if leaf == "weight" and isinstance(node, dict) and "weight_v" in node:
+        # Folded (inference) weights replace the weight-norm pair.
+        node.pop("weight_v", None)
+        node.pop("weight_g", None)
+    node[leaf] = jnp.asarray(value)
+
+
+def _route(name: str) -> Optional[Tuple]:
+    """Translate a reference parameter name to a pytree path."""
+    parts = name.split(".")
+    top = parts[0]
+
+    if top == "emb_g":
+        return ("emb_g", parts[1])
+
+    if top == "enc_p":
+        if parts[1] == "emb":
+            return ("enc_p", "emb", parts[2])
+        if parts[1] == "proj":
+            return ("enc_p", "proj", parts[2])
+        if parts[1] == "encoder":
+            kind, idx = parts[2], int(parts[3])
+            rest = parts[4:]
+            base = ("enc_p", "encoder", "layers", idx)
+            if kind == "attn_layers":
+                return base + ("attn",) + tuple(rest)
+            if kind == "norm_layers_1":
+                return base + ("norm_1",) + tuple(rest)
+            if kind == "ffn_layers":
+                return base + ("ffn",) + tuple(rest)
+            if kind == "norm_layers_2":
+                return base + ("norm_2",) + tuple(rest)
+        return None
+
+    if top == "dec":
+        if parts[1] in ("conv_pre", "conv_post", "cond"):
+            return ("dec", parts[1], parts[2])
+        if parts[1] == "ups":
+            return ("dec", "ups", int(parts[2]), parts[3])
+        if parts[1] == "resblocks":
+            idx = int(parts[2])
+            conv_list, conv_idx = parts[3], int(parts[4])
+            return ("dec", "resblocks", idx, conv_list, conv_idx, parts[5])
+        return None
+
+    if top == "enc_q":
+        if parts[1] in ("pre", "proj"):
+            return ("enc_q", parts[1], parts[2])
+        if parts[1] == "enc":
+            return ("enc_q", "enc") + _route_wn(parts[2:])
+        return None
+
+    if top == "flow":
+        # torch flow.flows indices 0,2,4,6 are coupling layers (odd = Flip)
+        idx = int(parts[2])
+        base = ("flow", "flows", idx // 2)
+        if parts[3] in ("pre", "post"):
+            return base + (parts[3], parts[4])
+        if parts[3] == "enc":
+            return base + ("enc",) + _route_wn(parts[4:])
+        return None
+
+    if top == "dp":
+        return _route_dp(parts[1:])
+
+    return None
+
+
+def _route_wn(parts) -> Tuple:
+    """WN inner naming: in_layers.N / res_skip_layers.N / cond_layer."""
+    if parts[0] == "cond_layer":
+        return ("cond_layer", parts[1])
+    return (parts[0], int(parts[1]), parts[2])
+
+
+def _route_dds(parts) -> Tuple:
+    """DDSConv naming: convs_sep.N / convs_1x1.N / norms_1.N / norms_2.N."""
+    kind, idx = parts[0], int(parts[1])
+    sub = {"convs_sep": "sep", "convs_1x1": "pointwise",
+           "norms_1": "norm1", "norms_2": "norm2"}[kind]
+    return ("layers", idx, sub, parts[2])
+
+
+def _route_dp(parts) -> Optional[Tuple]:
+    head = parts[0]
+    if head in ("pre", "proj", "post_pre", "post_proj", "cond",
+                "conv_1", "conv_2", "norm_1", "norm_2"):
+        return ("dp", head, parts[1])
+    if head in ("convs", "post_convs"):
+        return ("dp", head) + _route_dds(parts[1:])
+    if head in ("flows", "post_flows"):
+        t_idx = int(parts[1])
+        my_idx = (t_idx + 1) // 2  # 0->0 (EA), 1->1, 3->2, 5->3, 7->4 (CF)
+        if t_idx == 0:
+            return ("dp", head, 0, "ea", parts[2])
+        if t_idx % 2 == 1:
+            rest = parts[2:]
+            base = ("dp", head, my_idx, "cf")
+            if rest[0] in ("pre", "proj"):
+                return base + (rest[0], rest[1])
+            if rest[0] == "convs":
+                return base + ("convs",) + _route_dds(rest[1:])
+        return None  # Flip layers have no parameters
+    return None
+
+
+_STRIP_PREFIXES = ("model_g.", "_orig_mod.")
+
+
+def params_from_flat(
+    named: Mapping[str, np.ndarray],
+    hp: VitsHParams,
+    strict: bool = True,
+) -> Dict[str, Any]:
+    """Build a parameter pytree from flat reference-named arrays.
+
+    ``named`` maps reference names (state_dict or ONNX initializer names) to
+    arrays. Unroutable names are collected; ``strict`` raises if any routed
+    leaf of the skeleton was never filled (shape mismatches always raise).
+    """
+    params = random_params(jax.random.PRNGKey(0), hp)
+    unmatched = []
+    for raw_name, value in named.items():
+        name = raw_name
+        for prefix in _STRIP_PREFIXES:
+            if name.startswith(prefix):
+                name = name[len(prefix):]
+        path = _route(name)
+        if path is None:
+            unmatched.append(raw_name)
+            continue
+        value = np.asarray(value)
+        if path[-1] in ("m", "logs") and value.ndim == 2:
+            value = value[:, 0]  # ElementwiseAffine [C,1] -> [C]
+        _check_shape(params, path, value, raw_name)
+        _set_leaf(params, path, value)
+    if strict and unmatched:
+        raise ValueError(f"unrouted parameters: {unmatched[:10]}"
+                         f" (+{max(0, len(unmatched) - 10)} more)")
+    return params
+
+
+def _check_shape(params, path, value, name) -> None:
+    node: Any = params
+    try:
+        for key in path[:-1]:
+            node = node[key]
+        current = node.get(path[-1]) if isinstance(node, dict) else None
+    except (KeyError, IndexError, TypeError):
+        raise ValueError(f"no slot for parameter {name} at {path}") from None
+    if current is not None and tuple(current.shape) != tuple(value.shape):
+        if path[-1] == "weight" and "weight_v" in node:
+            expected = node["weight_v"].shape
+            if tuple(expected) == tuple(value.shape):
+                return
+        raise ValueError(
+            f"shape mismatch for {name}: checkpoint {tuple(value.shape)} "
+            f"vs model {tuple(current.shape)}"
+        )
+
+
+def infer_hparams_from_flat(named: Mapping[str, np.ndarray],
+                            **overrides) -> VitsHParams:
+    """Deduce model hyperparameters from checkpoint tensor shapes.
+
+    Works on both training state dicts and exported initializers (the
+    exported graph keeps the state_dict names, export_onnx.py:318-327).
+    """
+    names = set()
+    shapes = {}
+    for raw in named:
+        name = raw
+        for prefix in _STRIP_PREFIXES:
+            if name.startswith(prefix):
+                name = name[len(prefix):]
+        names.add(name)
+        shapes[name] = tuple(np.asarray(named[raw]).shape)
+
+    def shape(key):
+        return shapes.get(key)
+
+    emb = shape("enc_p.emb.weight")
+    n_vocab, hidden = emb if emb else (256, 192)
+    proj = shape("enc_p.proj.weight")
+    inter = proj[0] // 2 if proj else hidden
+    ffn1 = shape("enc_p.encoder.ffn_layers.0.conv_1.weight")
+    filter_channels = ffn1[0] if ffn1 else 768
+
+    n_layers = 1 + max(
+        (int(m.group(1)) for n in names
+         for m in [re.match(r"enc_p\.encoder\.attn_layers\.(\d+)\.", n)] if m),
+        default=5,
+    )
+
+    pre_q = shape("enc_q.pre.weight")
+    spec_channels = pre_q[1] if pre_q else 513
+
+    n_ups = 1 + max(
+        (int(m.group(1)) for n in names
+         for m in [re.match(r"dec\.ups\.(\d+)\.", n)] if m),
+        default=2,
+    )
+    up0 = shape("dec.ups.0.weight") or shape("dec.ups.0.weight_v")
+    upsample_initial = up0[0] if up0 else 256
+
+    n_resblocks = 1 + max(
+        (int(m.group(1)) for n in names
+         for m in [re.match(r"dec\.resblocks\.(\d+)\.", n)] if m),
+        default=8,
+    )
+    num_kernels = n_resblocks // n_ups
+    has_convs2 = any(re.match(r"dec\.resblocks\.0\.convs2\.", n) for n in names)
+    resblock = "1" if has_convs2 else "2"
+
+    # Upsample kernels read off the transposed-conv shapes; rate = kernel/2
+    # holds for every shipped preset ((16,16,8) and (16,16,4,4)).
+    upsample_kernels = tuple(
+        (shape(f"dec.ups.{i}.weight") or shape(f"dec.ups.{i}.weight_v")
+         or (None, None, 16))[2]
+        for i in range(n_ups)
+    )
+    upsample_rates = tuple(k // 2 for k in upsample_kernels)
+    if resblock == "1":
+        rb_kernels = (3, 7, 11)[:num_kernels]
+        rb_dilations = tuple((1, 3, 5) for _ in range(num_kernels))
+    else:
+        rb_kernels = (3, 5, 7)[:num_kernels]
+        rb_dilations = ((1, 2), (2, 6), (3, 12))[:num_kernels]
+    # Refine from actual kernel shapes where available.
+    rb_kernels = tuple(
+        (shape(f"dec.resblocks.{j}.convs1.0.weight")
+         or shape(f"dec.resblocks.{j}.convs1.0.weight_v")
+         or shape(f"dec.resblocks.{j}.convs.0.weight")
+         or shape(f"dec.resblocks.{j}.convs.0.weight_v")
+         or (None, None, rb_kernels[j % num_kernels]))[2]
+        for j in range(num_kernels)
+    )
+
+    emb_g = shape("emb_g.weight")
+    n_speakers, gin = emb_g if emb_g else (1, 0)
+    use_sdp = any(n.startswith("dp.flows.") for n in names)
+
+    hp = VitsHParams(
+        n_vocab=n_vocab,
+        spec_channels=spec_channels,
+        inter_channels=inter,
+        hidden_channels=hidden,
+        filter_channels=filter_channels,
+        n_layers=n_layers,
+        resblock=resblock,
+        resblock_kernel_sizes=rb_kernels,
+        resblock_dilation_sizes=rb_dilations,
+        upsample_rates=upsample_rates,
+        upsample_initial_channel=upsample_initial,
+        upsample_kernel_sizes=upsample_kernels,
+        n_speakers=n_speakers,
+        gin_channels=gin,
+        use_sdp=use_sdp,
+    )
+    if overrides:
+        from dataclasses import replace
+
+        hp = replace(hp, **overrides)
+    return hp

@@ -1,0 +1,349 @@
+"""Full VITS synthesizer: init, training forward, inference.
+
+Functional equivalent of the reference SynthesizerTrn
+(phoonnx_train/vits/models.py:522-732) plus the quality presets from
+phoonnx_train/vits/lightning.py:26-57 and train.py:106-120.
+
+All stochastic inputs (posterior noise, prior noise, SDP noise, slice
+offsets) come from an explicit PRNG key or injected arrays, so synthesis is
+reproducible and can be verified bit-for-bit against other runtimes.
+"""
+
+from dataclasses import dataclass, field, replace
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from phoonnx_tpu.models.vits import duration, encoder, hifigan, nn, posterior
+from phoonnx_tpu.ops import mas
+
+Array = jax.Array
+
+
+@dataclass(frozen=True)
+class VitsHParams:
+    n_vocab: int = 256
+    spec_channels: int = 513  # filter_length // 2 + 1
+    segment_size: int = 32  # frames (8192 samples / hop 256)
+    inter_channels: int = 192
+    hidden_channels: int = 192
+    filter_channels: int = 768
+    n_heads: int = 2
+    n_layers: int = 6
+    kernel_size: int = 3
+    p_dropout: float = 0.1
+    resblock: str = "2"
+    resblock_kernel_sizes: Tuple[int, ...] = (3, 5, 7)
+    resblock_dilation_sizes: Tuple[Tuple[int, ...], ...] = (
+        (1, 2), (2, 6), (3, 12),
+    )
+    upsample_rates: Tuple[int, ...] = (8, 8, 4)
+    upsample_initial_channel: int = 256
+    upsample_kernel_sizes: Tuple[int, ...] = (16, 16, 8)
+    n_speakers: int = 1
+    gin_channels: int = 0
+    use_sdp: bool = True
+    # audio
+    sample_rate: int = 22050
+    filter_length: int = 1024
+    hop_length: int = 256
+    win_length: int = 1024
+    mel_channels: int = 80
+
+    @property
+    def total_upsample(self) -> int:
+        out = 1
+        for rate in self.upsample_rates:
+            out *= rate
+        return out
+
+    @staticmethod
+    def preset(quality: str = "medium", **overrides) -> "VitsHParams":
+        """'x-low' | 'medium' | 'high' presets (train.py:106-120)."""
+        hp = VitsHParams()
+        if quality == "x-low":
+            hp = replace(hp, hidden_channels=96, inter_channels=96,
+                         filter_channels=384)
+        elif quality == "high":
+            hp = replace(
+                hp,
+                resblock="1",
+                resblock_kernel_sizes=(3, 7, 11),
+                resblock_dilation_sizes=((1, 3, 5), (1, 3, 5), (1, 3, 5)),
+                upsample_rates=(8, 8, 2, 2),
+                upsample_initial_channel=512,
+                upsample_kernel_sizes=(16, 16, 4, 4),
+            )
+        elif quality != "medium":
+            raise ValueError(f"unknown quality preset: {quality}")
+        if overrides:
+            hp = replace(hp, **overrides)
+        return hp
+
+
+def random_params(rng: Array, hp: VitsHParams) -> Dict[str, Any]:
+    """Random initialization matching the reference init schemes."""
+    keys = jax.random.split(rng, 6)
+    params: Dict[str, Any] = {
+        "enc_p": encoder.init_text_encoder(
+            keys[0], hp.n_vocab, hp.inter_channels, hp.hidden_channels,
+            hp.filter_channels, hp.n_heads, hp.n_layers, hp.kernel_size,
+        ),
+        "dec": hifigan.init_generator(
+            keys[1], hp.inter_channels, hp.resblock,
+            hp.resblock_kernel_sizes, hp.resblock_dilation_sizes,
+            hp.upsample_rates, hp.upsample_initial_channel,
+            hp.upsample_kernel_sizes, gin_channels=hp.gin_channels,
+        ),
+        "enc_q": posterior.init_posterior_encoder(
+            keys[2], hp.spec_channels, hp.inter_channels, hp.hidden_channels,
+            5, 1, 16, gin_channels=hp.gin_channels,
+        ),
+        "flow": posterior.init_residual_coupling_block(
+            keys[3], hp.inter_channels, hp.hidden_channels, 5, 1, 4,
+            gin_channels=hp.gin_channels,
+        ),
+    }
+    if hp.use_sdp:
+        params["dp"] = duration.init_stochastic_duration_predictor(
+            keys[4], hp.hidden_channels, 192, 3, 4,
+            gin_channels=hp.gin_channels,
+        )
+    else:
+        params["dp"] = duration.init_duration_predictor(
+            keys[4], hp.hidden_channels, 256, 3, gin_channels=hp.gin_channels,
+        )
+    if hp.n_speakers > 1:
+        params["emb_g"] = {
+            "weight": jax.random.normal(
+                keys[5], (hp.n_speakers, hp.gin_channels), jnp.float32
+            )
+        }
+    return params
+
+
+def _speaker_embedding(params, hp: VitsHParams, sid: Optional[Array],
+                       batch: int) -> Optional[Array]:
+    if hp.n_speakers <= 1:
+        return None
+    if sid is None:
+        sid = jnp.zeros((batch,), jnp.int32)
+    return nn.embedding(params["emb_g"], sid)[:, None, :]  # [B, 1, G]
+
+
+def train_forward(params, hp: VitsHParams, rng: Array,
+                  x_ids: Array, x_lengths: Array,
+                  spec: Array, spec_lengths: Array,
+                  sid: Optional[Array] = None,
+                  deterministic: bool = False):
+    """Training forward pass (models.py:617-679).
+
+    x_ids [B, T_x] int32; spec [B, T_y, C_spec]; lengths [B].
+    Returns dict with the sliced waveform, duration loss pieces, the
+    alignment, and the latents needed for the KL loss.
+    """
+    b, t_x = x_ids.shape
+    t_y = spec.shape[1]
+    seg = hp.segment_size
+
+    (rng_enc, rng_post, rng_sdp, rng_slice, rng_drop) = jax.random.split(rng, 5)
+
+    x_mask = nn.sequence_mask(x_lengths, t_x)[..., None].astype(spec.dtype)
+    y_mask = nn.sequence_mask(spec_lengths, t_y)[..., None].astype(spec.dtype)
+
+    x, m_p, logs_p = encoder.text_encoder(
+        params["enc_p"], x_ids, x_mask, p_dropout=hp.p_dropout,
+        rng=rng_enc, deterministic=deterministic,
+    )
+    g = _speaker_embedding(params, hp, sid, b)
+
+    post_noise = jax.random.normal(rng_post, (b, t_y, hp.inter_channels),
+                                   spec.dtype)
+    z, m_q, logs_q = posterior.posterior_encoder(
+        params["enc_q"], spec, y_mask, post_noise, g=g,
+    )
+    z_p = posterior.coupling_flow(params["flow"], z, y_mask, g=g)
+
+    # --- MAS alignment (no gradients; models.py:628-650) ---
+    s_p_sq_r = jnp.exp(-2.0 * logs_p)  # [B, T_x, C]
+    neg_cent1 = jnp.sum(
+        -0.5 * jnp.log(2.0 * jnp.pi) - logs_p, axis=-1
+    )[:, None, :]  # [B, 1, T_x]
+    neg_cent2 = jnp.einsum("byc,bxc->byx", -0.5 * jnp.square(z_p), s_p_sq_r)
+    neg_cent3 = jnp.einsum("byc,bxc->byx", z_p, m_p * s_p_sq_r)
+    neg_cent4 = jnp.sum(
+        -0.5 * jnp.square(m_p) * s_p_sq_r, axis=-1
+    )[:, None, :]
+    neg_cent = neg_cent1 + neg_cent2 + neg_cent3 + neg_cent4  # [B, T_y, T_x]
+
+    attn_mask = y_mask * jnp.swapaxes(x_mask, 1, 2)  # [B, T_y, T_x]
+    attn = jax.lax.stop_gradient(
+        mas.maximum_path(jax.lax.stop_gradient(neg_cent), attn_mask)
+    )
+
+    w = jnp.sum(attn, axis=1)[..., None]  # [B, T_x, 1] durations
+    if hp.use_sdp:
+        e_q = jax.random.normal(rng_sdp, (b, t_x, 2), spec.dtype)
+        l_length = duration.sdp_nll(params["dp"], x, x_mask, w, e_q, g=g)
+        l_length = l_length / jnp.sum(x_mask)
+    else:
+        logw_ = jnp.log(w + 1e-6) * x_mask
+        logw = duration.duration_predictor(
+            params["dp"], x, x_mask, g=g, p_dropout=0.5, rng=rng_drop,
+            deterministic=deterministic,
+        )
+        l_length = jnp.sum(jnp.square(logw - logw_), axis=(1, 2)) / jnp.sum(x_mask)
+
+    # Expand prior over the alignment: [B, T_y, T_x] @ [B, T_x, C]
+    m_p_exp = jnp.einsum("byx,bxc->byc", attn, m_p)
+    logs_p_exp = jnp.einsum("byx,bxc->byc", attn, logs_p)
+
+    # Random segment slice for the vocoder (commons.py:47-63)
+    max_start = jnp.maximum(spec_lengths - seg + 1, 1)
+    starts = (jax.random.uniform(rng_slice, (b,)) * max_start).astype(jnp.int32)
+    z_slice = _slice_segments(z, starts, seg)
+    o = hifigan.generator(params["dec"], z_slice, g=g)
+
+    return {
+        "audio": o,
+        "l_length": l_length,
+        "attn": attn,
+        "ids_slice": starts,
+        "x_mask": x_mask,
+        "y_mask": y_mask,
+        "z": z,
+        "z_p": z_p,
+        "m_p": m_p_exp,
+        "logs_p": logs_p_exp,
+        "m_q": m_q,
+        "logs_q": logs_q,
+    }
+
+
+def _slice_segments(x: Array, starts: Array, segment_size: int) -> Array:
+    """Gather fixed-size segments at per-batch offsets; x [B, T, C]."""
+    idx = starts[:, None] + jnp.arange(segment_size)[None, :]  # [B, S]
+    return jnp.take_along_axis(x, idx[..., None], axis=1)
+
+
+def slice_audio_segments(y: Array, starts: Array, segment_samples: int,
+                         hop: int) -> Array:
+    """Slice waveform segments aligned with frame slices; y [B, N]."""
+    idx = (starts * hop)[:, None] + jnp.arange(segment_samples)[None, :]
+    return jnp.take_along_axis(y, idx, axis=1)
+
+
+def infer(params, hp: VitsHParams,
+          x_ids: Array, x_lengths: Array,
+          max_frames: int,
+          noise_scale: Array,
+          length_scale: Array,
+          noise_w: Array,
+          sid: Optional[Array] = None,
+          rng: Optional[Array] = None,
+          dp_noise: Optional[Array] = None,
+          prior_noise: Optional[Array] = None):
+    """Inference (models.py:681-722) with a static frame budget.
+
+    ``max_frames`` bounds the decoded length (bucketed by the engine). The
+    true per-example frame count is returned so the host can trim. Noise
+    can be injected (``dp_noise`` [B, T_x, 2], ``prior_noise``
+    [B, max_frames, C]) for bit-exact verification against other runtimes;
+    otherwise it is drawn from ``rng``.
+    """
+    b, t_x = x_ids.shape
+    dtype = jnp.float32
+
+    x_mask = nn.sequence_mask(x_lengths, t_x)[..., None].astype(dtype)
+    x, m_p, logs_p = encoder.text_encoder(params["enc_p"], x_ids, x_mask)
+    g = _speaker_embedding(params, hp, sid, b)
+
+    if dp_noise is None:
+        rng, sub = jax.random.split(rng)
+        dp_noise = jax.random.normal(sub, (b, t_x, 2), dtype)
+    if hp.use_sdp:
+        logw = duration.sdp_reverse(
+            params["dp"], x, x_mask, dp_noise * noise_w, g=g
+        )
+    else:
+        logw = duration.duration_predictor(params["dp"], x, x_mask, g=g)
+
+    w = jnp.exp(logw) * x_mask * length_scale
+    w_ceil = jnp.ceil(w)[..., 0]  # [B, T_x]
+    y_lengths = jnp.maximum(
+        jnp.sum(w_ceil, axis=-1), 1.0
+    ).astype(jnp.int32)
+    y_lengths = jnp.minimum(y_lengths, max_frames)
+
+    y_mask = nn.sequence_mask(y_lengths, max_frames)[..., None].astype(dtype)
+    attn_mask = y_mask * jnp.swapaxes(x_mask, 1, 2)  # [B, T_y, T_x]
+    attn = nn.generate_path(w_ceil, attn_mask)
+
+    m_p_exp = jnp.einsum("byx,bxc->byc", attn, m_p)
+    logs_p_exp = jnp.einsum("byx,bxc->byc", attn, logs_p)
+
+    if prior_noise is None:
+        rng, sub = jax.random.split(rng)
+        prior_noise = jax.random.normal(sub, m_p_exp.shape, dtype)
+    z_p = m_p_exp + prior_noise * jnp.exp(logs_p_exp) * noise_scale
+    z = posterior.coupling_flow(params["flow"], z_p, y_mask, g=g,
+                                reverse=True)
+    audio = hifigan.generator(params["dec"], z * y_mask, g=g)
+    return audio, y_lengths, attn
+
+
+def infer_durations(params, hp: VitsHParams, x_ids: Array, x_lengths: Array,
+                    length_scale: Array, noise_w: Array,
+                    sid: Optional[Array] = None,
+                    dp_noise: Optional[Array] = None,
+                    rng: Optional[Array] = None):
+    """Phase-1 of two-phase synthesis: encoder + durations only.
+
+    Returns (x, m_p, logs_p, w_ceil, g). The host picks a frame bucket from
+    sum(w_ceil) and dispatches phase 2 (:func:`infer_decode`).
+    """
+    b, t_x = x_ids.shape
+    dtype = jnp.float32
+    x_mask = nn.sequence_mask(x_lengths, t_x)[..., None].astype(dtype)
+    x, m_p, logs_p = encoder.text_encoder(params["enc_p"], x_ids, x_mask)
+    g = _speaker_embedding(params, hp, sid, b)
+
+    if dp_noise is None:
+        rng, sub = jax.random.split(rng)
+        dp_noise = jax.random.normal(sub, (b, t_x, 2), dtype)
+    if hp.use_sdp:
+        logw = duration.sdp_reverse(
+            params["dp"], x, x_mask, dp_noise * noise_w, g=g
+        )
+    else:
+        logw = duration.duration_predictor(params["dp"], x, x_mask, g=g)
+    w = jnp.exp(logw) * x_mask * length_scale
+    w_ceil = jnp.ceil(w)[..., 0]
+    return m_p, logs_p, w_ceil, x_mask, g
+
+
+def infer_decode(params, hp: VitsHParams, m_p: Array, logs_p: Array,
+                 w_ceil: Array, x_mask: Array, max_frames: int,
+                 noise_scale: Array, g: Optional[Array] = None,
+                 prior_noise: Optional[Array] = None,
+                 rng: Optional[Array] = None):
+    """Phase-2: expand prior to ``max_frames``, reverse flow, vocode."""
+    dtype = m_p.dtype
+    y_lengths = jnp.maximum(jnp.sum(w_ceil, axis=-1), 1.0).astype(jnp.int32)
+    y_lengths = jnp.minimum(y_lengths, max_frames)
+    y_mask = nn.sequence_mask(y_lengths, max_frames)[..., None].astype(dtype)
+    attn_mask = y_mask * jnp.swapaxes(x_mask, 1, 2)
+    attn = nn.generate_path(w_ceil, attn_mask)
+
+    m_p_exp = jnp.einsum("byx,bxc->byc", attn, m_p)
+    logs_p_exp = jnp.einsum("byx,bxc->byc", attn, logs_p)
+
+    if prior_noise is None:
+        rng, sub = jax.random.split(rng)
+        prior_noise = jax.random.normal(sub, m_p_exp.shape, dtype)
+    z_p = m_p_exp + prior_noise * jnp.exp(logs_p_exp) * noise_scale
+    z = posterior.coupling_flow(params["flow"], z_p, y_mask, g=g,
+                                reverse=True)
+    audio = hifigan.generator(params["dec"], z * y_mask, g=g)
+    return audio, y_lengths

@@ -1,0 +1,246 @@
+"""Neural-net primitives for the TPU VITS build.
+
+Conventions (chosen for TPU/XLA, not a torch translation):
+
+* Activations are ``[B, T, C]`` (channels-last — the natural layout for the
+  MXU; the reference uses ``[B, C, T]``).
+* Conv weights keep the torch parameter layout ``[O, I/g, K]`` so checkpoint
+  import is a pure re-keying; the conv dimension-numbers tell XLA how to
+  consume them directly (no runtime transpose).
+* Every function is pure: ``fn(params_subtree, x, ...) -> y``.
+"""
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Convolutions
+# ---------------------------------------------------------------------------
+
+# lhs [B, T, C] ; rhs [O, I/g, K] ; out [B, T, O]
+_CONV_DN = ("NTC", "OIT", "NTC")
+# Transposed conv consumes the torch ConvTranspose1d layout [I, O/g, K].
+_CONVT_DN = ("NTC", "IOT", "NTC")
+
+
+def conv1d(
+    x: Array,
+    weight: Array,
+    bias: Optional[Array] = None,
+    stride: int = 1,
+    padding: int = 0,
+    dilation: int = 1,
+    groups: int = 1,
+) -> Array:
+    """1D cross-correlation matching torch.nn.Conv1d semantics."""
+    out = jax.lax.conv_general_dilated(
+        x,
+        weight,
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=_CONV_DN,
+        feature_group_count=groups,
+        preferred_element_type=x.dtype,
+    )
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def conv_transpose1d(
+    x: Array,
+    weight: Array,
+    bias: Optional[Array] = None,
+    stride: int = 1,
+    padding: int = 0,
+) -> Array:
+    """1D transposed conv matching torch.nn.ConvTranspose1d.
+
+    Realised as an input-dilated cross-correlation with a flipped kernel —
+    the form XLA lowers efficiently on TPU (fractionally-strided conv on the
+    MXU) instead of a scatter.
+    """
+    kernel = weight.shape[-1]
+    out = jax.lax.conv_general_dilated(
+        x,
+        jnp.flip(weight, axis=-1),
+        window_strides=(1,),
+        padding=[(kernel - 1 - padding, kernel - 1 - padding)],
+        lhs_dilation=(stride,),
+        dimension_numbers=_CONVT_DN,
+        preferred_element_type=x.dtype,
+    )
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def apply_conv(params, x, **kw) -> Array:
+    """Conv1d from a ``{"weight", "bias"?}`` parameter subtree."""
+    return conv1d(x, params["weight"], params.get("bias"), **kw)
+
+
+# ---------------------------------------------------------------------------
+# Weight normalization
+# ---------------------------------------------------------------------------
+
+
+def weight_norm(v: Array, g: Array, eps: float = 0.0) -> Array:
+    """w = g * v / ||v|| with the norm over all dims but 0 (torch default)."""
+    axes = tuple(range(1, v.ndim))
+    norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=axes, keepdims=True))
+    return g * v / (norm + eps)
+
+
+def resolve_weight(params) -> Array:
+    """Weight from a conv subtree that may be weight-normalised.
+
+    Training checkpoints carry ``weight_v``/``weight_g``; exported inference
+    models carry a plain folded ``weight`` (the reference removes weight norm
+    at export, phoonnx_train/vits/models.py:370-375).
+    """
+    if "weight" in params:
+        return params["weight"]
+    return weight_norm(params["weight_v"], params["weight_g"])
+
+
+def apply_wn_conv(params, x, **kw) -> Array:
+    return conv1d(x, resolve_weight(params), params.get("bias"), **kw)
+
+
+# ---------------------------------------------------------------------------
+# Normalization / activations
+# ---------------------------------------------------------------------------
+
+
+def layer_norm(params, x: Array, eps: float = 1e-5) -> Array:
+    """LayerNorm over the channel (last) axis; params: gamma/beta [C]."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    normed = (x - mean) * jax.lax.rsqrt(var + eps)
+    return normed * params["gamma"] + params["beta"]
+
+
+def leaky_relu(x: Array, slope: float = 0.1) -> Array:
+    return jnp.where(x >= 0, x, x * slope)
+
+
+def gated_tanh_sigmoid(x: Array, g: Array, channels: int) -> Array:
+    """tanh(a) * sigmoid(b) gate used by WaveNet blocks.
+
+    Channel-last equivalent of the reference's fused op
+    (phoonnx_train/vits/commons.py:99-106); XLA fuses the whole expression
+    into one VPU kernel.
+    """
+    s = x + g
+    return jnp.tanh(s[..., :channels]) * jax.nn.sigmoid(s[..., channels:])
+
+
+def embedding(params, ids: Array) -> Array:
+    """Token embedding lookup; params: weight [V, C]."""
+    return jnp.take(params["weight"], ids, axis=0)
+
+
+def dropout(
+    x: Array, rate: float, rng: Optional[Array], deterministic: bool
+) -> Array:
+    if deterministic or rate == 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Masks and paths
+# ---------------------------------------------------------------------------
+
+
+def sequence_mask(lengths: Array, max_length: int) -> Array:
+    """[B, T] boolean mask from lengths (True inside the sequence)."""
+    positions = jnp.arange(max_length)[None, :]
+    return positions < lengths[:, None]
+
+
+def generate_path(duration: Array, attn_mask: Array) -> Array:
+    """Monotonic alignment from integer durations.
+
+    duration: [B, T_x]; attn_mask: [B, T_y, T_x] (query frames x text).
+    Returns [B, T_y, T_x] one-hot-per-frame path. Pure cumsum + compare —
+    the jittable equivalent of the reference's generate_path
+    (phoonnx_train/vits/commons.py:116-129).
+    """
+    t_y = attn_mask.shape[1]
+    cum = jnp.cumsum(duration, axis=-1)  # [B, T_x]
+    frames = jnp.arange(t_y)[None, :, None]  # [1, T_y, 1]
+    reached = (frames < cum[:, None, :]).astype(attn_mask.dtype)
+    started = (frames < (cum - duration)[:, None, :]).astype(attn_mask.dtype)
+    return (reached - started) * attn_mask
+
+
+# ---------------------------------------------------------------------------
+# Initializers (match reference init schemes for from-scratch training)
+# ---------------------------------------------------------------------------
+
+
+def init_conv(
+    rng: Array,
+    out_ch: int,
+    in_ch: int,
+    kernel: int,
+    groups: int = 1,
+    bias: bool = True,
+    std: Optional[float] = None,
+):
+    """Kaiming-uniform conv init (torch Conv1d default) or normal(0, std)."""
+    k_rng, b_rng = jax.random.split(rng)
+    shape = (out_ch, in_ch // groups, kernel)
+    fan_in = (in_ch // groups) * kernel
+    if std is not None:
+        weight = std * jax.random.normal(k_rng, shape, dtype=jnp.float32)
+    else:
+        bound = math.sqrt(1.0 / fan_in) * math.sqrt(3.0)
+        weight = jax.random.uniform(
+            k_rng, shape, minval=-bound, maxval=bound, dtype=jnp.float32
+        )
+    params = {"weight": weight}
+    if bias:
+        bound = math.sqrt(1.0 / fan_in)
+        params["bias"] = jax.random.uniform(
+            b_rng, (out_ch,), minval=-bound, maxval=bound, dtype=jnp.float32
+        )
+    return params
+
+
+def init_wn_conv(rng, out_ch, in_ch, kernel, groups=1, bias=True, std=None):
+    """Weight-normalised conv: store (v, g) with w = g v/||v||."""
+    params = init_conv(rng, out_ch, in_ch, kernel, groups=groups, bias=bias,
+                       std=std)
+    v = params.pop("weight")
+    axes = tuple(range(1, v.ndim))
+    g = jnp.sqrt(jnp.sum(jnp.square(v), axis=axes, keepdims=True))
+    params["weight_v"] = v
+    params["weight_g"] = g
+    return params
+
+
+def init_layer_norm(channels: int):
+    return {
+        "gamma": jnp.ones((channels,), jnp.float32),
+        "beta": jnp.zeros((channels,), jnp.float32),
+    }
+
+
+def init_zero_conv(out_ch: int, in_ch: int, kernel: int = 1):
+    """Zero-initialised projection (flows start at identity)."""
+    return {
+        "weight": jnp.zeros((out_ch, in_ch, kernel), jnp.float32),
+        "bias": jnp.zeros((out_ch,), jnp.float32),
+    }

@@ -14,6 +14,13 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# The sandbox sitecustomize force-registers the axon TPU backend and resets
+# JAX_PLATFORMS; override at the config level so tests run on the virtual
+# 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 REFERENCE_PATH = "/root/reference"

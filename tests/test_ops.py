@@ -1,0 +1,111 @@
+"""Tests for TPU ops: MAS dynamic program and STFT/mel."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from phoonnx_tpu.ops.mas import maximum_path, maximum_path_numpy
+from phoonnx_tpu.ops.stft import hann_window, mel_filterbank, spectrogram
+
+torch = pytest.importorskip("torch")
+
+
+def _brute_force_best(neg_cent):
+    """Enumerate all monotonic paths (tiny sizes) for the optimum score."""
+    t_y, t_x = neg_cent.shape
+    best = [-np.inf, None]
+
+    def rec(y, x, score, assignment):
+        score = score + neg_cent[y, x]
+        assignment = assignment + [x]
+        if y == t_y - 1:
+            if x == t_x - 1 and score > best[0]:
+                best[0], best[1] = score, assignment
+            return
+        rec(y + 1, x, score, assignment)
+        if x + 1 < t_x:
+            rec(y + 1, x + 1, score, assignment)
+
+    rec(0, 0, 0.0, [])
+    return best
+
+
+def test_mas_matches_bruteforce_score():
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        t_y, t_x = 7, 4
+        neg_cent = rng.standard_normal((1, t_y, t_x)).astype(np.float32)
+        mask = np.ones_like(neg_cent)
+        path = maximum_path_numpy(neg_cent, mask)[0]
+        score_np = float((path * neg_cent[0]).sum())
+        best_score, _ = _brute_force_best(neg_cent[0])
+        assert abs(score_np - best_score) < 1e-4
+        # exactly one text position per frame, monotonic
+        assert (path.sum(1) == 1).all()
+        positions = path.argmax(1)
+        assert (np.diff(positions) >= 0).all()
+
+
+def test_mas_scan_matches_numpy():
+    rng = np.random.default_rng(1)
+    b, t_y, t_x = 3, 20, 8
+    neg_cent = rng.standard_normal((b, t_y, t_x)).astype(np.float32)
+    y_lens = np.array([20, 15, 9])
+    x_lens = np.array([8, 5, 3])
+    mask = np.zeros((b, t_y, t_x), np.float32)
+    for i in range(b):
+        mask[i, :y_lens[i], :x_lens[i]] = 1
+
+    want = maximum_path_numpy(neg_cent, mask)
+    got = np.asarray(maximum_path(jnp.asarray(neg_cent), jnp.asarray(mask)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_mas_scan_large_random():
+    rng = np.random.default_rng(2)
+    b, t_y, t_x = 2, 96, 31
+    neg_cent = (rng.standard_normal((b, t_y, t_x)) * 4).astype(np.float32)
+    mask = np.ones((b, t_y, t_x), np.float32)
+    want = maximum_path_numpy(neg_cent, mask)
+    got = np.asarray(maximum_path(jnp.asarray(neg_cent), jnp.asarray(mask)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_hann_matches_torch():
+    np.testing.assert_allclose(
+        hann_window(1024), torch.hann_window(1024).numpy(), atol=1e-6
+    )
+
+
+def test_spectrogram_matches_reference_recipe():
+    """Compare with the exact torch.stft recipe from mel_processing.py:40-76."""
+    rng = np.random.default_rng(3)
+    n_fft, hop, win = 256, 64, 256
+    y = (rng.standard_normal((2, 2048)) * 0.2).astype(np.float32)
+
+    ours = np.asarray(spectrogram(jnp.asarray(y), n_fft, hop, win))
+
+    yt = torch.from_numpy(y)
+    pad = (n_fft - hop) // 2
+    yt = torch.nn.functional.pad(
+        yt.unsqueeze(1), (pad, pad), mode="reflect"
+    ).squeeze(1)
+    spec = torch.view_as_real(
+        torch.stft(yt, n_fft, hop_length=hop, win_length=win,
+                   window=torch.hann_window(win), center=False,
+                   pad_mode="reflect", normalized=False, onesided=True,
+                   return_complex=True)
+    )
+    spec = torch.sqrt(spec.pow(2).sum(-1) + 1e-6).numpy()  # [B, F, T]
+    np.testing.assert_allclose(ours, spec.transpose(0, 2, 1), atol=2e-4)
+
+
+def test_mel_filterbank_properties():
+    basis = mel_filterbank(22050, 1024, 80, 0.0, None)
+    assert basis.shape == (80, 513)
+    assert (basis >= 0).all()
+    # every mel band has some support
+    assert (basis.sum(axis=1) > 0).all()
+    # slaney normalisation keeps peaks well below 1
+    assert basis.max() < 0.1
