@@ -1,0 +1,83 @@
+"""Benchmark: VITS synthesis RTF on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures the full bucketed synthesis path (text encoder + SDP + alignment +
+inverse flow + HiFi-GAN) on the "medium" voice preset at a realistic
+workload: one ~6s utterance per call (frame bucket 512 @ 86.1 fps,
+22.05 kHz). RTF = device_time / audio_seconds_decoded. The reference
+publishes no numbers (BASELINE.md); vs_baseline compares against the
+north-star target RTF 0.02 (>1.0 means better than target).
+"""
+
+import json
+import sys
+import time
+
+TARGET_RTF = 0.02
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from phoonnx_tpu.models.vits import model as vits_model
+    from phoonnx_tpu.models.vits.model import VitsHParams
+
+    hp = VitsHParams.preset("medium", n_vocab=161)
+    params = vits_model.random_params(jax.random.PRNGKey(0), hp)
+    params = jax.device_put(params)
+
+    t_text, max_frames = 128, 512
+    sample_rate = hp.sample_rate
+    audio_seconds = max_frames * hp.hop_length / sample_rate
+
+    def forward(params, ids, lengths, rng):
+        audio, y_lengths, _ = vits_model.infer(
+            params, hp, ids, lengths, max_frames=max_frames,
+            noise_scale=jnp.float32(0.667),
+            length_scale=jnp.float32(1.0),
+            noise_w=jnp.float32(0.8),
+            rng=rng,
+        )
+        return audio, y_lengths
+
+    fn = jax.jit(forward, donate_argnums=())
+    ids = jnp.asarray(
+        np.random.default_rng(0).integers(4, 160, (1, t_text)), jnp.int32
+    )
+    lengths = jnp.asarray([t_text], jnp.int32)
+
+    # compile + warmup
+    audio, _ = fn(params, ids, lengths, jax.random.PRNGKey(0))
+    audio.block_until_ready()
+    for i in range(3):
+        audio, _ = fn(params, ids, lengths, jax.random.PRNGKey(i))
+        audio.block_until_ready()
+
+    iters = 20
+    start = time.perf_counter()
+    for i in range(iters):
+        audio, _ = fn(params, ids, lengths, jax.random.PRNGKey(100 + i))
+    audio.block_until_ready()
+    elapsed = (time.perf_counter() - start) / iters
+
+    rtf = elapsed / audio_seconds
+    result = {
+        "metric": "rtf_vits_medium_22k05",
+        "value": round(rtf, 6),
+        "unit": "s_compute_per_s_audio",
+        "vs_baseline": round(TARGET_RTF / rtf, 3),
+        "extra": {
+            "audio_sec_per_sec_per_chip": round(1.0 / rtf, 1),
+            "p50_latency_ms": round(elapsed * 1000, 2),
+            "frames": max_frames,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,180 @@
+"""Bucketed VITS synthesis engine for TPU.
+
+XLA compiles one program per input shape, so variable-length synthesis is
+dispatched over a small set of static buckets:
+
+* phase 1 (text encoder + duration predictor) is compiled per
+  (batch, text-bucket);
+* phase 2 (prior expansion + inverse flow + HiFi-GAN) is compiled per
+  (batch, text-bucket, frame-bucket), with the frame bucket chosen on host
+  from the predicted durations (the reference's dynamic output length,
+  models.py:702-704, is the one data-dependent shape in the graph).
+
+Both phases are donated-input jit functions; padded lanes are masked. The
+first call per bucket pays the XLA compile; `warmup()` precompiles the
+common grid. RTF on repeat calls is pure device time.
+"""
+
+import logging
+import math
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phoonnx_tpu.models.vits import model as vits_model
+from phoonnx_tpu.models.vits.model import VitsHParams
+
+LOG = logging.getLogger(__name__)
+
+DEFAULT_TEXT_BUCKETS = (32, 64, 128, 256, 512, 1024)
+DEFAULT_FRAME_BUCKETS = (64, 128, 256, 384, 512, 768, 1024, 1536, 2048,
+                         3072, 4096)
+
+
+def _bucket_for(value: int, buckets: Sequence[int]) -> int:
+    for bucket in buckets:
+        if value <= bucket:
+            return bucket
+    raise ValueError(
+        f"length {value} exceeds largest bucket {buckets[-1]}"
+    )
+
+
+class VitsEngine:
+    """Compiled VITS synthesis over static shape buckets."""
+
+    def __init__(
+        self,
+        params,
+        hp: VitsHParams,
+        text_buckets: Sequence[int] = DEFAULT_TEXT_BUCKETS,
+        frame_buckets: Sequence[int] = DEFAULT_FRAME_BUCKETS,
+        dtype: str = "float32",
+    ):
+        self.hp = hp
+        self.text_buckets = tuple(text_buckets)
+        self.frame_buckets = tuple(frame_buckets)
+        self.dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        if dtype == "bfloat16":
+            params = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                params,
+            )
+        self.params = jax.device_put(params)
+        self._phase1 = {}
+        self._phase2 = {}
+
+    # -- compiled phases -------------------------------------------------
+
+    def _get_phase1(self, batch: int, t_bucket: int):
+        key = (batch, t_bucket)
+        if key not in self._phase1:
+            hp = self.hp
+
+            @partial(jax.jit, static_argnames=())
+            def phase1(params, ids, lengths, length_scale, noise_w, sid, rng):
+                return vits_model.infer_durations(
+                    params, hp, ids, lengths, length_scale, noise_w,
+                    sid=sid if hp.n_speakers > 1 else None, rng=rng,
+                )
+
+            self._phase1[key] = phase1
+        return self._phase1[key]
+
+    def _get_phase2(self, batch: int, t_bucket: int, f_bucket: int):
+        key = (batch, t_bucket, f_bucket)
+        if key not in self._phase2:
+            hp = self.hp
+
+            @partial(jax.jit, static_argnames=("max_frames",))
+            def phase2(params, m_p, logs_p, w_ceil, x_mask, g, noise_scale,
+                       rng, max_frames):
+                return vits_model.infer_decode(
+                    params, hp, m_p, logs_p, w_ceil, x_mask, max_frames,
+                    noise_scale, g=g, rng=rng,
+                )
+
+            self._phase2[key] = partial(phase2, max_frames=f_bucket)
+        return self._phase2[key]
+
+    # -- public API ------------------------------------------------------
+
+    def synthesize_ids(
+        self,
+        phoneme_ids: Sequence[int],
+        noise_scale: float = 0.667,
+        length_scale: float = 1.0,
+        noise_w: float = 0.8,
+        speaker_id: int = 0,
+        seed: Optional[int] = None,
+    ) -> np.ndarray:
+        """One utterance -> float32 waveform (trimmed to true length)."""
+        audio, lengths = self.synthesize_batch(
+            [phoneme_ids], noise_scale=noise_scale,
+            length_scale=length_scale, noise_w=noise_w,
+            speaker_ids=[speaker_id], seed=seed,
+        )
+        return audio[0][: lengths[0] * self.hp.total_upsample]
+
+    def synthesize_batch(
+        self,
+        batch_ids: Sequence[Sequence[int]],
+        noise_scale: float = 0.667,
+        length_scale: float = 1.0,
+        noise_w: float = 0.8,
+        speaker_ids: Optional[Sequence[int]] = None,
+        seed: Optional[int] = None,
+    ) -> Tuple[np.ndarray, List[int]]:
+        """Batched synthesis with bucketed padding.
+
+        Returns (waveforms [B, F_bucket*upsample] float32, frame lengths).
+        """
+        batch = len(batch_ids)
+        max_len = max(len(ids) for ids in batch_ids)
+        t_bucket = _bucket_for(max_len, self.text_buckets)
+
+        ids = np.zeros((batch, t_bucket), np.int32)
+        lengths = np.zeros((batch,), np.int32)
+        for i, utt in enumerate(batch_ids):
+            ids[i, : len(utt)] = utt
+            lengths[i] = len(utt)
+
+        sid = np.zeros((batch,), np.int32)
+        if speaker_ids is not None:
+            sid[:] = speaker_ids
+
+        rng = jax.random.PRNGKey(seed if seed is not None else
+                                 np.random.randint(0, 2 ** 31 - 1))
+        rng1, rng2 = jax.random.split(rng)
+
+        phase1 = self._get_phase1(batch, t_bucket)
+        m_p, logs_p, w_ceil, x_mask, g = phase1(
+            self.params, jnp.asarray(ids), jnp.asarray(lengths),
+            jnp.asarray(length_scale, self.dtype),
+            jnp.asarray(noise_w, self.dtype),
+            jnp.asarray(sid), rng1,
+        )
+
+        # Host decision: pick the frame bucket from predicted durations.
+        frames = int(np.max(np.asarray(jnp.sum(w_ceil, axis=-1))))
+        f_bucket = _bucket_for(max(frames, 1), self.frame_buckets)
+
+        phase2 = self._get_phase2(batch, t_bucket, f_bucket)
+        audio, y_lengths = phase2(
+            self.params, m_p, logs_p, w_ceil, x_mask, g,
+            jnp.asarray(noise_scale, self.dtype), rng2,
+        )
+        audio_np = np.asarray(audio, np.float32)
+        return audio_np, [int(n) for n in np.asarray(y_lengths)]
+
+    def warmup(self, batch_sizes: Sequence[int] = (1,),
+               text_buckets: Optional[Sequence[int]] = None) -> None:
+        """Precompile phase 1 for the given grid (phase 2 compiles lazily)."""
+        for batch in batch_sizes:
+            for t_bucket in (text_buckets or self.text_buckets[:3]):
+                ids = [[1] * min(8, t_bucket)] * batch
+                self.synthesize_batch(ids, seed=0)

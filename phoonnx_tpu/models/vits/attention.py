@@ -14,6 +14,8 @@ import jax.numpy as jnp
 
 from phoonnx_tpu.models.vits import nn
 
+from phoonnx_tpu.models.vits.statics import StaticInt
+
 Array = jax.Array
 
 
@@ -33,9 +35,9 @@ def init_multi_head_attention(rng, channels: int, out_channels: int,
         return {"weight": weight, "bias": jnp.zeros((out_ch,), jnp.float32)}
 
     params = {
-        "n_heads": n_heads,
-        "k_channels": k_channels,
-        "window_size": window_size,
+        "n_heads": StaticInt(n_heads),
+        "k_channels": StaticInt(k_channels),
+        "window_size": None if window_size is None else StaticInt(window_size),
         "conv_q": xavier_conv(kq, channels, channels),
         "conv_k": xavier_conv(kk, channels, channels),
         "conv_v": xavier_conv(kv, channels, channels),
@@ -137,7 +139,7 @@ def init_ffn(rng, in_channels: int, out_channels: int, filter_channels: int,
              kernel_size: int):
     rng, k1, k2 = jax.random.split(rng, 3)
     return {
-        "kernel_size": kernel_size,
+        "kernel_size": StaticInt(kernel_size),
         "conv_1": nn.init_conv(k1, filter_channels, in_channels, kernel_size),
         "conv_2": nn.init_conv(k2, out_channels, filter_channels, kernel_size),
     }

@@ -1,0 +1,158 @@
+"""Multi-period + multi-scale discriminators (training only).
+
+Reference: phoonnx_train/vits/models.py:378-519. Layout: waveforms are
+[B, N]; period discriminators fold to [B, frames, period, C] and run 2D
+convs on the MXU.
+"""
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from phoonnx_tpu.models.vits import nn
+from phoonnx_tpu.models.vits.statics import StaticInt
+
+Array = jax.Array
+
+LRELU_SLOPE = 0.1
+PERIODS = (2, 3, 5, 7, 11)
+
+# lhs [B, H, W, C]; rhs torch layout [O, I, kh, kw]
+_CONV2D_DN = ("NHWC", "OIHW", "NHWC")
+
+
+def _init_wn_conv2d(rng, out_ch, in_ch, kernel_hw):
+    k_rng, _ = jax.random.split(rng)
+    fan_in = in_ch * kernel_hw[0] * kernel_hw[1]
+    bound = (1.0 / fan_in) ** 0.5 * (3.0 ** 0.5)
+    v = jax.random.uniform(
+        k_rng, (out_ch, in_ch) + tuple(kernel_hw), minval=-bound,
+        maxval=bound, dtype=jnp.float32,
+    )
+    axes = tuple(range(1, v.ndim))
+    g = jnp.sqrt(jnp.sum(jnp.square(v), axis=axes, keepdims=True))
+    return {"weight_v": v, "weight_g": g,
+            "bias": jnp.zeros((out_ch,), jnp.float32)}
+
+
+def _conv2d(params, x, stride=(1, 1), padding=((0, 0), (0, 0))):
+    weight = nn.resolve_weight(params)
+    out = jax.lax.conv_general_dilated(
+        x, weight, window_strides=stride, padding=padding,
+        dimension_numbers=_CONV2D_DN, preferred_element_type=x.dtype,
+    )
+    return out + params["bias"]
+
+
+def init_discriminator_p(rng, period: int, kernel_size: int = 5,
+                         stride: int = 3):
+    keys = jax.random.split(rng, 6)
+    channels = [(1, 32), (32, 128), (128, 512), (512, 1024)]
+    convs = [
+        _init_wn_conv2d(keys[i], out_ch, in_ch, (kernel_size, 1))
+        for i, (in_ch, out_ch) in enumerate(channels)
+    ]
+    convs.append(_init_wn_conv2d(keys[4], 1024, 1024, (kernel_size, 1)))
+    return {
+        "period": StaticInt(period),
+        "kernel_size": StaticInt(kernel_size),
+        "stride": StaticInt(stride),
+        "convs": convs,
+        "conv_post": _init_wn_conv2d(keys[5], 1, 1024, (3, 1)),
+    }
+
+
+def discriminator_p(params, y: Array) -> Tuple[Array, List[Array]]:
+    """y [B, N] -> (flattened logits, feature maps)."""
+    period = params["period"]
+    kernel_size = params["kernel_size"]
+    stride = params["stride"]
+    pad = (kernel_size - 1) // 2
+
+    b, n = y.shape
+    if n % period != 0:
+        n_pad = period - (n % period)
+        y = jnp.pad(y, [(0, 0), (0, n_pad)], mode="reflect")
+        n += n_pad
+    x = y.reshape(b, n // period, period, 1)  # [B, H=t/p, W=p, C=1]
+
+    fmap = []
+    for i, conv in enumerate(params["convs"]):
+        s = (stride, 1) if i < len(params["convs"]) - 1 else (1, 1)
+        x = _conv2d(conv, x, stride=s, padding=((pad, pad), (0, 0)))
+        x = nn.leaky_relu(x, LRELU_SLOPE)
+        fmap.append(x)
+    x = _conv2d(params["conv_post"], x, padding=((1, 1), (0, 0)))
+    fmap.append(x)
+    return x.reshape(b, -1), fmap
+
+
+def init_discriminator_s(rng):
+    keys = jax.random.split(rng, 7)
+    specs = [  # (in, out, kernel, stride, groups, padding)
+        (1, 16, 15, 1, 1, 7),
+        (16, 64, 41, 4, 4, 20),
+        (64, 256, 41, 4, 16, 20),
+        (256, 1024, 41, 4, 64, 20),
+        (1024, 1024, 41, 4, 256, 20),
+        (1024, 1024, 5, 1, 1, 2),
+    ]
+    convs = []
+    for key, (in_ch, out_ch, k, s, groups, p) in zip(keys, specs):
+        conv = nn.init_wn_conv(key, out_ch, in_ch, k, groups=groups)
+        conv["stride"] = StaticInt(s)
+        conv["groups"] = StaticInt(groups)
+        conv["padding"] = StaticInt(p)
+        convs.append(conv)
+    return {
+        "convs": convs,
+        "conv_post": nn.init_wn_conv(keys[6], 1, 1024, 3),
+    }
+
+
+def discriminator_s(params, y: Array) -> Tuple[Array, List[Array]]:
+    x = y[..., None]  # [B, N, 1]
+    fmap = []
+    for conv in params["convs"]:
+        x = nn.conv1d(
+            x, nn.resolve_weight(conv), conv.get("bias"),
+            stride=conv["stride"], padding=conv["padding"],
+            groups=conv["groups"],
+        )
+        x = nn.leaky_relu(x, LRELU_SLOPE)
+        fmap.append(x)
+    x = nn.conv1d(x, nn.resolve_weight(params["conv_post"]),
+                  params["conv_post"].get("bias"), padding=1)
+    fmap.append(x)
+    return x.reshape(x.shape[0], -1), fmap
+
+
+def init_multi_period_discriminator(rng):
+    keys = jax.random.split(rng, len(PERIODS) + 1)
+    return {
+        "msd": init_discriminator_s(keys[0]),
+        "mpd": [
+            init_discriminator_p(keys[i + 1], p)
+            for i, p in enumerate(PERIODS)
+        ],
+    }
+
+
+def multi_period_discriminator(params, y: Array, y_hat: Array):
+    """Run all sub-discriminators on real and generated audio."""
+    y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+    out_r, fm_r = discriminator_s(params["msd"], y)
+    out_g, fm_g = discriminator_s(params["msd"], y_hat)
+    y_d_rs.append(out_r)
+    y_d_gs.append(out_g)
+    fmap_rs.append(fm_r)
+    fmap_gs.append(fm_g)
+    for sub in params["mpd"]:
+        out_r, fm_r = discriminator_p(sub, y)
+        out_g, fm_g = discriminator_p(sub, y_hat)
+        y_d_rs.append(out_r)
+        y_d_gs.append(out_g)
+        fmap_rs.append(fm_r)
+        fmap_gs.append(fm_g)
+    return y_d_rs, y_d_gs, fmap_rs, fmap_gs

@@ -13,6 +13,8 @@ import jax.numpy as jnp
 
 from phoonnx_tpu.models.vits import modules, nn
 
+from phoonnx_tpu.models.vits.statics import StaticInt
+
 Array = jax.Array
 
 
@@ -23,7 +25,7 @@ def init_stochastic_duration_predictor(rng, in_channels: int,
     # The reference overrides filter_channels with in_channels
     # (models.py:25); keep that so checkpoints line up.
     filter_channels = in_channels
-    params = {"filter_channels": filter_channels}
+    params = {"filter_channels": StaticInt(filter_channels)}
 
     rng, *keys = jax.random.split(rng, 16)
     it = iter(keys)
@@ -154,7 +156,7 @@ def init_duration_predictor(rng, in_channels: int, filter_channels: int,
                             kernel_size: int, gin_channels: int = 0):
     rng, k1, k2, k3, k4 = jax.random.split(rng, 5)
     params = {
-        "kernel_size": kernel_size,
+        "kernel_size": StaticInt(kernel_size),
         "conv_1": nn.init_conv(k1, filter_channels, in_channels, kernel_size),
         "norm_1": nn.init_layer_norm(filter_channels),
         "conv_2": nn.init_conv(k2, filter_channels, filter_channels,

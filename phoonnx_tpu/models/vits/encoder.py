@@ -8,6 +8,8 @@ import jax.numpy as jnp
 
 from phoonnx_tpu.models.vits import attention, nn
 
+from phoonnx_tpu.models.vits.statics import StaticInt
+
 Array = jax.Array
 
 
@@ -19,8 +21,8 @@ def init_text_encoder(rng, n_vocab: int, out_channels: int,
         k_emb, (n_vocab, hidden_channels), dtype=jnp.float32
     )
     return {
-        "hidden_channels": hidden_channels,
-        "out_channels": out_channels,
+        "hidden_channels": StaticInt(hidden_channels),
+        "out_channels": StaticInt(out_channels),
         "emb": {"weight": emb},
         "encoder": attention.init_encoder(
             k_enc, hidden_channels, filter_channels, n_heads, n_layers,

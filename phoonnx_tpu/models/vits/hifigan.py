@@ -12,6 +12,8 @@ import jax.numpy as jnp
 
 from phoonnx_tpu.models.vits import modules, nn
 
+from phoonnx_tpu.models.vits.statics import StaticInt, StaticStr, StaticTuple
+
 Array = jax.Array
 
 
@@ -23,10 +25,10 @@ def init_generator(rng, initial_channel: int, resblock: str,
                    upsample_kernel_sizes: Sequence[int],
                    gin_channels: int = 0):
     params = {
-        "resblock_type": resblock,
-        "num_kernels": len(resblock_kernel_sizes),
-        "upsample_rates": tuple(upsample_rates),
-        "upsample_kernel_sizes": tuple(upsample_kernel_sizes),
+        "resblock_type": StaticStr(resblock),
+        "num_kernels": StaticInt(len(resblock_kernel_sizes)),
+        "upsample_rates": StaticTuple(upsample_rates),
+        "upsample_kernel_sizes": StaticTuple(upsample_kernel_sizes),
     }
     rng, k_pre, k_post, k_cond = jax.random.split(rng, 4)
     params["conv_pre"] = nn.init_conv(k_pre, upsample_initial_channel,

@@ -188,6 +188,115 @@ def _check_shape(params, path, value, name) -> None:
         )
 
 
+def params_to_flat(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`params_from_flat`: pytree -> reference-named arrays.
+
+    Used by the exporter so phoonnx_tpu checkpoints are containers the
+    reference toolchain (and this importer) can read by name.
+    """
+    flat: Dict[str, np.ndarray] = {}
+
+    def emit(name: str, value) -> None:
+        if name.endswith((".m", ".logs")) and np.ndim(value) == 1:
+            value = np.asarray(value)[:, None]  # ElementwiseAffine [C]->[C,1]
+        flat[name] = np.asarray(value)
+
+    def walk_leaf_dict(prefix: str, node: Dict[str, Any]) -> None:
+        for key, value in node.items():
+            if isinstance(value, dict):
+                walk_leaf_dict(f"{prefix}.{key}", value)
+            elif isinstance(value, (list, tuple)):
+                for i, item in enumerate(value):
+                    walk_leaf_dict(f"{prefix}.{key}.{i}", item)
+            elif hasattr(value, "shape"):
+                emit(f"{prefix}.{key}", value)
+            # non-array metadata (ints/strs) is skipped
+
+    # enc_p
+    enc_p = params["enc_p"]
+    emit("enc_p.emb.weight", enc_p["emb"]["weight"])
+    for i, layer in enumerate(enc_p["encoder"]["layers"]):
+        for sub, ref in (("attn", "attn_layers"), ("ffn", "ffn_layers")):
+            walk_leaf_dict(f"enc_p.encoder.{ref}.{i}", layer[sub])
+        walk_leaf_dict(f"enc_p.encoder.norm_layers_1.{i}", layer["norm_1"])
+        walk_leaf_dict(f"enc_p.encoder.norm_layers_2.{i}", layer["norm_2"])
+    walk_leaf_dict("enc_p.proj", enc_p["proj"])
+
+    # dec
+    dec = params["dec"]
+    walk_leaf_dict("dec.conv_pre", dec["conv_pre"])
+    walk_leaf_dict("dec.conv_post", dec["conv_post"])
+    if "cond" in dec:
+        walk_leaf_dict("dec.cond", dec["cond"])
+    for i, up in enumerate(dec["ups"]):
+        walk_leaf_dict(f"dec.ups.{i}", up)
+    for j, block in enumerate(dec["resblocks"]):
+        for conv_list in ("convs", "convs1", "convs2"):
+            if conv_list in block:
+                for k, conv in enumerate(block[conv_list]):
+                    walk_leaf_dict(
+                        f"dec.resblocks.{j}.{conv_list}.{k}", conv
+                    )
+
+    # enc_q
+    enc_q = params["enc_q"]
+    walk_leaf_dict("enc_q.pre", enc_q["pre"])
+    walk_leaf_dict("enc_q.proj", enc_q["proj"])
+    _walk_wn("enc_q.enc", enc_q["enc"], walk_leaf_dict)
+
+    # flow (torch indices are 0,2,4,6 — odd slots are parameterless flips)
+    for i, layer in enumerate(params["flow"]["flows"]):
+        base = f"flow.flows.{2 * i}"
+        walk_leaf_dict(f"{base}.pre", layer["pre"])
+        walk_leaf_dict(f"{base}.post", layer["post"])
+        _walk_wn(f"{base}.enc", layer["enc"], walk_leaf_dict)
+
+    # dp
+    dp = params["dp"]
+    for head in ("pre", "proj", "post_pre", "post_proj", "cond",
+                 "conv_1", "conv_2", "norm_1", "norm_2"):
+        if head in dp:
+            walk_leaf_dict(f"dp.{head}", dp[head])
+    for head in ("convs", "post_convs"):
+        if head in dp:
+            _walk_dds(f"dp.{head}", dp[head], walk_leaf_dict)
+    for head in ("flows", "post_flows"):
+        if head not in dp:
+            continue
+        for my_idx, flow in enumerate(dp[head]):
+            if "ea" in flow:
+                emit(f"dp.{head}.0.m", flow["ea"]["m"])
+                emit(f"dp.{head}.0.logs", flow["ea"]["logs"])
+            else:
+                t_idx = 2 * my_idx - 1
+                cf = flow["cf"]
+                walk_leaf_dict(f"dp.{head}.{t_idx}.pre", cf["pre"])
+                walk_leaf_dict(f"dp.{head}.{t_idx}.proj", cf["proj"])
+                _walk_dds(f"dp.{head}.{t_idx}.convs", cf["convs"],
+                          walk_leaf_dict)
+
+    if "emb_g" in params:
+        emit("emb_g.weight", params["emb_g"]["weight"])
+    return flat
+
+
+def _walk_wn(prefix: str, wn_params: Dict[str, Any], walk) -> None:
+    for i, layer in enumerate(wn_params["in_layers"]):
+        walk(f"{prefix}.in_layers.{i}", layer)
+    for i, layer in enumerate(wn_params["res_skip_layers"]):
+        walk(f"{prefix}.res_skip_layers.{i}", layer)
+    if "cond_layer" in wn_params:
+        walk(f"{prefix}.cond_layer", wn_params["cond_layer"])
+
+
+def _walk_dds(prefix: str, dds_params: Dict[str, Any], walk) -> None:
+    sub_names = {"sep": "convs_sep", "pointwise": "convs_1x1",
+                 "norm1": "norms_1", "norm2": "norms_2"}
+    for i, layer in enumerate(dds_params["layers"]):
+        for mine, ref in sub_names.items():
+            walk(f"{prefix}.{ref}.{i}", layer[mine])
+
+
 def infer_hparams_from_flat(named: Mapping[str, np.ndarray],
                             **overrides) -> VitsHParams:
     """Deduce model hyperparameters from checkpoint tensor shapes.

@@ -16,6 +16,8 @@ from phoonnx_tpu.models.vits.transforms import (
     piecewise_rational_quadratic_transform,
 )
 
+from phoonnx_tpu.models.vits.statics import StaticFloat, StaticInt, StaticTuple
+
 Array = jax.Array
 
 
@@ -35,7 +37,7 @@ def init_dds_conv(rng, channels: int, kernel_size: int, n_layers: int):
             "norm1": nn.init_layer_norm(channels),
             "norm2": nn.init_layer_norm(channels),
         })
-    return {"layers": layers, "kernel_size": kernel_size}
+    return {"layers": layers, "kernel_size": StaticInt(kernel_size)}
 
 
 def dds_conv(params, x: Array, x_mask: Array, g: Optional[Array] = None,
@@ -68,8 +70,10 @@ def dds_conv(params, x: Array, x_mask: Array, g: Optional[Array] = None,
 
 def init_wn(rng, hidden: int, kernel_size: int, dilation_rate: int,
             n_layers: int, gin_channels: int = 0):
-    params = {"n_layers": n_layers, "kernel_size": kernel_size,
-              "dilation_rate": dilation_rate, "hidden": hidden}
+    params = {"n_layers": StaticInt(n_layers),
+              "kernel_size": StaticInt(kernel_size),
+              "dilation_rate": StaticInt(dilation_rate),
+              "hidden": StaticInt(hidden)}
     in_layers, res_skip_layers = [], []
     for i in range(n_layers):
         rng, k1, k2 = jax.random.split(rng, 3)
@@ -139,7 +143,8 @@ def init_resblock1(rng, channels: int, kernel_size: int, dilations):
         convs2.append(nn.init_wn_conv(k2, channels, channels, kernel_size,
                                       std=0.01))
     return {"convs1": convs1, "convs2": convs2,
-            "kernel_size": kernel_size, "dilations": tuple(dilations)}
+            "kernel_size": StaticInt(kernel_size),
+            "dilations": StaticTuple(dilations)}
 
 
 def resblock1(params, x: Array, x_mask: Optional[Array] = None) -> Array:
@@ -168,8 +173,8 @@ def init_resblock2(rng, channels: int, kernel_size: int, dilations):
         rng, k1 = jax.random.split(rng)
         convs.append(nn.init_wn_conv(k1, channels, channels, kernel_size,
                                      std=0.01))
-    return {"convs": convs, "kernel_size": kernel_size,
-            "dilations": tuple(dilations)}
+    return {"convs": convs, "kernel_size": StaticInt(kernel_size),
+            "dilations": StaticTuple(dilations)}
 
 
 def resblock2(params, x: Array, x_mask: Optional[Array] = None) -> Array:
@@ -231,7 +236,7 @@ def init_residual_coupling_layer(rng, channels: int, hidden: int,
     half = channels // 2
     rng, k_pre, k_wn = jax.random.split(rng, 3)
     return {
-        "half_channels": half,
+        "half_channels": StaticInt(half),
         "pre": nn.init_conv(k_pre, hidden, half, 1),
         "enc": init_wn(k_wn, hidden, kernel_size, dilation_rate, n_layers,
                        gin_channels=gin_channels),
@@ -268,10 +273,10 @@ def init_conv_flow(rng, in_channels: int, filter_channels: int,
     half = in_channels // 2
     rng, k_pre, k_dds = jax.random.split(rng, 3)
     return {
-        "half_channels": half,
-        "filter_channels": filter_channels,
-        "num_bins": num_bins,
-        "tail_bound": tail_bound,
+        "half_channels": StaticInt(half),
+        "filter_channels": StaticInt(filter_channels),
+        "num_bins": StaticInt(num_bins),
+        "tail_bound": StaticFloat(tail_bound),
         "pre": nn.init_conv(k_pre, filter_channels, half, 1),
         "convs": init_dds_conv(k_dds, filter_channels, kernel_size, n_layers),
         "proj": nn.init_zero_conv(half * (num_bins * 3 - 1), filter_channels),

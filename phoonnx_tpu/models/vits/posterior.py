@@ -10,6 +10,8 @@ import jax.numpy as jnp
 
 from phoonnx_tpu.models.vits import modules, nn
 
+from phoonnx_tpu.models.vits.statics import StaticInt
+
 Array = jax.Array
 
 
@@ -19,7 +21,7 @@ def init_posterior_encoder(rng, in_channels: int, out_channels: int,
                            gin_channels: int = 0):
     rng, k_pre, k_wn, k_proj = jax.random.split(rng, 4)
     return {
-        "out_channels": out_channels,
+        "out_channels": StaticInt(out_channels),
         "pre": nn.init_conv(k_pre, hidden_channels, in_channels, 1),
         "enc": modules.init_wn(k_wn, hidden_channels, kernel_size,
                                dilation_rate, n_layers,

@@ -1,0 +1,201 @@
+"""ONNX model reader: initializers, graph I/O names, nodes, metadata.
+
+Covers the subset of onnx.proto needed to import VITS voices exported by
+the reference (phoonnx_train/export_onnx.py: opset 15, initializers keep
+torch state_dict names, metadata_props carry voice config). Tensors decode
+to numpy arrays from either raw_data or the typed repeated fields.
+"""
+
+import struct
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from phoonnx_tpu.onnx import wire
+
+# onnx.TensorProto.DataType -> numpy dtype
+_DTYPES = {
+    1: np.float32,
+    2: np.uint8,
+    3: np.int8,
+    4: np.uint16,
+    5: np.int16,
+    6: np.int32,
+    7: np.int64,
+    9: np.bool_,
+    10: np.float16,
+    11: np.float64,
+    12: np.uint32,
+    13: np.uint64,
+}
+
+
+@dataclass
+class OnnxNode:
+    op_type: str
+    name: str
+    inputs: List[str]
+    outputs: List[str]
+
+
+@dataclass
+class OnnxModel:
+    initializers: Dict[str, np.ndarray]
+    metadata: Dict[str, str]
+    inputs: List[str]
+    outputs: List[str]
+    nodes: List[OnnxNode]
+    ir_version: int = 0
+    opset: int = 0
+    graph_name: str = ""
+
+
+def _parse_tensor(data: bytes) -> Tuple[str, np.ndarray]:
+    dims: List[int] = []
+    data_type = 1
+    name = ""
+    raw: Optional[bytes] = None
+    float_data: List[float] = []
+    int32_data: List[int] = []
+    int64_data: List[int] = []
+    double_data: List[float] = []
+
+    for field_number, wire_type, value in wire.iter_fields(data):
+        if field_number == 1:  # dims (packed or unpacked varints)
+            if wire_type == wire.WIRETYPE_LEN:
+                dims.extend(wire.decode_packed_varints(value))
+            else:
+                dims.append(value)
+        elif field_number == 2:
+            data_type = value
+        elif field_number == 8:
+            name = value.decode("utf-8")
+        elif field_number == 9:
+            raw = value
+        elif field_number == 4:  # float_data
+            if wire_type == wire.WIRETYPE_LEN:
+                float_data.extend(
+                    struct.unpack(f"<{len(value) // 4}f", value)
+                )
+            else:
+                float_data.append(struct.unpack("<f", struct.pack("<I", value))[0])
+        elif field_number == 5:  # int32_data
+            if wire_type == wire.WIRETYPE_LEN:
+                int32_data.extend(wire.decode_packed_varints(value))
+            else:
+                int32_data.append(value)
+        elif field_number == 7:  # int64_data
+            if wire_type == wire.WIRETYPE_LEN:
+                int64_data.extend(wire.decode_packed_varints(value))
+            else:
+                int64_data.append(value)
+        elif field_number == 10:  # double_data
+            if wire_type == wire.WIRETYPE_LEN:
+                double_data.extend(
+                    struct.unpack(f"<{len(value) // 8}d", value)
+                )
+
+    dtype = _DTYPES.get(data_type)
+    if dtype is None:
+        raise ValueError(f"unsupported tensor data_type {data_type} ({name})")
+
+    if raw is not None:
+        array = np.frombuffer(raw, dtype=dtype)
+    elif float_data:
+        array = np.asarray(float_data, dtype=dtype)
+    elif int64_data:
+        array = np.asarray(
+            [wire.zigzag_to_signed(v) for v in int64_data], dtype=dtype
+        )
+    elif int32_data:
+        array = np.asarray(
+            [wire.zigzag_to_signed(v, 32) for v in int32_data], dtype=dtype
+        )
+    elif double_data:
+        array = np.asarray(double_data, dtype=dtype)
+    else:
+        array = np.zeros(0, dtype=dtype)
+
+    return name, array.reshape(dims) if dims else array
+
+
+def _parse_value_info_name(data: bytes) -> str:
+    for field_number, _, value in wire.iter_fields(data):
+        if field_number == 1:
+            return value.decode("utf-8")
+    return ""
+
+
+def _parse_node(data: bytes) -> OnnxNode:
+    inputs: List[str] = []
+    outputs: List[str] = []
+    name = ""
+    op_type = ""
+    for field_number, _, value in wire.iter_fields(data):
+        if field_number == 1:
+            inputs.append(value.decode("utf-8"))
+        elif field_number == 2:
+            outputs.append(value.decode("utf-8"))
+        elif field_number == 3:
+            name = value.decode("utf-8")
+        elif field_number == 4:
+            op_type = value.decode("utf-8")
+    return OnnxNode(op_type=op_type, name=name, inputs=inputs, outputs=outputs)
+
+
+def _parse_string_entry(data: bytes) -> Tuple[str, str]:
+    key = value = ""
+    for field_number, _, raw in wire.iter_fields(data):
+        if field_number == 1:
+            key = raw.decode("utf-8")
+        elif field_number == 2:
+            value = raw.decode("utf-8")
+    return key, value
+
+
+def _parse_graph(data: bytes, model: OnnxModel) -> None:
+    for field_number, _, value in wire.iter_fields(data):
+        if field_number == 1:
+            model.nodes.append(_parse_node(value))
+        elif field_number == 2:
+            model.graph_name = value.decode("utf-8")
+        elif field_number == 5:
+            name, tensor = _parse_tensor(value)
+            model.initializers[name] = tensor
+        elif field_number == 11:
+            model.inputs.append(_parse_value_info_name(value))
+        elif field_number == 12:
+            model.outputs.append(_parse_value_info_name(value))
+
+
+def _parse_opset(data: bytes) -> int:
+    version = 0
+    for field_number, _, value in wire.iter_fields(data):
+        if field_number == 2:
+            version = value
+    return version
+
+
+def read_onnx(path: str) -> OnnxModel:
+    """Parse an .onnx file (weights + names + metadata, not execution)."""
+    with open(path, "rb") as f:
+        data = f.read()
+
+    model = OnnxModel(initializers={}, metadata={}, inputs=[], outputs=[],
+                      nodes=[])
+    for field_number, _, value in wire.iter_fields(data):
+        if field_number == 1:
+            model.ir_version = value
+        elif field_number == 7:
+            _parse_graph(value, model)
+        elif field_number == 8:
+            model.opset = max(model.opset, _parse_opset(value))
+        elif field_number == 14:
+            key, val = _parse_string_entry(value)
+            model.metadata[key] = val
+
+    # Graph inputs include initializers in some exporters; the true runtime
+    # inputs are those without an initializer.
+    model.inputs = [n for n in model.inputs if n not in model.initializers]
+    return model

@@ -1,0 +1,98 @@
+"""ONNX container writer: initializers + metadata (+ optional nodes).
+
+Used for exporting trained phoonnx_tpu weights in the reference's checkpoint
+container format (initializer names = state_dict names, metadata_props as in
+phoonnx_train/export_onnx.py:335-350) and for round-trip tests of the
+reader. Graph nodes are optional — a weights-only container is sufficient
+for phoonnx_tpu itself to reload a voice.
+"""
+
+from typing import Dict, List, Mapping, Optional, Sequence, Tuple
+
+import numpy as np
+
+from phoonnx_tpu.onnx import wire
+
+_NP_TO_ONNX = {
+    np.dtype(np.float32): 1,
+    np.dtype(np.uint8): 2,
+    np.dtype(np.int8): 3,
+    np.dtype(np.uint16): 4,
+    np.dtype(np.int16): 5,
+    np.dtype(np.int32): 6,
+    np.dtype(np.int64): 7,
+    np.dtype(np.bool_): 9,
+    np.dtype(np.float16): 10,
+    np.dtype(np.float64): 11,
+}
+
+
+def _encode_tensor(name: str, array: np.ndarray) -> bytes:
+    array = np.ascontiguousarray(array)
+    onnx_type = _NP_TO_ONNX.get(array.dtype)
+    if onnx_type is None:
+        raise ValueError(f"unsupported dtype {array.dtype} for {name}")
+    out = bytearray()
+    for dim in array.shape:
+        out += wire.encode_varint_field(1, dim)
+    out += wire.encode_varint_field(2, onnx_type)
+    out += wire.encode_len_field(8, name.encode("utf-8"))
+    out += wire.encode_len_field(9, array.tobytes())
+    return bytes(out)
+
+
+def _encode_value_info(name: str) -> bytes:
+    return wire.encode_string_field(1, name)
+
+
+def _encode_node(op_type: str, inputs: Sequence[str], outputs: Sequence[str],
+                 name: str = "") -> bytes:
+    out = bytearray()
+    for inp in inputs:
+        out += wire.encode_string_field(1, inp)
+    for outp in outputs:
+        out += wire.encode_string_field(2, outp)
+    if name:
+        out += wire.encode_string_field(3, name)
+    out += wire.encode_string_field(4, op_type)
+    return bytes(out)
+
+
+def write_onnx(
+    path: str,
+    initializers: Mapping[str, np.ndarray],
+    metadata: Optional[Mapping[str, str]] = None,
+    inputs: Sequence[str] = (),
+    outputs: Sequence[str] = (),
+    nodes: Sequence[Tuple[str, Sequence[str], Sequence[str]]] = (),
+    graph_name: str = "phoonnx_tpu",
+    opset: int = 15,
+    producer: str = "phoonnx_tpu",
+) -> None:
+    graph = bytearray()
+    for op_type, node_in, node_out in nodes:
+        graph += wire.encode_len_field(
+            1, _encode_node(op_type, node_in, node_out)
+        )
+    graph += wire.encode_string_field(2, graph_name)
+    for name, array in initializers.items():
+        graph += wire.encode_len_field(5, _encode_tensor(name, array))
+    for name in inputs:
+        graph += wire.encode_len_field(11, _encode_value_info(name))
+    for name in outputs:
+        graph += wire.encode_len_field(12, _encode_value_info(name))
+
+    opset_entry = wire.encode_varint_field(2, opset)
+
+    model = bytearray()
+    model += wire.encode_varint_field(1, 8)  # ir_version
+    model += wire.encode_string_field(2, producer)
+    model += wire.encode_len_field(7, bytes(graph))
+    model += wire.encode_len_field(8, opset_entry)
+    for key, value in (metadata or {}).items():
+        entry = (wire.encode_string_field(1, key)
+                 + wire.encode_string_field(2, value))
+        model += wire.encode_len_field(14, entry)
+
+    with open(path, "wb") as f:
+        f.write(bytes(model))

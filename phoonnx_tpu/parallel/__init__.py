@@ -1,0 +1,9 @@
+"""Device mesh + sharding for multi-chip TPU training/serving."""
+
+from phoonnx_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+    shard_train_state,
+)

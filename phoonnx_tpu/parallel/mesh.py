@@ -1,0 +1,62 @@
+"""Mesh construction and sharding rules.
+
+The reference's only multi-device story is Lightning's implicit DDP
+(phoonnx_train/train.py:85-92, no in-repo collective code). The TPU-native
+equivalent: a ``jax.sharding.Mesh`` with a ``data`` axis (and a ``model``
+axis reserved for tensor parallelism), batch-sharded inputs, replicated
+parameters, and XLA-generated gradient all-reduce over ICI. The model
+(~20-60M params) fits comfortably per chip, so DP over ICI is the whole
+story for training parity; the mesh carries a second axis so TP can be
+added without re-plumbing.
+
+Scaling shape: per-chip batch stays constant (weak scaling); gradients
+all-reduce over ICI; host->device feeding is per-process in multi-host
+runs (standard JAX distributed runtime, no custom backend).
+"""
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Mesh with (data, model) axes; defaults to all devices on data."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    if n_data * n_model != len(devices):
+        devices = devices[: n_data * n_model]
+    grid = np.array(devices).reshape(n_data, n_model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Place a host batch dict onto the mesh, sharded over batch dim."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(
+        lambda a: jax.device_put(a, sharding), batch
+    )
+
+
+def shard_train_state(mesh: Mesh, state: Any) -> Any:
+    """Replicate a train state across the mesh (DP: params everywhere)."""
+    rep = replicated(mesh)
+    return jax.tree.map(
+        lambda a: jax.device_put(a, rep) if hasattr(a, "shape") else a,
+        state,
+    )

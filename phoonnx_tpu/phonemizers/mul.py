@@ -1,0 +1,389 @@
+"""Multilingual phonemizers: espeak, ByT5/Charsiu (TPU), gruut, goruut,
+epitran, misaki, transphone.
+
+Rebuild of phoonnx/phonemizers/mul.py. External G2P libraries are optional
+imports; the espeak and cotovia engines remain host subprocesses (CPU string
+work, bit-identical requirement). The ByT5/Charsiu neural G2P runs on TPU
+via :mod:`phoonnx_tpu.models.byt5` instead of an onnxruntime decode loop.
+"""
+
+import json
+import logging
+import os
+import subprocess
+from typing import Dict, List, Optional
+
+from phoonnx_tpu.config import Alphabet
+from phoonnx_tpu.phonemizers.base import BasePhonemizer
+
+LOG = logging.getLogger(__name__)
+
+
+class EspeakError(Exception):
+    pass
+
+
+class EspeakPhonemizer(BasePhonemizer):
+    """IPA phonemization via the espeak-ng CLI (mul.py:291-382).
+
+    Host subprocess — espeak-ng is a C binary; keeping it external preserves
+    bit-identical phoneme strings with the reference.
+    """
+
+    ESPEAK_LANGS = [
+        'es-419', 'ca', 'qya', 'ga', 'et', 'ky', 'io', 'fa-latn', 'en-gb',
+        'fo', 'haw', 'kl', 'ta', 'ml', 'gd', 'sd', 'es', 'hy', 'ur', 'ro',
+        'hi', 'or', 'ti', 'ca-va', 'om', 'tr', 'pa', 'smj', 'mk', 'bg', 'cv',
+        'fr', 'fi', 'en-gb-x-rp', 'ru', 'mt', 'an', 'mr', 'pap', 'vi', 'id',
+        'fr-be', 'ltg', 'my', 'nl', 'shn', 'ba', 'az', 'cmn', 'da', 'as',
+        'sw', 'piqd', 'en-us', 'hr', 'it', 'ug', 'th', 'mi', 'cy', 'ru-lv',
+        'ia', 'tt', 'hu', 'xex', 'te', 'ne', 'eu', 'ja', 'bpy', 'hak', 'cs',
+        'en-gb-scotland', 'hyw', 'uk', 'pt', 'bn', 'mto', 'yue', 'be', 'gu',
+        'sv', 'sl', 'cmn-latn-pinyin', 'lfn', 'lv', 'fa', 'sjn', 'nog', 'ms',
+        'vi-vn-x-central', 'lt', 'kn', 'he', 'qu', 'ca-ba', 'quc', 'nb',
+        'sk', 'tn', 'py', 'si', 'de', 'ar', 'en-gb-x-gbcwmd', 'bs', 'qdb',
+        'sq', 'sr', 'tk', 'en-029', 'ht', 'ru-cl', 'af', 'pt-br', 'fr-ch',
+        'ka', 'en-gb-x-gbclan', 'ko', 'is', 'ca-nw', 'gn', 'kok', 'la',
+        'lb', 'am', 'kk', 'ku', 'kaa', 'jbo', 'eo', 'uz', 'nci',
+        'vi-vn-x-south', 'el', 'pl', 'grc',
+    ]
+
+    def __init__(self):
+        super().__init__(Alphabet.IPA)
+
+    @classmethod
+    def get_lang(cls, target_lang: str) -> str:
+        if target_lang.lower() == "en-gb":
+            return "en-gb-x-rp"  # RP accent, as the reference picks
+        if target_lang in cls.ESPEAK_LANGS:
+            return target_lang
+        if target_lang.lower().split("-")[0] in cls.ESPEAK_LANGS:
+            return target_lang.lower().split("-")[0]
+        return cls.match_lang(target_lang, cls.ESPEAK_LANGS)
+
+    @staticmethod
+    def _run(args: List[str], input_text: Optional[str] = None) -> str:
+        command = ["espeak-ng"] + args
+        try:
+            proc = subprocess.run(
+                command, input=input_text, capture_output=True, text=True,
+                check=True, encoding="utf-8", errors="replace",
+            )
+            return proc.stdout.strip()
+        except FileNotFoundError:
+            raise EspeakError(
+                "espeak-ng command not found; install espeak-ng and ensure "
+                "it is on PATH"
+            ) from None
+        except subprocess.CalledProcessError as exc:
+            raise EspeakError(
+                f"espeak-ng failed ({exc.returncode}): {exc.stderr}"
+            ) from None
+
+    def phonemize_string(self, text: str, lang: str) -> str:
+        lang = self.get_lang(lang)
+        return self._run(["-q", "-x", "--ipa", "-v", lang], input_text=text)
+
+
+class ByT5Phonemizer(BasePhonemizer):
+    """Byte-level T5 G2P running on TPU (mul.py:21-236).
+
+    The reference re-runs the entire ONNX decoder per generated token
+    (mul.py:201-230, up to 512 session.run calls per chunk). The TPU build
+    executes a jitted greedy decode with KV caching instead — see
+    phoonnx_tpu/models/byt5.py.
+    """
+
+    BYT5_LANGS = [
+        'ca-ES', 'cy-GB', 'da-DK', 'de-DE', 'en-GB', 'en-US', 'es-ES',
+        'et-EE', 'eu-ES', 'fa-IR', 'fr-FR', 'ga-IE', 'hr-HR', 'hu-HU',
+        'id-ID', 'is-IS', 'it-IT', 'ja-JP', 'ko-KR', 'nb-NO', 'nl-NL',
+        'pl-PL', 'pt-BR', 'pt-PT', 'qu-PE', 'ro-RO', 'sr-RS', 'sv-SE',
+        'tr-TR', 'yue-CN', 'zh-CN',
+    ]
+
+    DEFAULT_MODEL = "OpenVoiceOS/g2p-mbyt5-12l-ipa-childes-espeak-onnx"
+
+    def __init__(self, model: Optional[str] = None,
+                 tokenizer_config: Optional[str] = None):
+        super().__init__(Alphabet.IPA)
+        self.model_path = self._resolve_model(model)
+        self.tokenizer_config = tokenizer_config
+        self._engine = None
+        self._special_tokens: Dict[str, int] = {}
+        if tokenizer_config and os.path.exists(tokenizer_config):
+            with open(tokenizer_config, "r", encoding="utf-8") as f:
+                self._special_tokens = json.load(f).get(
+                    "added_tokens_decoder", {}
+                )
+
+    @staticmethod
+    def _resolve_model(model: Optional[str]) -> Optional[str]:
+        model = model or ByT5Phonemizer.DEFAULT_MODEL
+        if os.path.exists(model):
+            return model
+        data_path = os.path.expanduser("~/.local/share/phoonnx")
+        candidate = os.path.join(data_path, model)
+        if os.path.isdir(candidate):
+            for name in os.listdir(candidate):
+                if name.endswith(".onnx"):
+                    return os.path.join(candidate, name)
+        if os.path.exists(candidate):
+            return candidate
+        return model  # resolved lazily; engine load reports a clear error
+
+    @property
+    def engine(self):
+        if self._engine is None:
+            from phoonnx_tpu.models.byt5 import ByT5Engine
+
+            self._engine = ByT5Engine.from_onnx(self.model_path)
+        return self._engine
+
+    @classmethod
+    def get_lang(cls, target_lang: str) -> str:
+        return cls.match_lang(target_lang, cls.BYT5_LANGS)
+
+    @staticmethod
+    def encode_text(text: str, lang: str) -> List[int]:
+        """Byte-level ids: utf-8 bytes of '<lang>: text' shifted by 3
+        (pad/eos/unk occupy 0..2), mul.py:147-165."""
+        encoded = f"<{lang}>: {text}".encode("utf-8")
+        return [b + 3 for b in encoded]
+
+    def decode_phones(self, token_ids: List[int]) -> str:
+        """ids -> utf-8 phoneme string (ids-3), skipping special tokens."""
+        phone_bytes = [
+            bytes([token - 3]) for token in token_ids
+            if 3 <= token < 259 and str(token) not in self._special_tokens
+        ]
+        return b"".join(phone_bytes).decode("utf-8", errors="ignore")
+
+    def phonemize_string(self, text: str, lang: str) -> str:
+        if not text.strip():
+            return ""
+        lang = self.get_lang(lang)
+        ids = self.encode_text(text, lang)
+        generated = self.engine.greedy_decode(ids)
+        return self.decode_phones(generated)
+
+
+class CharsiuPhonemizer(ByT5Phonemizer):
+    """CharsiuG2P variant of ByT5; decodes word-by-word because the model
+    cannot handle whitespace (mul.py:239-288)."""
+
+    CHARSIU_LANGS = [
+        'ady', 'afr', 'sqi', 'amh', 'ara', 'arg', 'hye-e', 'hye-w', 'aze',
+        'bak', 'eus', 'bel', 'ben', 'bos', 'bul', 'mya', 'cat', 'yue', 'zho-s',
+        'zho-t', 'hrv', 'ces', 'dan', 'dsb', 'nld', 'eng-uk', 'eng-us', 'epo',
+        'est', 'fin', 'fra', 'fra-qu', 'gla', 'gle', 'glg', 'kat', 'deu',
+        'ell', 'grc', 'grn', 'guj', 'hat', 'heb', 'hin', 'hun', 'isl', 'ind',
+        'ina', 'ita', 'jam', 'jpn', 'kaz', 'khm', 'kor', 'kur', 'kir', 'lat-clas',
+        'lat-eccl', 'lav', 'lit', 'ltz', 'mkd', 'msa', 'mal', 'mlt', 'mri',
+        'mar', 'enm', 'nob', 'ori', 'gaz', 'pap', 'fas', 'pol', 'por-bz',
+        'por-po', 'ron', 'rus', 'san', 'srp', 'hbs-latn', 'hbs-cyrl', 'snd',
+        'slk', 'slv', 'spa', 'spa-latin', 'spa-me', 'swa', 'swe', 'tgl',
+        'tam', 'tat', 'tha', 'tur', 'tuk', 'ukr', 'urd', 'uig', 'vie-n',
+        'vie-c', 'vie-s', 'wel-nw', 'wel-sw',
+    ]
+
+    @classmethod
+    def get_lang(cls, target_lang: str) -> str:
+        return cls.match_lang(target_lang, cls.CHARSIU_LANGS)
+
+    def phonemize_string(self, text: str, lang: str) -> str:
+        if not text.strip():
+            return ""
+        lang = self.get_lang(lang)
+        phones: List[str] = []
+        for word in text.split():
+            ids = ByT5Phonemizer.encode_text(word, lang)
+            phones.append(self.decode_phones(self.engine.greedy_decode(ids)))
+        return " ".join(phones)
+
+
+class GruutPhonemizer(BasePhonemizer):
+    """gruut-library IPA phonemizer (mul.py:385-436)."""
+
+    GRUUT_LANGS = ["en", "ar", "ca", "cs", "de", "es", "fa", "fr", "it",
+                   "lb", "nl", "pt", "ru", "sv", "sw"]
+
+    def __init__(self):
+        super().__init__(Alphabet.IPA)
+
+    @classmethod
+    def get_lang(cls, target_lang: str) -> str:
+        return cls.match_lang(target_lang, cls.GRUUT_LANGS)
+
+    def phonemize_string(self, text: str, lang: str) -> str:
+        import gruut
+
+        lang = self.get_lang(lang)
+        out = ""
+        for sentence in gruut.sentences(text, lang=lang):
+            sent_phonemes = [w.phonemes for w in sentence if w.phonemes]
+            if sentence and not sent_phonemes:
+                raise RuntimeError(f"did you install gruut[{lang}] ?")
+            if sentence.text.endswith("?"):
+                sent_phonemes[-1] = ["?"]
+            elif sentence.text.endswith("!"):
+                sent_phonemes[-1] = ["!"]
+            elif sentence.text.endswith(".") or sent_phonemes[-1] == ["‖"]:
+                sent_phonemes[-1] = ["."]
+            if sent_phonemes:
+                out += " ".join("".join(w) for w in sent_phonemes) + " "
+        return out.strip()
+
+
+class GoruutPhonemizer(BasePhonemizer):
+    """pygoruut IPA phonemizer with an optional remote API (mul.py:439-617)."""
+
+    GORUUT_LANGS = [
+        "af", "sq", "am", "ar", "an", "hy", "as", "az", "ba", "eu", "be",
+        "bn", "bs", "bg", "my", "ca", "zh", "cs", "da", "nl", "en", "eo",
+        "et", "fa", "fi", "fr", "gl", "ka", "de", "el", "gu", "ha", "he",
+        "hi", "hu", "is", "id", "ga", "it", "ja", "jv", "kn", "kk", "km",
+        "ko", "ku", "ky", "lo", "la", "lv", "lt", "lb", "mk", "ms", "ml",
+        "mt", "mr", "mn", "ne", "no", "or", "ps", "pl", "pt", "pa", "ro",
+        "ru", "sr", "sd", "si", "sk", "sl", "es", "sw", "sv", "ta", "te",
+        "th", "tr", "uk", "ur", "uz", "vi", "cy", "yo", "zu",
+    ]
+
+    def __init__(self, remote_url: Optional[str] = None):
+        super().__init__(Alphabet.IPA)
+        self.remote_url = remote_url
+        self._pygoruut = None
+
+    @property
+    def pygoruut(self):
+        if self._pygoruut is None:
+            from pygoruut.pygoruut import Pygoruut
+
+            self._pygoruut = Pygoruut()
+        return self._pygoruut
+
+    @classmethod
+    def get_lang(cls, target_lang: str) -> str:
+        return cls.match_lang(target_lang, cls.GORUUT_LANGS)
+
+    def phonemize_string(self, text: str, lang: str) -> str:
+        lang = self.get_lang(lang)
+        response = self.pygoruut.phonemize(language=lang, sentence=text)
+        return " ".join(w.Phonetic for w in response.Words)
+
+
+class EpitranPhonemizer(BasePhonemizer):
+    """epitran transliteration-based phonemizer (mul.py:620-672)."""
+
+    EPITRAN_LANGS = [
+        'aar-Latn', 'amh-Ethi', 'ara-Arab', 'aze-Cyrl', 'aze-Latn',
+        'ben-Beng', 'cat-Latn', 'ceb-Latn', 'ces-Latn', 'cmn-Hans',
+        'cmn-Hant', 'ckb-Arab', 'deu-Latn', 'eng-Latn', 'epo-Latn',
+        'est-Latn', 'eus-Latn', 'fas-Arab', 'fra-Latn', 'ful-Latn',
+        'gan-Latn', 'glg-Latn', 'hau-Latn', 'hin-Deva', 'hun-Latn',
+        'ind-Latn', 'ita-Latn', 'jav-Latn', 'jpn-Hrgn', 'jpn-Ktkn',
+        'kaz-Cyrl', 'kin-Latn', 'kir-Cyrl', 'kor-Hang', 'lao-Laoo',
+        'lij-Latn', 'lit-Latn', 'mal-Mlym', 'mar-Deva', 'mlt-Latn',
+        'mon-Cyrl', 'mri-Latn', 'msa-Latn', 'mya-Mymr', 'nld-Latn',
+        'nya-Latn', 'ori-Orya', 'orm-Latn', 'pan-Guru', 'pol-Latn',
+        'por-Latn', 'ron-Latn', 'rus-Cyrl', 'sin-Sinh', 'sna-Latn',
+        'som-Latn', 'spa-Latn', 'sqi-Latn', 'srp-Latn', 'swa-Latn',
+        'swe-Latn', 'tam-Taml', 'tel-Telu', 'tgk-Cyrl', 'tgl-Latn',
+        'tha-Thai', 'tir-Ethi', 'tuk-Latn', 'tur-Latn', 'ukr-Cyrl',
+        'urd-Arab', 'uzb-Latn', 'vie-Latn', 'xho-Latn', 'yor-Latn',
+        'zul-Latn',
+    ]
+
+    def __init__(self):
+        super().__init__(Alphabet.IPA)
+        self._cache = {}
+
+    @classmethod
+    def get_lang(cls, target_lang: str) -> str:
+        base = target_lang.split("-")[0].lower()
+        for code in cls.EPITRAN_LANGS:
+            if code.lower().startswith(base):
+                return code
+        return cls.match_lang(
+            target_lang, [c.split("-")[0] for c in cls.EPITRAN_LANGS]
+        )
+
+    def phonemize_string(self, text: str, lang: str) -> str:
+        import epitran
+
+        lang = self.get_lang(lang)
+        if lang not in self._cache:
+            self._cache[lang] = epitran.Epitran(lang)
+        return self._cache[lang].transliterate(text)
+
+
+class MisakiPhonemizer(BasePhonemizer):
+    """misaki G2P (kokoro's phonemizer; mul.py:675-740)."""
+
+    MISAKI_LANGS = ["en-US", "en-GB", "ko", "ja", "vi", "zh"]
+
+    def __init__(self):
+        super().__init__(Alphabet.IPA)
+        self._g2p = {}
+
+    @classmethod
+    def get_lang(cls, target_lang: str) -> str:
+        return cls.match_lang(target_lang, cls.MISAKI_LANGS)
+
+    def _get_g2p(self, lang: str):
+        if lang not in self._g2p:
+            if lang.startswith("en"):
+                from misaki import en
+
+                self._g2p[lang] = en.G2P(british="GB" in lang)
+            elif lang == "ja":
+                from misaki import ja
+
+                self._g2p[lang] = ja.JAG2P()
+            elif lang == "ko":
+                from misaki import ko
+
+                self._g2p[lang] = ko.KOG2P()
+            elif lang == "vi":
+                from misaki import vi
+
+                self._g2p[lang] = vi.VIG2P()
+            elif lang == "zh":
+                from misaki import zh
+
+                self._g2p[lang] = zh.ZHG2P()
+        return self._g2p[lang]
+
+    def phonemize_string(self, text: str, lang: str) -> str:
+        lang = self.get_lang(lang)
+        phonemes, _tokens = self._get_g2p(lang)(text)
+        return phonemes
+
+
+class TransphonePhonemizer(BasePhonemizer):
+    """transphone zero-shot G2P (mul.py:743-1352).
+
+    The reference hardcodes transphone's 7546-language Glottolog inventory;
+    we query the installed library instead and fall back to accepting the
+    base tag (transphone's read_tokenizer resolves unknown tags itself).
+    """
+
+    def __init__(self):
+        super().__init__(Alphabet.IPA)
+        self._tokenizer = None
+
+    @property
+    def tokenizer(self):
+        if self._tokenizer is None:
+            from transphone import read_tokenizer
+
+            self._tokenizer = read_tokenizer("g2p")
+        return self._tokenizer
+
+    def get_lang(self, target_lang: str) -> str:
+        return target_lang.split("-")[0].lower()
+
+    def phonemize_string(self, text: str, lang: str) -> str:
+        lang = self.get_lang(lang)
+        tokens = self.tokenizer.tokenize(text, lang)
+        return "".join(tokens).replace("<SPACE>", " ")

@@ -1,0 +1,173 @@
+"""Fused VITS GAN training step (generator + discriminator updates).
+
+Equivalent of the reference Lightning module's two-optimizer alternation
+(phoonnx_train/vits/lightning.py:196-280), fused into one jitted SPMD
+program: the generator forward runs once; the discriminator update uses the
+stop-gradiented fake audio (identical semantics to Lightning's "optimizer 1
+reuses cached y/y_hat"). Under a sharded mesh, GSPMD inserts the gradient
+all-reduce over the data axis automatically.
+"""
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from phoonnx_tpu.models.vits import discriminator as disc
+from phoonnx_tpu.models.vits import model as vits_model
+from phoonnx_tpu.models.vits.model import VitsHParams
+from phoonnx_tpu.ops import stft
+from phoonnx_tpu.train import losses
+
+Array = jax.Array
+
+
+class TrainConfig(NamedTuple):
+    """Optimization hyperparameters (lightning.py:60-73)."""
+
+    learning_rate: float = 2e-4
+    betas: Tuple[float, float] = (0.8, 0.99)
+    eps: float = 1e-9
+    lr_decay: float = 0.999875  # per epoch
+    steps_per_epoch: int = 1000
+    c_mel: float = 45.0
+    c_kl: float = 1.0
+    grad_clip: Optional[float] = None
+
+
+class TrainState(NamedTuple):
+    params_g: Any
+    params_d: Any
+    opt_g: optax.OptState
+    opt_d: optax.OptState
+    step: Array
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """AdamW with the reference's exponential per-epoch decay."""
+    schedule = optax.exponential_decay(
+        init_value=cfg.learning_rate,
+        transition_steps=cfg.steps_per_epoch,
+        decay_rate=cfg.lr_decay,
+        staircase=True,
+    )
+    chain = []
+    if cfg.grad_clip is not None:
+        chain.append(optax.clip(cfg.grad_clip))
+    chain.append(
+        optax.adamw(schedule, b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps)
+    )
+    return optax.chain(*chain)
+
+
+def init_train_state(rng: Array, hp: VitsHParams,
+                     cfg: TrainConfig) -> TrainState:
+    rng_g, rng_d = jax.random.split(rng)
+    params_g = vits_model.random_params(rng_g, hp)
+    params_d = disc.init_multi_period_discriminator(rng_d)
+    optimizer = make_optimizer(cfg)
+    return TrainState(
+        params_g=params_g,
+        params_d=params_d,
+        opt_g=optimizer.init(params_g),
+        opt_d=optimizer.init(params_d),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def _mel(y: Array, hp: VitsHParams) -> Array:
+    return stft.mel_spectrogram(
+        y, hp.filter_length, hp.mel_channels, hp.sample_rate,
+        hp.hop_length, hp.win_length,
+    )
+
+
+def train_step(state: TrainState, batch: Dict[str, Array], rng: Array,
+               hp: VitsHParams, cfg: TrainConfig
+               ) -> Tuple[TrainState, Dict[str, Array]]:
+    """One fused G+D update.
+
+    batch: phoneme_ids [B,T_x] int32, phoneme_lengths [B], spec [B,T_y,C],
+    spec_lengths [B], audio [B, N] (N >= T_y*hop), sid [B] (optional).
+    """
+    optimizer = make_optimizer(cfg)
+    segment_samples = hp.segment_size * hp.hop_length
+
+    def generator_loss_fn(params_g, params_d):
+        out = vits_model.train_forward(
+            params_g, hp, rng,
+            batch["phoneme_ids"], batch["phoneme_lengths"],
+            batch["spec"], batch["spec_lengths"],
+            sid=batch.get("sid"),
+        )
+        y_hat = out["audio"]  # [B, segment_samples]
+        y = vits_model.slice_audio_segments(
+            batch["audio"], out["ids_slice"], segment_samples, hp.hop_length
+        )
+
+        mel_hat = _mel(y_hat, hp)
+        mel_real = _mel(y, hp)
+        loss_mel = jnp.mean(jnp.abs(mel_real - mel_hat)) * cfg.c_mel
+
+        loss_kl = losses.kl_loss(
+            out["z_p"], out["logs_q"], out["m_p"], out["logs_p"],
+            out["y_mask"],
+        ) * cfg.c_kl
+        loss_dur = jnp.sum(out["l_length"])
+
+        _, y_d_gs, fmap_rs, fmap_gs = disc.multi_period_discriminator(
+            params_d, y, y_hat
+        )
+        loss_fm = losses.feature_loss(fmap_rs, fmap_gs)
+        loss_gen, _ = losses.generator_loss(y_d_gs)
+
+        total = loss_gen + loss_fm + loss_mel + loss_dur + loss_kl
+        aux = {
+            "loss_gen_all": total,
+            "loss_mel": loss_mel,
+            "loss_kl": loss_kl,
+            "loss_dur": loss_dur,
+            "loss_fm": loss_fm,
+            "loss_gen": loss_gen,
+            "y": y,
+            "y_hat": y_hat,
+        }
+        return total, aux
+
+    (loss_g, aux), grads_g = jax.value_and_grad(
+        generator_loss_fn, has_aux=True
+    )(state.params_g, state.params_d)
+
+    def discriminator_loss_fn(params_d):
+        y_hat = jax.lax.stop_gradient(aux["y_hat"])
+        y = jax.lax.stop_gradient(aux["y"])
+        y_d_rs, y_d_gs, _, _ = disc.multi_period_discriminator(
+            params_d, y, y_hat
+        )
+        loss_d, _, _ = losses.discriminator_loss(y_d_rs, y_d_gs)
+        return loss_d
+
+    loss_d, grads_d = jax.value_and_grad(discriminator_loss_fn)(
+        state.params_d
+    )
+
+    updates_g, opt_g = optimizer.update(grads_g, state.opt_g, state.params_g)
+    params_g = optax.apply_updates(state.params_g, updates_g)
+    updates_d, opt_d = optimizer.update(grads_d, state.opt_d, state.params_d)
+    params_d = optax.apply_updates(state.params_d, updates_d)
+
+    metrics = {
+        "loss_gen_all": aux["loss_gen_all"],
+        "loss_disc_all": loss_d,
+        "loss_mel": aux["loss_mel"],
+        "loss_kl": aux["loss_kl"],
+        "loss_dur": aux["loss_dur"],
+        "loss_fm": aux["loss_fm"],
+    }
+    new_state = TrainState(
+        params_g=params_g, params_d=params_d,
+        opt_g=opt_g, opt_d=opt_d, step=state.step + 1,
+    )
+    return new_state, metrics

@@ -1,0 +1,315 @@
+"""Public inference API: TTSVoice / AudioChunk / PhoneticSpellings.
+
+Mirrors the reference surface (phoonnx/voice.py): ``TTSVoice.load`` accepts
+the same ``model.onnx`` + ``config.json`` voices, ``synthesize`` yields one
+:class:`AudioChunk` per sentence, ``synthesize_wav`` streams into a wave
+writer. The onnxruntime session is replaced by the bucketed XLA engine
+(:class:`phoonnx_tpu.infer.VitsEngine`).
+
+Documented divergence: the reference's ``phonemize`` duplicates every
+sentence via ``phonemes.extend(phonemes)`` (voice.py:206) and loses raw
+``[[...]]`` blocks by rebinding; this implementation does what that code
+clearly intends (accumulate sentences, preserve inline phoneme blocks).
+"""
+
+import json
+import logging
+import os
+import re
+import wave
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, Iterable, List, Optional, Union
+
+import numpy as np
+
+from phoonnx_tpu.config import (
+    PhonemeType,
+    SynthesisConfig,
+    VoiceConfig,
+    get_phonemizer,
+)
+from phoonnx_tpu.langtags import closest_match
+from phoonnx_tpu.phoneme_ids import phonemes_to_ids
+from phoonnx_tpu.phonemizers.base import PhonemizedChunks
+
+LOG = logging.getLogger(__name__)
+
+_PHONEME_BLOCK_PATTERN = re.compile(r"(\[\[.*?\]\])")
+_LOCALE_PATH = os.path.join(os.path.dirname(__file__), "locale")
+
+
+@dataclass
+class PhoneticSpellings:
+    """Per-language word -> spelling overrides (voice.py:29-58)."""
+
+    replacements: Dict[str, str] = field(default_factory=dict)
+
+    @staticmethod
+    def from_lang(lang: str, locale_path: str = _LOCALE_PATH
+                  ) -> "PhoneticSpellings":
+        langs = os.listdir(locale_path)
+        best, distance = closest_match(lang, langs)
+        if distance <= 10:
+            return PhoneticSpellings.from_path(
+                os.path.join(locale_path, best, "phonetic_spellings.txt")
+            )
+        raise FileNotFoundError(f"Spellings file for '{lang}' not found")
+
+    @staticmethod
+    def from_path(spellings_file: str) -> "PhoneticSpellings":
+        replacements = {}
+        with open(spellings_file, encoding="utf-8") as f:
+            for line in f.read().split("\n"):
+                if ":" not in line:
+                    continue
+                word, spelling = line.split(":", 1)
+                replacements[word.strip()] = spelling.strip()
+        return PhoneticSpellings(replacements)
+
+    def apply(self, text: str) -> str:
+        for word, spelling in self.replacements.items():
+            pattern = r"\b" + re.escape(word) + r"\b"
+            text = re.sub(pattern, spelling, text, flags=re.IGNORECASE)
+        return text
+
+
+@dataclass
+class AudioChunk:
+    """Raw audio chunk: float32 [-1, 1] + lazy int16 (voice.py:61-102)."""
+
+    sample_rate: int
+    sample_width: int
+    sample_channels: int
+    audio_float_array: np.ndarray
+
+    _audio_int16_array: Optional[np.ndarray] = None
+    _MAX_WAV_VALUE: float = 32767.0
+
+    @property
+    def audio_int16_array(self) -> np.ndarray:
+        if self._audio_int16_array is None:
+            self._audio_int16_array = np.clip(
+                self.audio_float_array * self._MAX_WAV_VALUE,
+                -self._MAX_WAV_VALUE, self._MAX_WAV_VALUE,
+            ).astype(np.int16)
+        return self._audio_int16_array
+
+    @property
+    def audio_int16_bytes(self) -> bytes:
+        return self.audio_int16_array.tobytes()
+
+
+@dataclass
+class TTSVoice:
+    """A loaded voice: compiled synthesis engine + linguistic front-end."""
+
+    engine: "VitsEngine"
+    config: VoiceConfig
+    phonetic_spellings: Optional[PhoneticSpellings] = None
+    phonemizer: Optional["Phonemizer"] = None
+
+    def __post_init__(self):
+        try:
+            self.phonetic_spellings = PhoneticSpellings.from_lang(
+                self.config.lang_code
+            )
+        except (FileNotFoundError, OSError):
+            pass
+        if self.phonemizer is None:
+            self.phonemizer = get_phonemizer(
+                self.config.phoneme_type,
+                self.config.alphabet,
+                self.config.phonemizer_model,
+            )
+
+    # ------------------------------------------------------------------
+    # Loading
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def load(
+        model_path: Union[str, Path],
+        config_path: Optional[Union[str, Path]] = None,
+        phonemes_txt: Optional[str] = None,
+        phoneme_map: Optional[str] = None,
+        lang_code: Optional[str] = None,
+        phoneme_type_str: Optional[str] = None,
+        dtype: str = "float32",
+        use_cuda: bool = False,  # accepted for API compat; TPU build ignores
+    ) -> "TTSVoice":
+        """Load an ONNX voice (reference recipe) onto the TPU engine.
+
+        The .onnx file provides the weights (initializers keep the trainer's
+        state_dict names, export_onnx.py:318-327); config.json provides the
+        front-end settings. Weights import by name into the JAX pytree.
+        """
+        from phoonnx_tpu.infer.engine import VitsEngine
+        from phoonnx_tpu.models.vits.load import (
+            infer_hparams_from_flat,
+            params_from_flat,
+        )
+        from phoonnx_tpu.onnx.reader import read_onnx
+
+        if config_path is None:
+            config_path = f"{model_path}.json"
+            LOG.debug("Guessing voice config path: %s", config_path)
+
+        with open(config_path, "r", encoding="utf-8") as config_file:
+            config_dict = json.load(config_file)
+
+        config = VoiceConfig.from_dict(
+            config_dict, phonemes_txt=phonemes_txt, lang_code=lang_code,
+            phoneme_type_str=phoneme_type_str,
+        )
+
+        onnx_model = read_onnx(str(model_path))
+        named = onnx_model.initializers
+        hp = infer_hparams_from_flat(
+            named, sample_rate=config.sample_rate,
+        )
+        params = params_from_flat(named, hp, strict=False)
+        engine = VitsEngine(params, hp, dtype=dtype)
+        return TTSVoice(engine=engine, config=config)
+
+    # ------------------------------------------------------------------
+    # Front-end
+    # ------------------------------------------------------------------
+
+    def phonemize(self, text: str) -> PhonemizedChunks:
+        """Text to per-sentence phoneme lists, honoring inline ``[[...]]``
+        raw phoneme blocks (voice.py:174-212)."""
+        phonemes: PhonemizedChunks = []
+        text_parts = _PHONEME_BLOCK_PATTERN.split(text)
+
+        for i, part in enumerate(text_parts):
+            if part.startswith("[["):
+                if not phonemes:
+                    phonemes.append([])
+                if i > 0 and text_parts[i - 1].endswith(" "):
+                    phonemes[-1].append(" ")
+                phonemes[-1].extend(list(part[2:-2].strip()))
+                if i < len(text_parts) - 1 and text_parts[i + 1].startswith(" "):
+                    phonemes[-1].append(" ")
+                continue
+            if not part.strip():
+                continue
+            phonemes.extend(
+                self.phonemizer.phonemize(part, self.config.lang_code)
+            )
+
+        if phonemes and not phonemes[-1]:
+            phonemes.pop()
+        return phonemes
+
+    def phonemes_to_ids(self, phonemes: List[str]) -> List[int]:
+        if self.config.phoneme_id_map is None:
+            raise ValueError("voice config has no phoneme_id_map")
+        from phoonnx_tpu.phoneme_ids import BlankBetween
+
+        return phonemes_to_ids(
+            phonemes, self.config.phoneme_id_map,
+            blank_token=self.config.blank_token,
+            bos_token=self.config.bos_token,
+            eos_token=self.config.eos_token,
+            word_sep_token=self.config.word_sep_token,
+            include_whitespace=self.config.include_whitespace,
+            blank_at_start=self.config.blank_at_start,
+            blank_at_end=self.config.blank_at_end,
+            blank_between=BlankBetween.TOKENS_AND_WORDS,
+        )
+
+    # ------------------------------------------------------------------
+    # Synthesis
+    # ------------------------------------------------------------------
+
+    def synthesize(
+        self, text: str, syn_config: Optional[SynthesisConfig] = None,
+    ) -> Iterable[AudioChunk]:
+        """Yield one audio chunk per sentence (voice.py:234-289)."""
+        if syn_config is None:
+            syn_config = SynthesisConfig()
+
+        if self.phonetic_spellings and syn_config.enable_phonetic_spellings:
+            text = self.phonetic_spellings.apply(text)
+
+        if syn_config.add_diacritics:
+            text = self.phonemizer.add_diacritics(text, self.config.lang_code)
+
+        sentence_phonemes = self.phonemize(text)
+        LOG.debug("phonemes=%s", sentence_phonemes)
+
+        for phonemes in sentence_phonemes:
+            if not phonemes:
+                continue
+            phoneme_ids = self.phonemes_to_ids(phonemes)
+            if not phoneme_ids:
+                continue
+
+            audio = self.phoneme_ids_to_audio(phoneme_ids, syn_config)
+
+            if syn_config.normalize_audio:
+                max_val = np.max(np.abs(audio))
+                audio = (np.zeros_like(audio) if max_val < 1e-8
+                         else audio / max_val)
+            if syn_config.volume != 1.0:
+                audio = audio * syn_config.volume
+            audio = np.clip(audio, -1.0, 1.0).astype(np.float32)
+
+            yield AudioChunk(
+                sample_rate=self.config.sample_rate,
+                sample_width=2,
+                sample_channels=1,
+                audio_float_array=audio,
+            )
+
+    def synthesize_wav(
+        self,
+        text: str,
+        wav_file: wave.Wave_write,
+        syn_config: Optional[SynthesisConfig] = None,
+        set_wav_format: bool = True,
+    ) -> None:
+        """Synthesize text into an open wave writer (voice.py:291-326)."""
+        sentence_silence = 0.0
+        silence_bytes = bytes(
+            int(self.config.sample_rate * sentence_silence * 2)
+        )
+        first_chunk = True
+        for chunk in self.synthesize(text, syn_config=syn_config):
+            if first_chunk:
+                if set_wav_format:
+                    wav_file.setframerate(chunk.sample_rate)
+                    wav_file.setsampwidth(chunk.sample_width)
+                    wav_file.setnchannels(chunk.sample_channels)
+                first_chunk = False
+            else:
+                wav_file.writeframes(silence_bytes)
+            wav_file.writeframes(chunk.audio_int16_bytes)
+
+    def phoneme_ids_to_audio(
+        self, phoneme_ids: List[int],
+        syn_config: Optional[SynthesisConfig] = None,
+    ) -> np.ndarray:
+        """Run the VITS engine on one id sequence (voice.py:328-379)."""
+        if syn_config is None:
+            syn_config = SynthesisConfig()
+
+        length_scale = syn_config.length_scale
+        noise_scale = syn_config.noise_scale
+        noise_w = syn_config.noise_w_scale
+        if length_scale is None:
+            length_scale = self.config.length_scale
+        if noise_scale is None:
+            noise_scale = self.config.noise_scale
+        if noise_w is None:
+            noise_w = self.config.noise_w_scale
+
+        return self.engine.synthesize_ids(
+            phoneme_ids,
+            noise_scale=float(noise_scale),
+            length_scale=float(length_scale),
+            noise_w=float(noise_w),
+            speaker_id=syn_config.speaker_id or 0,
+            seed=syn_config.seed,
+        )

@@ -1,0 +1,119 @@
+"""Training step tests: loss math, one fused update, 8-device DP mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from phoonnx_tpu.models.vits.model import VitsHParams
+from phoonnx_tpu.parallel import make_mesh, shard_batch, shard_train_state
+from phoonnx_tpu.train.step import (
+    TrainConfig,
+    init_train_state,
+    train_step,
+)
+
+TRAIN_HP = VitsHParams(
+    n_vocab=40,
+    spec_channels=65,
+    segment_size=16,  # frames
+    inter_channels=32,
+    hidden_channels=32,
+    filter_channels=64,
+    n_heads=2,
+    n_layers=1,
+    resblock="2",
+    resblock_kernel_sizes=(3,),
+    resblock_dilation_sizes=((1, 2),),
+    upsample_rates=(4, 4),
+    upsample_initial_channel=32,
+    upsample_kernel_sizes=(8, 8),
+    filter_length=128,
+    hop_length=16,
+    win_length=128,
+    mel_channels=20,
+    sample_rate=16000,
+)
+
+
+def make_batch(batch_size=2, t_x=12, t_y=40):
+    rng = np.random.default_rng(0)
+    hop = TRAIN_HP.hop_length
+    return {
+        "phoneme_ids": jnp.asarray(
+            rng.integers(1, TRAIN_HP.n_vocab, (batch_size, t_x)), jnp.int32
+        ),
+        "phoneme_lengths": jnp.asarray(
+            [t_x - (i % 4) for i in range(batch_size)], jnp.int32
+        ),
+        "spec": jnp.asarray(
+            rng.standard_normal(
+                (batch_size, t_y, TRAIN_HP.spec_channels)
+            ).astype(np.float32) ** 2
+        ),
+        "spec_lengths": jnp.asarray(
+            [t_y - 3 * (i % 3) for i in range(batch_size)], jnp.int32
+        ),
+        "audio": jnp.asarray(
+            (rng.standard_normal((batch_size, t_y * hop)) * 0.1
+             ).astype(np.float32)
+        ),
+    }
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return TrainConfig(steps_per_epoch=10)
+
+
+def test_single_step_updates_params(cfg):
+    state = init_train_state(jax.random.PRNGKey(0), TRAIN_HP, cfg)
+    batch = make_batch()
+    new_state, metrics = train_step(
+        state, batch, jax.random.PRNGKey(1), TRAIN_HP, cfg
+    )
+    for key in ("loss_gen_all", "loss_disc_all", "loss_mel", "loss_kl",
+                "loss_dur", "loss_fm"):
+        value = float(metrics[key])
+        assert np.isfinite(value), key
+    assert int(new_state.step) == 1
+    # generator weights moved
+    before = state.params_g["enc_p"]["emb"]["weight"]
+    after = new_state.params_g["enc_p"]["emb"]["weight"]
+    assert np.abs(np.asarray(after - before)).max() > 0
+    # discriminator weights moved
+    before_d = state.params_d["msd"]["convs"][0]["weight_v"]
+    after_d = new_state.params_d["msd"]["convs"][0]["weight_v"]
+    assert np.abs(np.asarray(after_d - before_d)).max() > 0
+
+
+def test_jitted_step_runs_twice(cfg):
+    from functools import partial
+
+    step = jax.jit(partial(train_step, hp=TRAIN_HP, cfg=cfg))
+    state = init_train_state(jax.random.PRNGKey(0), TRAIN_HP, cfg)
+    batch = make_batch()
+    state, m1 = step(state, batch, jax.random.PRNGKey(1))
+    state, m2 = step(state, batch, jax.random.PRNGKey(2))
+    assert int(state.step) == 2
+    assert np.isfinite(float(m2["loss_gen_all"]))
+
+
+def test_dp_mesh_8_devices(cfg):
+    """Full train step sharded over an 8-device data-parallel mesh."""
+    from functools import partial
+
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    mesh = make_mesh()
+    state = init_train_state(jax.random.PRNGKey(0), TRAIN_HP, cfg)
+    state = shard_train_state(mesh, state)
+    batch = shard_batch(mesh, make_batch(batch_size=8))
+
+    step = jax.jit(partial(train_step, hp=TRAIN_HP, cfg=cfg))
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss_gen_all"]))
+    assert np.isfinite(float(metrics["loss_disc_all"]))
+    # params remain replicated (same value everywhere)
+    emb = new_state.params_g["enc_p"]["emb"]["weight"]
+    assert emb.sharding.is_fully_replicated

@@ -1,0 +1,142 @@
+"""End-to-end: ONNX container round-trip + TTSVoice synthesis to WAV."""
+
+import io
+import json
+import wave
+
+import numpy as np
+import pytest
+
+import jax
+
+from phoonnx_tpu.models.vits.load import (
+    infer_hparams_from_flat,
+    params_from_flat,
+    params_to_flat,
+)
+from phoonnx_tpu.models.vits.model import VitsHParams, random_params
+from phoonnx_tpu.onnx.reader import read_onnx
+from phoonnx_tpu.onnx.writer import write_onnx
+
+SMALL_HP = VitsHParams(
+    n_vocab=64,
+    spec_channels=65,
+    inter_channels=32,
+    hidden_channels=32,
+    filter_channels=64,
+    n_heads=2,
+    n_layers=1,
+    resblock="2",
+    resblock_kernel_sizes=(3,),
+    resblock_dilation_sizes=((1, 2),),
+    upsample_rates=(4, 4),
+    upsample_initial_channel=32,
+    upsample_kernel_sizes=(8, 8),
+)
+
+
+@pytest.fixture(scope="module")
+def voice_files(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("voice")
+    params = random_params(jax.random.PRNGKey(0), SMALL_HP)
+    flat = params_to_flat(params)
+    model_path = tmp / "model.onnx"
+    write_onnx(
+        str(model_path),
+        {k: np.asarray(v) for k, v in flat.items()},
+        metadata={"model_type": "vits", "sample_rate": "22050"},
+        inputs=["input", "input_lengths", "scales"],
+        outputs=["output"],
+    )
+    id_map = {"_": 0, "^": 1, "$": 2, " ": 3}
+    id_map.update({c: i + 4 for i, c in enumerate("abcdefghijklmnop")})
+    config = {
+        "phoneme_type": "raw",
+        "lang_code": "en",
+        "alphabet": "ipa",
+        "phoneme_id_map": id_map,
+        "num_symbols": len(id_map),
+        "num_speakers": 1,
+        "audio": {"sample_rate": 22050},
+        "inference": {"noise_scale": 0.667, "length_scale": 1.0,
+                      "noise_w": 0.8},
+    }
+    config_path = tmp / "model.onnx.json"
+    config_path.write_text(json.dumps(config), encoding="utf-8")
+    return model_path, config_path, params, flat
+
+
+def test_onnx_roundtrip(voice_files):
+    model_path, _, _, flat = voice_files
+    model = read_onnx(str(model_path))
+    assert model.opset == 15
+    assert model.metadata["model_type"] == "vits"
+    assert model.inputs == ["input", "input_lengths", "scales"]
+    assert set(model.initializers) == set(flat)
+    for name, want in flat.items():
+        got = model.initializers[name]
+        assert got.dtype == np.asarray(want).dtype
+        np.testing.assert_array_equal(got, np.asarray(want))
+
+
+def test_flat_roundtrip_through_importer(voice_files):
+    _, _, params, flat = voice_files
+    hp = infer_hparams_from_flat(flat)
+    assert hp.n_vocab == SMALL_HP.n_vocab
+    assert hp.hidden_channels == SMALL_HP.hidden_channels
+    assert hp.upsample_rates == SMALL_HP.upsample_rates
+    assert hp.resblock == SMALL_HP.resblock
+    rebuilt = params_from_flat(flat, hp, strict=True)
+    # every exported leaf must equal the original
+    flat2 = params_to_flat(rebuilt)
+    assert set(flat2) == set(flat)
+    for name in flat:
+        np.testing.assert_array_equal(flat[name], flat2[name])
+
+
+def test_ttsvoice_load_and_synthesize(voice_files):
+    from phoonnx_tpu import SynthesisConfig, TTSVoice
+
+    model_path, config_path, _, _ = voice_files
+    voice = TTSVoice.load(str(model_path), str(config_path))
+    assert voice.config.sample_rate == 22050
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wav_file:
+        voice.synthesize_wav(
+            "[[abc def]]", wav_file,
+            SynthesisConfig(seed=1234),
+        )
+    buf.seek(0)
+    with wave.open(buf, "rb") as wav_file:
+        assert wav_file.getframerate() == 22050
+        assert wav_file.getnchannels() == 1
+        frames = wav_file.getnframes()
+        assert frames > 0
+        pcm = np.frombuffer(wav_file.readframes(frames), np.int16)
+    assert np.abs(pcm).max() > 0  # non-silent (normalized random voice)
+
+
+def test_ttsvoice_deterministic_seed(voice_files):
+    from phoonnx_tpu import SynthesisConfig, TTSVoice
+
+    model_path, config_path, _, _ = voice_files
+    voice = TTSVoice.load(str(model_path), str(config_path))
+    cfg = SynthesisConfig(seed=7)
+    audio1 = voice.phoneme_ids_to_audio([1, 0, 4, 5, 6, 0, 2], cfg)
+    audio2 = voice.phoneme_ids_to_audio([1, 0, 4, 5, 6, 0, 2], cfg)
+    np.testing.assert_array_equal(audio1, audio2)
+
+
+def test_engine_bucketing(voice_files):
+    _, _, params, _ = voice_files
+    from phoonnx_tpu.infer.engine import VitsEngine
+
+    engine = VitsEngine(params, SMALL_HP, text_buckets=(8, 16),
+                        frame_buckets=(32, 64, 128))
+    short = engine.synthesize_ids([1, 4, 5], seed=0)
+    longer = engine.synthesize_ids([1, 4, 5, 6, 7, 8, 9, 10, 11, 12], seed=0)
+    assert short.ndim == 1 and longer.ndim == 1
+    # trimmed to true frame counts * upsample factor
+    assert len(short) % SMALL_HP.total_upsample == 0
+    assert len(longer) % SMALL_HP.total_upsample == 0
