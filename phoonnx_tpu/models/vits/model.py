@@ -60,9 +60,30 @@ class VitsHParams:
 
     @staticmethod
     def preset(quality: str = "medium", **overrides) -> "VitsHParams":
-        """'x-low' | 'medium' | 'high' presets (train.py:106-120)."""
+        """'x-low' | 'medium' | 'high' presets (train.py:106-120), plus a
+        'micro' preset for smoke tests and CI."""
         hp = VitsHParams()
-        if quality == "x-low":
+        if quality == "micro":
+            hp = replace(
+                hp,
+                spec_channels=65,
+                segment_size=16,
+                inter_channels=32,
+                hidden_channels=32,
+                filter_channels=64,
+                n_layers=1,
+                resblock_kernel_sizes=(3,),
+                resblock_dilation_sizes=((1, 2),),
+                upsample_rates=(4, 4),
+                upsample_initial_channel=32,
+                upsample_kernel_sizes=(8, 8),
+                filter_length=128,
+                hop_length=16,
+                win_length=128,
+                mel_channels=20,
+                sample_rate=16000,
+            )
+        elif quality == "x-low":
             hp = replace(hp, hidden_channels=96, inter_channels=96,
                          filter_channels=384)
         elif quality == "high":

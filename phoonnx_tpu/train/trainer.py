@@ -1,0 +1,186 @@
+"""Training CLI: VITS + GAN on TPU with periodic checkpointing.
+
+Equivalent of phoonnx_train/train.py + the Lightning module
+(phoonnx_train/vits/lightning.py): quality presets, AdamW x2 with
+exponential decay, G/D alternation (fused step), periodic checkpoints,
+validation loss, resume, and single->multi-speaker warm start.
+
+Usage:
+    python -m phoonnx_tpu.train.trainer --dataset-dir out/ --quality medium \
+        --batch-size 16 --max-epochs 1000
+"""
+
+import json
+import logging
+import time
+from functools import partial
+from pathlib import Path
+from typing import Optional
+
+import click
+import jax
+import numpy as np
+
+from phoonnx_tpu.models.vits.model import VitsHParams
+from phoonnx_tpu.train import checkpoint as ckpt
+from phoonnx_tpu.train.dataset import (
+    BucketedLoader,
+    load_dataset,
+    train_val_split,
+)
+from phoonnx_tpu.train.step import TrainConfig, init_train_state, train_step
+
+LOG = logging.getLogger("trainer")
+
+
+def build_hparams(config: dict, quality: str) -> VitsHParams:
+    """Model hyperparameters from a dataset config.json + quality preset."""
+    num_speakers = config.get("num_speakers", 1)
+    hp = VitsHParams.preset(
+        quality,
+        n_vocab=config["num_symbols"],
+        sample_rate=config.get("audio", {}).get("sample_rate", 22050),
+        n_speakers=num_speakers,
+        # Lightning defaults gin to 512 for multi-speaker (lightning.py:81-83)
+        gin_channels=512 if num_speakers > 1 else 0,
+    )
+    return hp
+
+
+def evaluate(state, loader: BucketedLoader, rng, hp, cfg,
+             max_batches: int = 8) -> float:
+    """Mean generator loss over validation batches (no updates)."""
+    from phoonnx_tpu.train.step import train_step as _step
+
+    total, count = 0.0, 0
+    for i, batch in enumerate(loader.epoch()):
+        if i >= max_batches:
+            break
+        _, metrics = _step(state, batch, jax.random.fold_in(rng, i), hp, cfg)
+        total += float(metrics["loss_gen_all"]) + float(
+            metrics["loss_disc_all"]
+        )
+        count += 1
+    return total / max(count, 1)
+
+
+def run_training(
+    dataset_dir: str,
+    quality: str = "medium",
+    batch_size: int = 16,
+    max_epochs: int = 1000,
+    checkpoint_epochs: int = 1,
+    validation_split: float = 0.1,
+    num_test_examples: int = 5,
+    max_phoneme_ids: Optional[int] = None,
+    learning_rate: float = 2e-4,
+    grad_clip: Optional[float] = None,
+    seed: int = 1234,
+    resume_from_checkpoint: Optional[str] = None,
+    resume_from_single_speaker: Optional[str] = None,
+    log_every: int = 50,
+) -> None:
+    dataset_path = Path(dataset_dir)
+    with open(dataset_path / "config.json", encoding="utf-8") as f:
+        config = json.load(f)
+    hp = build_hparams(config, quality)
+    is_multispeaker = hp.n_speakers > 1
+
+    utterances = load_dataset(
+        [dataset_path / "dataset.jsonl"], max_phoneme_ids=max_phoneme_ids
+    )
+    train_utts, val_utts, _test_utts = train_val_split(
+        utterances, validation_split, num_test_examples, seed=seed
+    )
+    LOG.info("train=%d val=%d", len(train_utts), len(val_utts))
+
+    make_loader = partial(
+        BucketedLoader,
+        batch_size=batch_size,
+        segment_size_frames=hp.segment_size,
+        hop_length=hp.hop_length,
+        is_multispeaker=is_multispeaker,
+        seed=seed,
+    )
+    train_loader = make_loader(train_utts)
+    val_loader = make_loader(val_utts) if val_utts else None
+
+    cfg = TrainConfig(
+        learning_rate=learning_rate,
+        steps_per_epoch=max(len(train_loader), 1),
+        grad_clip=grad_clip,
+    )
+    state = init_train_state(jax.random.PRNGKey(seed), hp, cfg)
+
+    ckpt_dir = dataset_path / "checkpoints"
+    if resume_from_checkpoint:
+        state = ckpt.restore(resume_from_checkpoint, state)
+        LOG.info("Resumed from %s at step %d", resume_from_checkpoint,
+                 int(state.step))
+    elif resume_from_single_speaker:
+        # Warm start: import generator weights, dropping speaker-conditioning
+        # layers that do not exist in the single-speaker checkpoint
+        # (phoonnx_train/train.py:131-144).
+        state = state._replace(params_g=ckpt.load_generator_warm_start(
+            resume_from_single_speaker, hp, state.params_g
+        ))
+        LOG.info("Warm-started generator from %s", resume_from_single_speaker)
+
+    step_fn = jax.jit(partial(train_step, hp=hp, cfg=cfg),
+                      donate_argnums=(0,))
+    rng = jax.random.PRNGKey(seed + 1)
+
+    for epoch in range(max_epochs):
+        epoch_start = time.time()
+        for batch in train_loader.epoch():
+            rng, sub = jax.random.split(rng)
+            state, metrics = step_fn(state, batch, sub)
+            step = int(state.step)
+            if step % log_every == 0:
+                LOG.info(
+                    "epoch %d step %d loss_g=%.3f loss_d=%.3f mel=%.3f "
+                    "kl=%.3f dur=%.3f",
+                    epoch, step,
+                    float(metrics["loss_gen_all"]),
+                    float(metrics["loss_disc_all"]),
+                    float(metrics["loss_mel"]),
+                    float(metrics["loss_kl"]),
+                    float(metrics["loss_dur"]),
+                )
+        LOG.info("epoch %d done in %.1fs", epoch, time.time() - epoch_start)
+
+        if val_loader is not None:
+            val_loss = evaluate(state, val_loader, jax.random.PRNGKey(0),
+                                hp, cfg)
+            LOG.info("epoch %d val_loss=%.3f", epoch, val_loss)
+
+        if (epoch + 1) % checkpoint_epochs == 0:
+            path = ckpt.save(str(ckpt_dir), state, hp, config)
+            LOG.info("saved checkpoint: %s", path)
+
+
+@click.command(context_settings={"help_option_names": ["-h", "--help"]})
+@click.option("--dataset-dir", required=True)
+@click.option("--quality", default="medium",
+              type=click.Choice(["micro", "x-low", "medium", "high"]))
+@click.option("--batch-size", default=16, type=int)
+@click.option("--max-epochs", default=1000, type=int)
+@click.option("--checkpoint-epochs", default=1, type=int)
+@click.option("--validation-split", default=0.1, type=float)
+@click.option("--num-test-examples", default=5, type=int)
+@click.option("--max-phoneme-ids", default=None, type=int)
+@click.option("--learning-rate", default=2e-4, type=float)
+@click.option("--grad-clip", default=None, type=float)
+@click.option("--seed", default=1234, type=int)
+@click.option("--resume-from-checkpoint", default=None)
+@click.option("--resume-from-single-speaker-checkpoint",
+              "resume_from_single_speaker", default=None)
+@click.option("--debug", is_flag=True)
+def main(**kwargs) -> None:
+    debug = kwargs.pop("debug", False)
+    logging.basicConfig(level=logging.DEBUG if debug else logging.INFO)
+    run_training(**kwargs)
+
+
+if __name__ == "__main__":
+    main()

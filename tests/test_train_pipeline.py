@@ -1,0 +1,142 @@
+"""Integration: preprocess -> dataset -> train -> checkpoint -> export -> load.
+
+Uses the 'micro' model preset and a tiny synthetic corpus so the whole loop
+runs in CI without audio assets or espeak.
+"""
+
+import json
+import math
+import wave
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """Synthetic LJSpeech-style corpus: 6 sine-tone WAVs + metadata."""
+    root = tmp_path_factory.mktemp("corpus")
+    wav_dir = root / "wavs"
+    wav_dir.mkdir()
+    texts = ["hello world", "testing one two", "the quick brown fox",
+             "jumped over", "a lazy dog", "goodbye now"]
+    sr = 16000
+    rng = np.random.default_rng(0)
+    lines = []
+    for i, text in enumerate(texts):
+        t = np.arange(int(sr * 0.5)) / sr
+        freq = 150 + 40 * i
+        audio = (0.4 * np.sin(2 * math.pi * freq * t)
+                 + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
+        pcm = (np.clip(audio, -1, 1) * 32767).astype(np.int16)
+        with wave.open(str(wav_dir / f"utt{i}.wav"), "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(sr)
+            f.writeframes(pcm.tobytes())
+        lines.append(f"utt{i}|{text}")
+    (root / "metadata.csv").write_text("\n".join(lines), encoding="utf-8")
+    return root
+
+
+@pytest.fixture(scope="module")
+def preprocessed(corpus, tmp_path_factory):
+    from phoonnx_tpu.train.preprocess import run_preprocess
+
+    out = tmp_path_factory.mktemp("dataset")
+    run_preprocess(
+        input_dir=str(corpus),
+        output_dir=str(out),
+        language="en",
+        phoneme_type="graphemes",
+        alphabet="unicode",
+        sample_rate=16000,
+        max_workers=2,
+        single_speaker=True,
+        n_fft=128, hop_length=16, win_length=128,
+    )
+    return out
+
+
+def test_preprocess_outputs(preprocessed):
+    config = json.loads((preprocessed / "config.json").read_text())
+    assert config["num_speakers"] == 1
+    assert config["phoneme_type"] == "graphemes"
+    assert config["audio"]["sample_rate"] == 16000
+    id_map = config["phoneme_id_map"]
+    assert id_map["_"] == 0 and id_map["^"] == 1 and id_map["$"] == 2
+
+    lines = (preprocessed / "dataset.jsonl").read_text().strip().split("\n")
+    assert len(lines) == 6
+    utt = json.loads(lines[0])
+    assert utt["phoneme_ids"]
+    assert Path(utt["audio_norm_path"]).exists()
+    assert Path(utt["audio_spec_path"]).exists()
+    spec = np.load(utt["audio_spec_path"])
+    assert spec.shape[1] == 65  # n_fft 128 -> 65 bins
+    audio = np.load(utt["audio_norm_path"])
+    assert audio.ndim == 1 and len(audio) > 0
+
+
+@pytest.mark.slow
+def test_train_export_load_roundtrip(preprocessed, tmp_path):
+    """One real training step on the micro model, checkpoint, export, and
+    reload through the public TTSVoice API."""
+    from phoonnx_tpu.models.vits.model import VitsHParams
+    from phoonnx_tpu.train import checkpoint as ckpt
+    from phoonnx_tpu.train.dataset import BucketedLoader, load_dataset
+    from phoonnx_tpu.train.export import run_export
+    from phoonnx_tpu.train.step import (
+        TrainConfig,
+        init_train_state,
+        train_step,
+    )
+
+    config = json.loads((preprocessed / "config.json").read_text())
+    hp = VitsHParams.preset(
+        "micro", n_vocab=config["num_symbols"], sample_rate=16000,
+    )
+    utterances = load_dataset([preprocessed / "dataset.jsonl"])
+    loader = BucketedLoader(
+        utterances, batch_size=2, segment_size_frames=hp.segment_size,
+        hop_length=hp.hop_length, spec_pad_multiple=32,
+    )
+    cfg = TrainConfig(steps_per_epoch=3)
+    state = init_train_state(jax.random.PRNGKey(0), hp, cfg)
+
+    batch = next(iter(loader.epoch()))
+    state, metrics = train_step(state, batch, jax.random.PRNGKey(1), hp, cfg)
+    assert np.isfinite(float(metrics["loss_gen_all"]))
+
+    # checkpoint round trip
+    ckpt_path = ckpt.save(str(tmp_path / "ckpts"), state, hp, config)
+    restored = ckpt.restore(ckpt_path, state)
+    np.testing.assert_array_equal(
+        np.asarray(restored.params_g["enc_p"]["emb"]["weight"]),
+        np.asarray(state.params_g["enc_p"]["emb"]["weight"]),
+    )
+
+    # export + reload through the public API
+    model_path = run_export(
+        checkpoint=ckpt_path,
+        config_path=str(preprocessed / "config.json"),
+        output_dir=str(tmp_path / "exported"),
+        quality="micro",
+        generate_tokens=True,
+        piper=True,
+    )
+    assert model_path.exists()
+    assert (model_path.parent / f"{Path(ckpt_path).name}.tokens.txt").exists()
+    assert (model_path.parent / f"{Path(ckpt_path).name}.piper.json").exists()
+
+    from phoonnx_tpu import SynthesisConfig, TTSVoice
+
+    voice = TTSVoice.load(str(model_path))
+    audio = voice.phoneme_ids_to_audio(
+        [1, 0, 5, 6, 7, 0, 2], SynthesisConfig(seed=0)
+    )
+    assert audio.ndim == 1 and len(audio) > 0
+    assert np.isfinite(audio).all()
