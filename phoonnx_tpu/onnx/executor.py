@@ -1,0 +1,480 @@
+"""Generic ONNX graph executor (numpy) for auxiliary models.
+
+Executes the op subset used by the ecosystem's small ONNX models — the
+tashkeel diacritizer, silero VAD (LSTM), ByT5/Charsiu G2P exports, and
+mimic3/coqui voices — replacing the reference's onnxruntime dependency for
+everything that is not the main VITS path (which runs natively on TPU).
+
+Host-side eager numpy: these models are tiny and latency-bound, not
+throughput-bound. Unsupported ops raise with the op name so coverage gaps
+are explicit.
+"""
+
+import logging
+import math
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from phoonnx_tpu.onnx.reader import OnnxModel, OnnxNode
+
+LOG = logging.getLogger(__name__)
+
+_DTYPE_BY_ONNX = {
+    1: np.float32, 2: np.uint8, 3: np.int8, 4: np.uint16, 5: np.int16,
+    6: np.int32, 7: np.int64, 9: np.bool_, 10: np.float16, 11: np.float64,
+    12: np.uint32, 13: np.uint64,
+}
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+class OnnxExecutor:
+    """Interpret an OnnxModel graph."""
+
+    def __init__(self, model: OnnxModel):
+        self.model = model
+        self.initializers = dict(model.initializers)
+
+    def run(self, feeds: Dict[str, np.ndarray],
+            outputs: Optional[Sequence[str]] = None) -> List[np.ndarray]:
+        env: Dict[str, Any] = dict(self.initializers)
+        env.update({k: np.asarray(v) for k, v in feeds.items()})
+        env[""] = None  # optional (empty-name) inputs
+
+        for node in self.model.nodes:
+            handler = _OPS.get(node.op_type)
+            if handler is None:
+                raise NotImplementedError(
+                    f"ONNX op '{node.op_type}' not supported "
+                    f"(node {node.name})"
+                )
+            args = [env.get(name) for name in node.inputs]
+            result = handler(node, *args)
+            if not isinstance(result, tuple):
+                result = (result,)
+            for out_name, value in zip(node.outputs, result):
+                if out_name:
+                    env[out_name] = value
+
+        wanted = outputs or self.model.outputs
+        return [env[name] for name in wanted]
+
+
+# ---------------------------------------------------------------------------
+# Op implementations
+# ---------------------------------------------------------------------------
+
+
+def _attr(node: OnnxNode, name: str, default=None):
+    return node.attributes.get(name, default)
+
+
+def _axes_arg(node, axes_input, attr_name="axes"):
+    if axes_input is not None:
+        return tuple(int(a) for a in np.asarray(axes_input).reshape(-1))
+    axes = _attr(node, attr_name)
+    if axes is None:
+        return None
+    if isinstance(axes, int):
+        return (axes,)
+    return tuple(int(a) for a in axes)
+
+
+def _op_binary(fn):
+    def handler(node, a, b):
+        return fn(a, b)
+
+    return handler
+
+
+def _op_unary(fn):
+    def handler(node, x):
+        return fn(x)
+
+    return handler
+
+
+def _op_gemm(node, a, b, c=None):
+    alpha = _attr(node, "alpha", 1.0)
+    beta = _attr(node, "beta", 1.0)
+    if _attr(node, "transA", 0):
+        a = a.T
+    if _attr(node, "transB", 0):
+        b = b.T
+    out = alpha * (a @ b)
+    if c is not None:
+        out = out + beta * c
+    return out.astype(np.float32)
+
+
+def _op_conv(node, x, w, b=None):
+    """Conv 1D/2D via im2col-free direct loops on small tensors."""
+    group = _attr(node, "group", 1)
+    spatial = x.ndim - 2
+    strides = tuple(_attr(node, "strides", [1] * spatial))
+    dilations = tuple(_attr(node, "dilations", [1] * spatial))
+    pads = _attr(node, "pads")
+    auto_pad = _attr(node, "auto_pad", "NOTSET")
+    kernel = w.shape[2:]
+    if pads is None:
+        if auto_pad in ("SAME_UPPER", "SAME_LOWER"):
+            pads = []
+            for k, d in zip(kernel, dilations):
+                total = d * (k - 1)
+                pads.append(total // 2)
+            pads = pads + [
+                d * (k - 1) - p
+                for k, d, p in zip(kernel, dilations, pads)
+            ]
+        else:
+            pads = [0] * (2 * spatial)
+    pads = list(pads)
+
+    import jax
+    import jax.numpy as jnp
+
+    dims = ("NCH", "OIH", "NCH") if spatial == 1 else ("NCHW", "OIHW", "NCHW")
+    pad_pairs = [(pads[i], pads[i + spatial]) for i in range(spatial)]
+    out = jax.lax.conv_general_dilated(
+        jnp.asarray(x, jnp.float32), jnp.asarray(w, jnp.float32),
+        window_strides=strides, padding=pad_pairs, rhs_dilation=dilations,
+        dimension_numbers=dims, feature_group_count=group,
+    )
+    out = np.asarray(out)
+    if b is not None:
+        out = out + b.reshape((1, -1) + (1,) * spatial)
+    return out.astype(np.float32)
+
+
+def _op_reshape(node, data, shape):
+    shape = [int(s) for s in np.asarray(shape).reshape(-1)]
+    out_shape = []
+    for i, s in enumerate(shape):
+        out_shape.append(data.shape[i] if s == 0 else s)
+    return np.reshape(data, out_shape)
+
+
+def _op_slice(node, data, starts=None, ends=None, axes=None, steps=None):
+    if starts is None:  # opset < 10: attributes
+        starts = _attr(node, "starts")
+        ends = _attr(node, "ends")
+        axes = _attr(node, "axes")
+        steps = None
+    starts = [int(v) for v in np.asarray(starts).reshape(-1)]
+    ends = [int(v) for v in np.asarray(ends).reshape(-1)]
+    if axes is None:
+        axes = list(range(len(starts)))
+    else:
+        axes = [int(v) for v in np.asarray(axes).reshape(-1)]
+    if steps is None:
+        steps = [1] * len(starts)
+    else:
+        steps = [int(v) for v in np.asarray(steps).reshape(-1)]
+    slices = [slice(None)] * data.ndim
+    for start, end, axis, step in zip(starts, ends, axes, steps):
+        slices[axis] = slice(start, end, step)
+    return data[tuple(slices)]
+
+
+def _op_lstm(node, x, w, r, b=None, seq_lens=None, h0=None, c0=None, p=None):
+    """Single-direction LSTM, gates iofc (ONNX spec), layout [T, B, I]."""
+    hidden = int(_attr(node, "hidden_size"))
+    direction = _attr(node, "direction", "forward")
+    num_dir = w.shape[0]
+    t_len, batch, _ = x.shape
+
+    def run_dir(d, reverse):
+        wd, rd = w[d], r[d]
+        bd = b[d] if b is not None else np.zeros(8 * hidden, np.float32)
+        wb, rb = bd[:4 * hidden], bd[4 * hidden:]
+        h = (h0[d] if h0 is not None else
+             np.zeros((batch, hidden), np.float32))
+        c = (c0[d] if c0 is not None else
+             np.zeros((batch, hidden), np.float32))
+        outs = []
+        time_range = range(t_len - 1, -1, -1) if reverse else range(t_len)
+        for t in time_range:
+            gates = x[t] @ wd.T + wb + h @ rd.T + rb
+            i = _sigmoid(gates[:, :hidden])
+            o = _sigmoid(gates[:, hidden:2 * hidden])
+            f = _sigmoid(gates[:, 2 * hidden:3 * hidden])
+            g = np.tanh(gates[:, 3 * hidden:])
+            c = f * c + i * g
+            h = o * np.tanh(c)
+            outs.append(h)
+        if reverse:
+            outs = outs[::-1]
+        return np.stack(outs), h, c
+
+    results = []
+    if direction in ("forward", "bidirectional"):
+        results.append(run_dir(0, False))
+    if direction in ("reverse", "bidirectional"):
+        results.append(run_dir(0 if direction == "reverse" else 1, True))
+    y = np.stack([res[0] for res in results], axis=1)  # [T, D, B, H]
+    y_h = np.stack([res[1] for res in results])  # [D, B, H]
+    y_c = np.stack([res[2] for res in results])
+    return y.astype(np.float32), y_h.astype(np.float32), y_c.astype(np.float32)
+
+
+def _op_gru(node, x, w, r, b=None, seq_lens=None, h0=None):
+    """Single/bi-directional GRU, gates zrh."""
+    hidden = int(_attr(node, "hidden_size"))
+    direction = _attr(node, "direction", "forward")
+    linear_before_reset = _attr(node, "linear_before_reset", 0)
+    t_len, batch, _ = x.shape
+
+    def run_dir(d, reverse):
+        wd, rd = w[d], r[d]
+        bd = b[d] if b is not None else np.zeros(6 * hidden, np.float32)
+        wb, rb = bd[:3 * hidden], bd[3 * hidden:]
+        h = (h0[d] if h0 is not None else
+             np.zeros((batch, hidden), np.float32))
+        outs = []
+        time_range = range(t_len - 1, -1, -1) if reverse else range(t_len)
+        for t in time_range:
+            gx = x[t] @ wd.T + wb
+            gh = h @ rd.T + rb
+            z = _sigmoid(gx[:, :hidden] + gh[:, :hidden])
+            rr = _sigmoid(gx[:, hidden:2 * hidden] + gh[:, hidden:2 * hidden])
+            if linear_before_reset:
+                # ht = tanh(Wh x + Wbh + r (.) (Rh h + Rbh))
+                n = np.tanh(gx[:, 2 * hidden:] + rr * gh[:, 2 * hidden:])
+            else:
+                # default: ht = tanh(Wh x + Wbh + (r (.) h) Rh^T + Rbh)
+                n = np.tanh(
+                    gx[:, 2 * hidden:]
+                    + (rr * h) @ rd[2 * hidden:].T
+                    + rb[2 * hidden:]
+                )
+            h = (1 - z) * n + z * h
+            outs.append(h)
+        if reverse:
+            outs = outs[::-1]
+        return np.stack(outs), h
+
+    results = []
+    if direction in ("forward", "bidirectional"):
+        results.append(run_dir(0, False))
+    if direction in ("reverse", "bidirectional"):
+        results.append(run_dir(0 if direction == "reverse" else 1, True))
+    y = np.stack([res[0] for res in results], axis=1)
+    y_h = np.stack([res[1] for res in results])
+    return y.astype(np.float32), y_h.astype(np.float32)
+
+
+def _op_softmax(node, x):
+    axis = _attr(node, "axis", -1)
+    e = np.exp(x - np.max(x, axis=axis, keepdims=True))
+    return (e / e.sum(axis=axis, keepdims=True)).astype(np.float32)
+
+
+def _op_reduce(fn, default_keepdims=1):
+    def handler(node, data, axes_in=None):
+        axes = _axes_arg(node, axes_in)
+        keepdims = bool(_attr(node, "keepdims", default_keepdims))
+        return fn(data, axis=axes, keepdims=keepdims)
+
+    return handler
+
+
+def _op_layer_norm(node, x, scale, bias=None):
+    axis = _attr(node, "axis", -1)
+    eps = _attr(node, "epsilon", 1e-5)
+    axes = tuple(range(axis if axis >= 0 else x.ndim + axis, x.ndim))
+    mean = x.mean(axis=axes, keepdims=True)
+    var = x.var(axis=axes, keepdims=True)
+    out = (x - mean) / np.sqrt(var + eps) * scale
+    if bias is not None:
+        out = out + bias
+    return out.astype(np.float32)
+
+
+def _op_pad(node, data, pads=None, value=None, axes=None):
+    if pads is None:
+        pads = _attr(node, "pads")
+    pads = [int(v) for v in np.asarray(pads).reshape(-1)]
+    mode = _attr(node, "mode", "constant")
+    ndim = data.ndim
+    pad_width = [(pads[i], pads[i + ndim]) for i in range(ndim)]
+    if mode == "constant":
+        constant = float(np.asarray(value).reshape(-1)[0]) if value is not None else 0.0
+        return np.pad(data, pad_width, constant_values=constant)
+    return np.pad(data, pad_width, mode={"reflect": "reflect",
+                                         "edge": "edge"}[mode])
+
+
+def _op_cast(node, x):
+    return x.astype(_DTYPE_BY_ONNX[int(_attr(node, "to"))])
+
+
+def _op_constant(node):
+    for key in ("value", "value_float", "value_int"):
+        if key in node.attributes:
+            val = node.attributes[key]
+            return np.asarray(val)
+    raise NotImplementedError("Constant without value")
+
+
+def _op_split(node, data, split=None):
+    axis = _attr(node, "axis", 0)
+    if split is None:
+        split = _attr(node, "split")
+    if split is None:
+        num_outputs = _attr(node, "num_outputs", len(node.outputs))
+        sizes = [data.shape[axis] // num_outputs] * num_outputs
+    else:
+        sizes = [int(s) for s in np.asarray(split).reshape(-1)]
+    indices = np.cumsum(sizes)[:-1]
+    return tuple(np.split(data, indices, axis=axis))
+
+
+def _op_expand(node, data, shape):
+    shape = [int(s) for s in np.asarray(shape).reshape(-1)]
+    return np.broadcast_to(data, np.broadcast_shapes(data.shape,
+                                                     tuple(shape))).copy()
+
+
+def _op_where(node, cond, a, b):
+    return np.where(cond, a, b)
+
+
+def _op_gather(node, data, indices):
+    axis = _attr(node, "axis", 0)
+    return np.take(data, np.asarray(indices, np.int64), axis=axis)
+
+
+def _op_unsqueeze(node, data, axes_in=None):
+    axes = _axes_arg(node, axes_in)
+    out = data
+    for axis in sorted(axes):
+        out = np.expand_dims(out, axis)
+    return out
+
+
+def _op_squeeze(node, data, axes_in=None):
+    axes = _axes_arg(node, axes_in)
+    if axes is None:
+        return np.squeeze(data)
+    return np.squeeze(data, axis=tuple(axes))
+
+
+def _op_argmax(node, data):
+    axis = _attr(node, "axis", 0)
+    keepdims = bool(_attr(node, "keepdims", 1))
+    out = np.argmax(data, axis=axis)
+    if keepdims:
+        out = np.expand_dims(out, axis)
+    return out.astype(np.int64)
+
+
+def _op_clip(node, x, lo=None, hi=None):
+    lo = _attr(node, "min") if lo is None else lo
+    hi = _attr(node, "max") if hi is None else hi
+    return np.clip(x, lo, hi)
+
+
+def _op_constant_of_shape(node, shape):
+    value = _attr(node, "value")
+    shape = [int(s) for s in np.asarray(shape).reshape(-1)]
+    if value is None:
+        return np.zeros(shape, np.float32)
+    value = np.asarray(value)
+    return np.full(shape, value.reshape(-1)[0], dtype=value.dtype)
+
+
+def _op_range(node, start, limit, delta):
+    return np.arange(
+        np.asarray(start).item(), np.asarray(limit).item(),
+        np.asarray(delta).item(),
+    )
+
+
+def _op_transpose(node, data):
+    perm = _attr(node, "perm")
+    return np.transpose(data, perm)
+
+
+def _op_tile(node, data, repeats):
+    return np.tile(data, [int(r) for r in np.asarray(repeats).reshape(-1)])
+
+
+def _op_cumsum(node, x, axis):
+    return np.cumsum(x, axis=int(np.asarray(axis).item()))
+
+
+_OPS = {
+    "Add": _op_binary(np.add),
+    "Sub": _op_binary(np.subtract),
+    "Mul": _op_binary(np.multiply),
+    "Div": _op_binary(lambda a, b: np.divide(a, b)
+                      if np.issubdtype(np.asarray(a).dtype, np.floating)
+                      or np.issubdtype(np.asarray(b).dtype, np.floating)
+                      else np.floor_divide(a, b)),
+    "Pow": _op_binary(np.power),
+    "MatMul": _op_binary(lambda a, b: (a @ b).astype(np.result_type(a, b))),
+    "And": _op_binary(np.logical_and),
+    "Or": _op_binary(np.logical_or),
+    "Equal": _op_binary(np.equal),
+    "Greater": _op_binary(np.greater),
+    "GreaterOrEqual": _op_binary(np.greater_equal),
+    "Less": _op_binary(np.less),
+    "LessOrEqual": _op_binary(np.less_equal),
+    "Min": _op_binary(np.minimum),
+    "Max": _op_binary(np.maximum),
+    "Relu": _op_unary(lambda x: np.maximum(x, 0)),
+    "Sigmoid": _op_unary(_sigmoid),
+    "Tanh": _op_unary(np.tanh),
+    "Erf": _op_unary(lambda x: np.vectorize(math.erf)(x).astype(x.dtype)),
+    "Exp": _op_unary(np.exp),
+    "Log": _op_unary(np.log),
+    "Sqrt": _op_unary(np.sqrt),
+    "Neg": _op_unary(np.negative),
+    "Abs": _op_unary(np.abs),
+    "Floor": _op_unary(np.floor),
+    "Ceil": _op_unary(np.ceil),
+    "Not": _op_unary(np.logical_not),
+    "Identity": _op_unary(lambda x: x),
+    "Shape": _op_unary(lambda x: np.asarray(x.shape, np.int64)),
+    "Size": _op_unary(lambda x: np.asarray(x.size, np.int64)),
+    "Flatten": lambda node, x: x.reshape(
+        int(np.prod(x.shape[:_attr(node, "axis", 1)]) or 1), -1
+    ),
+    "Dropout": lambda node, x, *rest: x,
+    "Softmax": _op_softmax,
+    "LogSoftmax": lambda node, x: np.log(_op_softmax(node, x)),
+    "Gemm": _op_gemm,
+    "Conv": _op_conv,
+    "Reshape": _op_reshape,
+    "Slice": _op_slice,
+    "Concat": lambda node, *parts: np.concatenate(
+        [p for p in parts if p is not None], axis=_attr(node, "axis", 0)
+    ),
+    "Gather": _op_gather,
+    "Unsqueeze": _op_unsqueeze,
+    "Squeeze": _op_squeeze,
+    "Transpose": _op_transpose,
+    "Cast": _op_cast,
+    "Constant": lambda node: _op_constant(node),
+    "ConstantOfShape": _op_constant_of_shape,
+    "Expand": _op_expand,
+    "Where": _op_where,
+    "Range": _op_range,
+    "Tile": _op_tile,
+    "CumSum": _op_cumsum,
+    "ArgMax": _op_argmax,
+    "Clip": _op_clip,
+    "Split": _op_split,
+    "Pad": _op_pad,
+    "ReduceMean": _op_reduce(np.mean),
+    "ReduceSum": _op_reduce(np.sum),
+    "ReduceMax": _op_reduce(np.max),
+    "ReduceMin": _op_reduce(np.min),
+    "ReduceProd": _op_reduce(np.prod),
+    "LayerNormalization": _op_layer_norm,
+    "LSTM": _op_lstm,
+    "GRU": _op_gru,
+}

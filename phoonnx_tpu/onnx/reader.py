@@ -37,6 +37,7 @@ class OnnxNode:
     name: str
     inputs: List[str]
     outputs: List[str]
+    attributes: Dict[str, object] = field(default_factory=dict)
 
 
 @dataclass
@@ -127,11 +128,55 @@ def _parse_value_info_name(data: bytes) -> str:
     return ""
 
 
+def _parse_attribute(data: bytes):
+    """AttributeProto -> (name, python value)."""
+    name = ""
+    value = None
+    floats: List[float] = []
+    ints: List[int] = []
+    strings: List[str] = []
+    for field_number, wire_type, raw in wire.iter_fields(data):
+        if field_number == 1:
+            name = raw.decode("utf-8")
+        elif field_number == 2:  # f (float, fixed32)
+            value = struct.unpack("<f", struct.pack("<I", raw))[0]
+        elif field_number == 3:  # i (int64)
+            value = wire.zigzag_to_signed(raw)
+        elif field_number == 4:  # s (bytes)
+            value = raw.decode("utf-8", errors="replace")
+        elif field_number == 5:  # t (tensor)
+            _, value = _parse_tensor(raw)
+        elif field_number == 7:  # floats
+            if wire_type == wire.WIRETYPE_LEN:
+                floats.extend(struct.unpack(f"<{len(raw) // 4}f", raw))
+            else:
+                floats.append(struct.unpack("<f", struct.pack("<I", raw))[0])
+        elif field_number == 8:  # ints
+            if wire_type == wire.WIRETYPE_LEN:
+                ints.extend(
+                    wire.zigzag_to_signed(v)
+                    for v in wire.decode_packed_varints(raw)
+                )
+            else:
+                ints.append(wire.zigzag_to_signed(raw))
+        elif field_number == 9:  # strings
+            strings.append(raw.decode("utf-8", errors="replace"))
+    if value is None:
+        if floats:
+            value = floats
+        elif ints:
+            value = ints
+        elif strings:
+            value = strings
+    return name, value
+
+
 def _parse_node(data: bytes) -> OnnxNode:
     inputs: List[str] = []
     outputs: List[str] = []
     name = ""
     op_type = ""
+    attributes: Dict[str, object] = {}
     for field_number, _, value in wire.iter_fields(data):
         if field_number == 1:
             inputs.append(value.decode("utf-8"))
@@ -141,7 +186,11 @@ def _parse_node(data: bytes) -> OnnxNode:
             name = value.decode("utf-8")
         elif field_number == 4:
             op_type = value.decode("utf-8")
-    return OnnxNode(op_type=op_type, name=name, inputs=inputs, outputs=outputs)
+        elif field_number == 5:
+            attr_name, attr_value = _parse_attribute(value)
+            attributes[attr_name] = attr_value
+    return OnnxNode(op_type=op_type, name=name, inputs=inputs,
+                    outputs=outputs, attributes=attributes)
 
 
 def _parse_string_entry(data: bytes) -> Tuple[str, str]:

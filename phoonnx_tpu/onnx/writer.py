@@ -45,8 +45,49 @@ def _encode_value_info(name: str) -> bytes:
     return wire.encode_string_field(1, name)
 
 
+def _encode_attribute(name: str, value) -> bytes:
+    out = bytearray()
+    out += wire.encode_string_field(1, name)
+    if isinstance(value, bool):
+        out += wire.encode_varint_field(3, int(value))
+        out += wire.encode_varint_field(20, 2)  # INT
+    elif isinstance(value, int):
+        out += wire.encode_varint_field(3, value)
+        out += wire.encode_varint_field(20, 2)  # INT
+    elif isinstance(value, float):
+        import struct as _struct
+
+        out += wire.encode_tag(2, wire.WIRETYPE_FIXED32)
+        out += _struct.pack("<f", value)
+        out += wire.encode_varint_field(20, 1)  # FLOAT
+    elif isinstance(value, str):
+        out += wire.encode_len_field(4, value.encode("utf-8"))
+        out += wire.encode_varint_field(20, 3)  # STRING
+    elif isinstance(value, np.ndarray):
+        out += wire.encode_len_field(5, _encode_tensor("", value))
+        out += wire.encode_varint_field(20, 4)  # TENSOR
+    elif isinstance(value, (list, tuple)) and all(
+        isinstance(v, int) for v in value
+    ):
+        for v in value:
+            out += wire.encode_varint_field(8, v)
+        out += wire.encode_varint_field(20, 7)  # INTS
+    elif isinstance(value, (list, tuple)) and all(
+        isinstance(v, float) for v in value
+    ):
+        import struct as _struct
+
+        for v in value:
+            out += wire.encode_tag(7, wire.WIRETYPE_FIXED32)
+            out += _struct.pack("<f", v)
+        out += wire.encode_varint_field(20, 6)  # FLOATS
+    else:
+        raise ValueError(f"unsupported attribute type for {name}: {value!r}")
+    return bytes(out)
+
+
 def _encode_node(op_type: str, inputs: Sequence[str], outputs: Sequence[str],
-                 name: str = "") -> bytes:
+                 name: str = "", attributes: Optional[dict] = None) -> bytes:
     out = bytearray()
     for inp in inputs:
         out += wire.encode_string_field(1, inp)
@@ -55,6 +96,9 @@ def _encode_node(op_type: str, inputs: Sequence[str], outputs: Sequence[str],
     if name:
         out += wire.encode_string_field(3, name)
     out += wire.encode_string_field(4, op_type)
+    for attr_name, attr_value in (attributes or {}).items():
+        out += wire.encode_len_field(5, _encode_attribute(attr_name,
+                                                          attr_value))
     return bytes(out)
 
 
@@ -70,9 +114,12 @@ def write_onnx(
     producer: str = "phoonnx_tpu",
 ) -> None:
     graph = bytearray()
-    for op_type, node_in, node_out in nodes:
+    for node in nodes:
+        op_type, node_in, node_out = node[0], node[1], node[2]
+        attributes = node[3] if len(node) > 3 else None
         graph += wire.encode_len_field(
-            1, _encode_node(op_type, node_in, node_out)
+            1, _encode_node(op_type, node_in, node_out,
+                            attributes=attributes)
         )
     graph += wire.encode_string_field(2, graph_name)
     for name, array in initializers.items():

@@ -1,0 +1,185 @@
+"""ONNX executor tests: hand-built graphs validated against numpy/torch."""
+
+import numpy as np
+import pytest
+
+from phoonnx_tpu.onnx.executor import OnnxExecutor
+from phoonnx_tpu.onnx.reader import read_onnx
+from phoonnx_tpu.onnx.writer import write_onnx
+
+torch = pytest.importorskip("torch")
+
+
+def build_and_load(tmp_path, initializers, nodes, inputs, outputs):
+    path = tmp_path / "model.onnx"
+    write_onnx(str(path), initializers, inputs=inputs, outputs=outputs,
+               nodes=nodes)
+    return OnnxExecutor(read_onnx(str(path)))
+
+
+def test_mlp_graph(tmp_path):
+    rng = np.random.default_rng(0)
+    w1 = rng.standard_normal((4, 8)).astype(np.float32)
+    b1 = rng.standard_normal(8).astype(np.float32)
+    w2 = rng.standard_normal((8, 3)).astype(np.float32)
+
+    executor = build_and_load(
+        tmp_path,
+        {"w1": w1, "b1": b1, "w2": w2},
+        nodes=[
+            ("MatMul", ["x", "w1"], ["h0"]),
+            ("Add", ["h0", "b1"], ["h1"]),
+            ("Relu", ["h1"], ["h2"]),
+            ("MatMul", ["h2", "w2"], ["h3"]),
+            ("Softmax", ["h3"], ["y"], {"axis": -1}),
+        ],
+        inputs=["x"], outputs=["y"],
+    )
+    x = rng.standard_normal((2, 4)).astype(np.float32)
+    got = executor.run({"x": x})[0]
+    want = np.maximum(x @ w1 + b1, 0) @ w2
+    want = np.exp(want - want.max(-1, keepdims=True))
+    want /= want.sum(-1, keepdims=True)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_attribute_roundtrip(tmp_path):
+    path = tmp_path / "attrs.onnx"
+    write_onnx(
+        str(path), {},
+        nodes=[("Transpose", ["x"], ["y"], {"perm": [1, 0, 2]}),
+               ("Gemm", ["a", "b"], ["c"],
+                {"alpha": 2.0, "transB": 1, "name_s": "hello"})],
+        inputs=["x"], outputs=["y"],
+    )
+    model = read_onnx(str(path))
+    assert model.nodes[0].attributes["perm"] == [1, 0, 2]
+    assert model.nodes[1].attributes["alpha"] == 2.0
+    assert model.nodes[1].attributes["transB"] == 1
+    assert model.nodes[1].attributes["name_s"] == "hello"
+
+
+def test_conv1d_matches_torch(tmp_path):
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 3, 20)).astype(np.float32)  # NCH
+    w = rng.standard_normal((5, 3, 4)).astype(np.float32)
+    b = rng.standard_normal(5).astype(np.float32)
+    executor = build_and_load(
+        tmp_path, {"w": w, "b": b},
+        nodes=[("Conv", ["x", "w", "b"], ["y"],
+                {"strides": [2], "pads": [1, 1], "dilations": [1],
+                 "group": 1})],
+        inputs=["x"], outputs=["y"],
+    )
+    got = executor.run({"x": x})[0]
+    want = torch.nn.functional.conv1d(
+        torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b),
+        stride=2, padding=1,
+    ).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_lstm_matches_torch(tmp_path):
+    rng = np.random.default_rng(2)
+    t_len, batch, input_size, hidden = 6, 2, 3, 4
+    x = rng.standard_normal((t_len, batch, input_size)).astype(np.float32)
+
+    cell = torch.nn.LSTM(input_size, hidden)
+    with torch.no_grad():
+        want, (want_h, want_c) = cell(torch.from_numpy(x))
+
+    # torch gate order iofc? torch uses ifgo; ONNX uses iofc.
+    w_ih = cell.weight_ih_l0.detach().numpy()  # [4H, I] i,f,g,o
+    w_hh = cell.weight_hh_l0.detach().numpy()
+    b_ih = cell.bias_ih_l0.detach().numpy()
+    b_hh = cell.bias_hh_l0.detach().numpy()
+
+    def reorder(m):  # torch i,f,g,o -> onnx i,o,f,c(g)
+        i, f, g, o = np.split(m, 4, axis=0)
+        return np.concatenate([i, o, f, g], axis=0)
+
+    w = reorder(w_ih)[None]
+    r = reorder(w_hh)[None]
+    b = np.concatenate([reorder(b_ih), reorder(b_hh)])[None]
+
+    executor = build_and_load(
+        tmp_path, {"w": w, "r": r, "b": b},
+        nodes=[("LSTM", ["x", "w", "r", "b"], ["y", "y_h", "y_c"],
+                {"hidden_size": hidden, "direction": "forward"})],
+        inputs=["x"], outputs=["y", "y_h", "y_c"],
+    )
+    y, y_h, y_c = executor.run({"x": x})
+    np.testing.assert_allclose(y[:, 0], want.numpy(), atol=1e-5)
+    np.testing.assert_allclose(y_h, want_h.numpy(), atol=1e-5)
+    np.testing.assert_allclose(y_c, want_c.numpy(), atol=1e-5)
+
+
+def test_gru_matches_torch(tmp_path):
+    rng = np.random.default_rng(3)
+    t_len, batch, input_size, hidden = 5, 2, 3, 4
+    x = rng.standard_normal((t_len, batch, input_size)).astype(np.float32)
+
+    cell = torch.nn.GRU(input_size, hidden)
+    with torch.no_grad():
+        want, want_h = cell(torch.from_numpy(x))
+
+    # torch gate order r,z,n -> onnx z,r,h
+    def reorder(m):
+        r, z, n = np.split(m, 3, axis=0)
+        return np.concatenate([z, r, n], axis=0)
+
+    w = reorder(cell.weight_ih_l0.detach().numpy())[None]
+    r = reorder(cell.weight_hh_l0.detach().numpy())[None]
+    b = np.concatenate([
+        reorder(cell.bias_ih_l0.detach().numpy()),
+        reorder(cell.bias_hh_l0.detach().numpy()),
+    ])[None]
+
+    executor = build_and_load(
+        tmp_path, {"w": w, "r": r, "b": b},
+        nodes=[("GRU", ["x", "w", "r", "b"], ["y", "y_h"],
+                {"hidden_size": hidden, "direction": "forward",
+                 "linear_before_reset": 1})],
+        inputs=["x"], outputs=["y", "y_h"],
+    )
+    y, y_h = executor.run({"x": x})
+    np.testing.assert_allclose(y[:, 0], want.numpy(), atol=1e-5)
+    np.testing.assert_allclose(y_h, want_h.numpy(), atol=1e-5)
+
+
+def test_shape_ops(tmp_path):
+    executor = build_and_load(
+        tmp_path, {},
+        nodes=[
+            ("Shape", ["x"], ["shape"]),
+            ("Gather", ["shape", "idx"], ["dim"], {"axis": 0}),
+            ("Unsqueeze", ["dim"], ["dim1"], {"axes": [0]}),
+            ("Cast", ["dim1"], ["out"], {"to": 1}),
+        ],
+        inputs=["x", "idx"], outputs=["out"],
+    )
+    out = executor.run({
+        "x": np.zeros((3, 7, 2), np.float32),
+        "idx": np.asarray(1, np.int64),
+    })[0]
+    assert out.dtype == np.float32
+    assert out.tolist() == [7.0]
+
+
+def test_slice_and_concat(tmp_path):
+    executor = build_and_load(
+        tmp_path, {},
+        nodes=[
+            ("Slice", ["x", "starts", "ends", "axes"], ["a"]),
+            ("Concat", ["a", "a"], ["y"], {"axis": 1}),
+        ],
+        inputs=["x", "starts", "ends", "axes"], outputs=["y"],
+    )
+    x = np.arange(12, dtype=np.float32).reshape(3, 4)
+    out = executor.run({
+        "x": x,
+        "starts": np.asarray([1], np.int64),
+        "ends": np.asarray([3], np.int64),
+        "axes": np.asarray([1], np.int64),
+    })[0]
+    np.testing.assert_array_equal(out, np.concatenate([x[:, 1:3]] * 2, 1))
