@@ -1,0 +1,76 @@
+"""Observability: synthesis timers, RTF stats, profiler hooks.
+
+The reference has no tracing/profiling (SURVEY §5.1) — only debug logs.
+This module adds the minimum production surface: per-call latency/RTF
+aggregation with percentiles, and a context manager around
+``jax.profiler`` for device traces.
+"""
+
+import contextlib
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Dict, Iterator, List, Optional
+
+LOG = logging.getLogger(__name__)
+
+
+@dataclass
+class SynthesisStats:
+    """Aggregated synthesis timing."""
+
+    latencies_s: List[float] = field(default_factory=list)
+    audio_seconds: List[float] = field(default_factory=list)
+
+    def record(self, latency_s: float, audio_s: float) -> None:
+        self.latencies_s.append(latency_s)
+        self.audio_seconds.append(audio_s)
+
+    def _percentile(self, values: List[float], q: float) -> float:
+        if not values:
+            return 0.0
+        ordered = sorted(values)
+        idx = min(int(q * len(ordered)), len(ordered) - 1)
+        return ordered[idx]
+
+    @property
+    def rtf(self) -> float:
+        total_audio = sum(self.audio_seconds)
+        if total_audio <= 0:
+            return 0.0
+        return sum(self.latencies_s) / total_audio
+
+    def summary(self) -> Dict[str, float]:
+        return {
+            "count": len(self.latencies_s),
+            "rtf": round(self.rtf, 6),
+            "audio_sec_per_sec": round(1.0 / self.rtf, 2) if self.rtf else 0.0,
+            "p50_latency_ms": round(
+                self._percentile(self.latencies_s, 0.50) * 1000, 2),
+            "p90_latency_ms": round(
+                self._percentile(self.latencies_s, 0.90) * 1000, 2),
+            "p99_latency_ms": round(
+                self._percentile(self.latencies_s, 0.99) * 1000, 2),
+            "total_audio_s": round(sum(self.audio_seconds), 2),
+        }
+
+
+@contextlib.contextmanager
+def timed(stats: SynthesisStats, audio_seconds_fn) -> Iterator[None]:
+    """Time a synthesis call; audio_seconds_fn() -> seconds produced."""
+    start = time.perf_counter()
+    yield
+    stats.record(time.perf_counter() - start, float(audio_seconds_fn()))
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str = "/tmp/phoonnx_tpu_trace") -> Iterator[None]:
+    """jax.profiler trace around a block (view with xprof/tensorboard)."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+        LOG.info("device trace written to %s", log_dir)

@@ -1,112 +1,191 @@
-"""Arabic diacritic restoration (tashkeel).
+"""Arabic diacritic restoration (libtashkeel algorithm).
 
-The reference ports libtashkeel (Rust) to Python + an ONNX model
-(phoonnx/thirdparty/tashkeel/__init__.py; the model itself is a
-large-blob not shipped in the repo). The TPU build loads the same
-``model.onnx`` + JSON id maps when present and executes the network with
-JAX via the generic ONNX graph executor; without the model it degrades to
-identity with a warning (synthesis still works on undiacritized text).
+Capability rebuild of phoonnx/thirdparty/tashkeel (itself a Python port of
+mush42/libtashkeel): character/diacritic extraction with hint maps, the
+model inference over (char_inputs, diac_inputs, input_lengths), and the
+taskeen (sukoon) threshold logic. The ONNX model executes through the
+self-contained :mod:`phoonnx_tpu.onnx.executor` instead of onnxruntime;
+when ``model.onnx`` is absent (it is a large-blob not shipped with the
+reference checkout either) the diacritizer degrades to identity with a
+warning so synthesis still works on undiacritized text.
 """
 
 import json
 import logging
 import os
-from typing import Optional
+from pathlib import Path
+from typing import Dict, List, Optional, Set, Tuple, Union
 
 import numpy as np
 
 LOG = logging.getLogger(__name__)
 
+TASHKEEL_DIR = Path(__file__).parent
 CHAR_LIMIT = 12000
+PAD = "_"
+NUMERAL_SYMBOL = "#"
+NUMERALS = set("0123456789٠١٢٣٤٥٦٧٨٩")
+ARABIC_DIACRITICS = set(map(chr, [1618, 1617, 1614, 1615, 1616, 1611, 1612,
+                                  1613]))
+# shadda+haraka sequences normalised to their composed order
+NORMALIZED_DIAC_MAP = {"َّ": "َّ", "ًّ": "ًّ", "ُّ": "ُّ", "ٌّ": "ٌّ",
+                       "ِّ": "ِّ", "ٍّ": "ٍّ"}
+SUKOON = chr(0x652)
 
-_DATA_DIR = os.path.dirname(__file__)
+
+class TashkeelError(Exception):
+    pass
 
 
 class TashkeelDiacritizer:
-    """Restore Arabic diacritics; identity fallback without a model."""
+    """Add diacritics to Arabic text (identity fallback without a model)."""
 
-    def __init__(self, model_dir: Optional[str] = None):
-        self.model_dir = model_dir or _DATA_DIR
+    def __init__(self, model_dir: Union[str, Path] = TASHKEEL_DIR):
+        model_dir = Path(model_dir)
+        self.model_dir = model_dir
+
+        with open(model_dir / "input_id_map.json", encoding="utf-8") as f:
+            self.input_id_map: Dict[str, int] = json.load(f)
+        with open(model_dir / "target_id_map.json", encoding="utf-8") as f:
+            target_id_map: Dict[str, int] = json.load(f)
+        self.id_target_map = {i: c for c, i in target_id_map.items()}
+        self.target_id_meta_chars: Set[int] = {target_id_map[PAD]}
+        with open(model_dir / "hint_id_map.json", encoding="utf-8") as f:
+            self.hint_id_map: Dict[str, int] = json.load(f)
+
         self._executor = None
-        self._maps = None
-        self._tried = False
+        self._load_attempted = False
 
-    def _load(self) -> bool:
-        if self._tried:
-            return self._executor is not None
-        self._tried = True
-        model_path = os.path.join(self.model_dir, "model.onnx")
-        if not os.path.exists(model_path):
-            LOG.warning(
-                "tashkeel model.onnx not found in %s — diacritization "
-                "disabled (returning text unchanged)", self.model_dir,
-            )
-            return False
-        try:
-            from phoonnx_tpu.onnx.executor import OnnxExecutor
-            from phoonnx_tpu.onnx.reader import read_onnx
+    # -- model ----------------------------------------------------------
 
-            self._executor = OnnxExecutor(read_onnx(model_path))
-            maps = {}
-            for name in ("input_id_map", "target_id_map", "hint_id_map"):
-                path = os.path.join(self.model_dir, f"{name}.json")
-                if os.path.exists(path):
-                    with open(path, encoding="utf-8") as f:
-                        maps[name] = json.load(f)
-            self._maps = maps
-            return True
-        except Exception as exc:  # pragma: no cover
-            LOG.warning("failed to load tashkeel model: %s", exc)
-            self._executor = None
-            return False
+    def _get_executor(self):
+        if not self._load_attempted:
+            self._load_attempted = True
+            model_path = self.model_dir / "model.onnx"
+            if model_path.exists():
+                from phoonnx_tpu.onnx.executor import OnnxExecutor
+                from phoonnx_tpu.onnx.reader import read_onnx
+
+                self._executor = OnnxExecutor(read_onnx(str(model_path)))
+            else:
+                LOG.warning(
+                    "tashkeel model.onnx not found in %s — diacritization "
+                    "disabled (returning text unchanged)", self.model_dir,
+                )
+        return self._executor
+
+    def _infer(self, input_ids: List[int], diac_ids: List[int],
+               seq_length: int) -> Tuple[List[int], List[float]]:
+        executor = self._get_executor()
+        outputs = executor.run({
+            "char_inputs": np.asarray(input_ids, np.int64).reshape(
+                1, seq_length),
+            "diac_inputs": np.asarray(diac_ids, np.int64).reshape(
+                1, seq_length),
+            "input_lengths": np.asarray([seq_length], np.int64),
+        })
+        target_ids = np.asarray(outputs[0]).flatten().astype(np.uint8).tolist()
+        logits = np.asarray(outputs[1]).flatten().astype(np.float32).tolist()
+        return target_ids, logits
+
+    # -- public API -----------------------------------------------------
+
+    def __call__(self, text: str,
+                 taskeen_threshold: Optional[float] = None) -> str:
+        return self.diacritize(text, taskeen_threshold)
 
     def diacritize(self, text: str,
-                   taskeen_threshold: Optional[float] = 0.8) -> str:
-        """Add diacritics to Arabic text (identity if no model)."""
+                   taskeen_threshold: Optional[float] = None) -> str:
+        text = text.strip()
         if len(text) > CHAR_LIMIT:
-            text = text[:CHAR_LIMIT]
-        if not self._load():
+            raise TashkeelError(f"Text length cannot exceed {CHAR_LIMIT}")
+        if self._get_executor() is None:
             return text
-        return self._diacritize_model(text, taskeen_threshold)
 
-    def _diacritize_model(self, text: str,
-                          taskeen_threshold: Optional[float]) -> str:
-        input_map = self._maps.get("input_id_map", {})
-        target_map = self._maps.get("target_id_map", {})
-        id_to_diac = {v: k for k, v in target_map.items()}
-
-        chars = list(text)
-        char_ids = np.array(
-            [[input_map.get(c, input_map.get("<unk>", 0)) for c in chars]],
-            dtype=np.int64,
+        input_text, removed_chars = self._to_valid_chars(text)
+        input_text, diacritics = self._extract_chars_and_diacritics(
+            input_text, normalize_diacritics=True
         )
-        diac_ids = np.zeros_like(char_ids)
-        lengths = np.array([len(chars)], dtype=np.int64)
-        outputs = self._executor.run({
-            "char_inputs": char_ids,
-            "diac_inputs": diac_ids,
-            "input_lengths": lengths,
-        })
-        target_ids = np.asarray(outputs[0])[0]
-        logits = np.asarray(outputs[1])[0] if len(outputs) > 1 else None
+        input_ids = [self.input_id_map[c] for c in input_text]
+        diac_ids = [self.hint_id_map[d] for d in diacritics]
+        if not input_ids:
+            return text
 
-        out = []
-        sukun = "ْ"
-        for i, ch in enumerate(chars):
-            out.append(ch)
-            if i >= len(target_ids):
+        target_ids, logits = self._infer(input_ids, diac_ids, len(input_ids))
+        predicted = [
+            self.id_target_map[i]
+            for i in target_ids
+            if i not in self.target_id_meta_chars
+        ]
+        if taskeen_threshold is None:
+            return self._annotate(text, predicted, removed_chars)
+        return self._annotate_taskeen(text, predicted, removed_chars,
+                                      logits, taskeen_threshold)
+
+    # -- text helpers ---------------------------------------------------
+
+    @staticmethod
+    def _is_diacritic(c: str) -> bool:
+        return c in ARABIC_DIACRITICS
+
+    def _annotate(self, input_text: str, diacritics: List[str],
+                  removed_chars: Set[str]) -> str:
+        out: List[str] = []
+        diac_iter = iter(diacritics)
+        for c in input_text:
+            if self._is_diacritic(c):
                 continue
-            diac = id_to_diac.get(int(target_ids[i]), "")
-            if diac == sukun and taskeen_threshold is not None \
-                    and logits is not None:
-                probs = _softmax(logits[i])
-                if probs[int(target_ids[i])] < taskeen_threshold:
-                    diac = ""
-            if diac and diac != "<no_diacritic>":
-                out.append(diac)
+            out.append(c)
+            if c not in removed_chars:
+                out.append(next(diac_iter, ""))
         return "".join(out)
 
+    def _annotate_taskeen(self, input_text: str, diacritics: List[str],
+                          removed_chars: Set[str], logits: List[float],
+                          threshold: float) -> str:
+        out: List[str] = []
+        diac_iter = zip(diacritics, logits)
+        for c in input_text:
+            if self._is_diacritic(c):
+                continue
+            out.append(c)
+            if c not in removed_chars:
+                diac, logit = next(diac_iter, ("", 0.0))
+                out.append(SUKOON if logit > threshold else diac)
+        return "".join(out)
 
-def _softmax(x: np.ndarray) -> np.ndarray:
-    e = np.exp(x - np.max(x))
-    return e / e.sum()
+    def _extract_chars_and_diacritics(
+        self, text: str, normalize_diacritics: bool = True
+    ) -> Tuple[str, List[str]]:
+        text = text.lstrip("".join(ARABIC_DIACRITICS))
+        clean_chars: List[str] = []
+        diacritics: List[str] = []
+        pending = ""
+        for c in list(text) + [" "]:
+            if self._is_diacritic(c):
+                pending += c
+            else:
+                clean_chars.append(c)
+                diacritics.append(pending)
+                pending = ""
+        if clean_chars:
+            clean_chars.pop()
+        if diacritics:
+            diacritics.pop(0)
+        if normalize_diacritics:
+            for i, d in enumerate(diacritics):
+                if d not in self.hint_id_map:
+                    diacritics[i] = NORMALIZED_DIAC_MAP.get(d, "")
+        return "".join(clean_chars), diacritics
+
+    def _to_valid_chars(self, text: str) -> Tuple[str, Set[str]]:
+        valid: List[str] = []
+        invalid: Set[str] = set()
+        for c in text:
+            if c in self.input_id_map or c in ARABIC_DIACRITICS:
+                valid.append(c)
+            elif c in NUMERALS:
+                valid.append(NUMERAL_SYMBOL)
+            else:
+                invalid.add(c)
+        return "".join(valid), invalid
