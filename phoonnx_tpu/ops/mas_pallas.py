@@ -1,0 +1,104 @@
+"""Monotonic Alignment Search as a Pallas TPU kernel.
+
+One grid step per batch element; the [T_spec, T_text] score table lives in
+VMEM for the whole forward DP + backtrack, so the sequential recurrence
+runs at VPU latency instead of per-step XLA dispatches (the lax.scan
+version in ops/mas.py round-trips the carry through HBM ~2*T_spec times).
+
+Semantics are identical to the reference Cython kernel
+(phoonnx_train/vits/monotonic_align/core.pyx) and to ops/mas.maximum_path:
+stay/advance recurrence with a forced advance on the x==y edge, stay-on-tie
+backtracking, per-batch true lengths from the mask.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_NEG_INF = -1e9
+
+
+def _mas_kernel(value_ref, y_len_ref, x_len_ref, path_ref, q_scratch):
+    """One batch element: value [T_y, T_x] -> 0/1 path [T_y, T_x]."""
+    t_y, t_x = value_ref.shape
+    i = pl.program_id(0)
+    y_len = y_len_ref[i]
+    x_len = x_len_ref[i]
+
+    x_idx = jax.lax.broadcasted_iota(jnp.int32, (1, t_x), 1)
+
+    # --- forward DP over spec frames ---
+    def forward(y, q_prev):
+        # q_prev: [1, T_x] scores at frame y-1
+        stay = jnp.where(x_idx == y, _NEG_INF, q_prev)
+        advance = pltpu.roll(q_prev, 1, 1)
+        advance = jnp.where(x_idx == 0,
+                            jnp.where(y == 0, 0.0, _NEG_INF), advance)
+        q = value_ref[y, :][None, :] + jnp.maximum(stay, advance)
+        q_scratch[y, :] = q[0]
+        return q
+
+    jax.lax.fori_loop(
+        0, t_y, forward, jnp.full((1, t_x), _NEG_INF, jnp.float32)
+    )
+
+    # --- backtrack ---
+    path_ref[...] = jnp.zeros((t_y, t_x), jnp.float32)
+
+    def backward(i, x_cur):
+        y = t_y - 1 - i
+        inside = y < y_len
+        onehot = ((x_idx[0] == x_cur) & inside).astype(jnp.float32)
+        path_ref[y, :] = path_ref[y, :] + onehot
+
+        q_prev_row = q_scratch[jnp.maximum(y - 1, 0), :]
+        q_stay = jnp.sum(
+            jnp.where(x_idx[0] == x_cur, q_prev_row, 0.0)
+        )
+        q_diag = jnp.sum(
+            jnp.where(x_idx[0] == jnp.maximum(x_cur - 1, 0), q_prev_row, 0.0)
+        )
+        do_advance = (x_cur != 0) & ((x_cur == y) | (q_stay < q_diag))
+        return jnp.where(inside & (y > 0) & do_advance, x_cur - 1, x_cur)
+
+    jax.lax.fori_loop(0, t_y, backward, x_len - 1)
+
+
+def maximum_path_pallas(neg_cent: Array, attn_mask: Array,
+                        interpret: bool = False) -> Array:
+    """Pallas MAS; neg_cent/attn_mask [B, T_spec, T_text]."""
+    b, t_y, t_x = neg_cent.shape
+    y_lens = jnp.maximum(
+        jnp.sum(attn_mask[:, :, 0], axis=1), 1
+    ).astype(jnp.int32)
+    x_lens = jnp.maximum(
+        jnp.sum(attn_mask[:, 0, :], axis=1), 1
+    ).astype(jnp.int32)
+    value = jnp.where(attn_mask > 0, neg_cent, 0.0).astype(jnp.float32)
+
+    path = pl.pallas_call(
+        _mas_kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((None, t_y, t_x), lambda i: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((None, t_y, t_x), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, t_y, t_x), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((t_y, t_x), jnp.float32)],
+        interpret=interpret,
+    )(value, y_lens, x_lens)
+    return path.astype(neg_cent.dtype) * attn_mask
+
+
+# NOTE: numerically validated on TPU v5e, but Mosaic currently takes minutes
+# to compile the long sequential fori_loops, so the lax.scan implementation
+# in ops/mas.py remains the in-graph default. Select this kernel explicitly
+# via ops.mas.maximum_path(impl="pallas") when amortizing one bucket shape
+# over a long training run.

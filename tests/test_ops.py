@@ -109,3 +109,19 @@ def test_mel_filterbank_properties():
     assert (basis.sum(axis=1) > 0).all()
     # slaney normalisation keeps peaks well below 1
     assert basis.max() < 0.1
+
+
+def test_mas_pallas_interpret_matches_oracle():
+    from phoonnx_tpu.ops.mas_pallas import maximum_path_pallas
+
+    rng = np.random.default_rng(4)
+    b, t_y, t_x = 3, 48, 16
+    neg_cent = rng.standard_normal((b, t_y, t_x)).astype(np.float32)
+    mask = np.zeros((b, t_y, t_x), np.float32)
+    for i, (y, x) in enumerate([(48, 16), (40, 9), (21, 5)]):
+        mask[i, :y, :x] = 1
+    want = maximum_path_numpy(neg_cent, mask)
+    got = np.asarray(maximum_path_pallas(
+        jnp.asarray(neg_cent), jnp.asarray(mask), interpret=True
+    ))
+    np.testing.assert_array_equal(got, want)
