@@ -62,8 +62,32 @@ def main() -> None:
         audio, _ = fn(params, ids, lengths, jax.random.PRNGKey(100 + i))
     audio.block_until_ready()
     elapsed = (time.perf_counter() - start) / iters
-
     rtf = elapsed / audio_seconds
+
+    # Secondary configs: batched serving throughput (fp32 and bf16)
+    def throughput(batch: int, dtype) -> float:
+        run_params = params
+        if dtype == jnp.bfloat16:
+            run_params = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, params,
+            )
+        fn_b = jax.jit(forward)
+        ids_b = jnp.tile(ids, (batch, 1))
+        lengths_b = jnp.full((batch,), t_text, jnp.int32)
+        out, _ = fn_b(run_params, ids_b, lengths_b, jax.random.PRNGKey(0))
+        out.block_until_ready()
+        start = time.perf_counter()
+        for i in range(10):
+            out, _ = fn_b(run_params, ids_b, lengths_b,
+                          jax.random.PRNGKey(i))
+        out.block_until_ready()
+        dt = (time.perf_counter() - start) / 10
+        return batch * audio_seconds / dt
+
+    batch16_fp32 = throughput(16, jnp.float32)
+    batch16_bf16 = throughput(16, jnp.bfloat16)
+
     result = {
         "metric": "rtf_vits_medium_22k05",
         "value": round(rtf, 6),
@@ -72,6 +96,8 @@ def main() -> None:
         "extra": {
             "audio_sec_per_sec_per_chip": round(1.0 / rtf, 1),
             "p50_latency_ms": round(elapsed * 1000, 2),
+            "batch16_fp32_audio_sec_per_sec": round(batch16_fp32, 1),
+            "batch16_bf16_audio_sec_per_sec": round(batch16_bf16, 1),
             "frames": max_frames,
             "device": str(jax.devices()[0]),
         },

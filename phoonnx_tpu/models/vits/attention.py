@@ -125,8 +125,9 @@ def multi_head_attention(params, x: Array, c: Array,
         rel_v = _get_relative_embeddings(params["emb_rel_v"], t_s, window_size)
         output = output + jnp.einsum("bhlm,nmd->bhld", rel_weights, rel_v)
 
-    # [B, H, T, D] -> [B, T, H*D]
-    output = output.transpose(0, 2, 1, 3).reshape(b, t_t, d)
+    # [B, H, T, D] -> [B, T, H*D]; back to the compute dtype (attention
+    # accumulates in f32 even under bf16 inference)
+    output = output.transpose(0, 2, 1, 3).reshape(b, t_t, d).astype(x.dtype)
     return nn.apply_conv(params["conv_o"], output)
 
 

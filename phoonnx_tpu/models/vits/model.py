@@ -274,7 +274,7 @@ def infer(params, hp: VitsHParams,
     otherwise it is drawn from ``rng``.
     """
     b, t_x = x_ids.shape
-    dtype = jnp.float32
+    dtype = params["enc_p"]["emb"]["weight"].dtype
 
     x_mask = nn.sequence_mask(x_lengths, t_x)[..., None].astype(dtype)
     x, m_p, logs_p = encoder.text_encoder(params["enc_p"], x_ids, x_mask)
@@ -285,12 +285,15 @@ def infer(params, hp: VitsHParams,
         dp_noise = jax.random.normal(sub, (b, t_x, 2), dtype)
     if hp.use_sdp:
         logw = duration.sdp_reverse(
-            params["dp"], x, x_mask, dp_noise * noise_w, g=g
+            params["dp"], x, x_mask,
+            dp_noise.astype(dtype) * jnp.asarray(noise_w, dtype), g=g,
         )
     else:
         logw = duration.duration_predictor(params["dp"], x, x_mask, g=g)
 
-    w = jnp.exp(logw) * x_mask * length_scale
+    # duration arithmetic in f32 (bf16 cannot count frames exactly)
+    w = jnp.exp(logw.astype(jnp.float32)) * x_mask.astype(jnp.float32) \
+        * length_scale
     w_ceil = jnp.ceil(w)[..., 0]  # [B, T_x]
     y_lengths = jnp.maximum(
         jnp.sum(w_ceil, axis=-1), 1.0
@@ -299,7 +302,7 @@ def infer(params, hp: VitsHParams,
 
     y_mask = nn.sequence_mask(y_lengths, max_frames)[..., None].astype(dtype)
     attn_mask = y_mask * jnp.swapaxes(x_mask, 1, 2)  # [B, T_y, T_x]
-    attn = nn.generate_path(w_ceil, attn_mask)
+    attn = nn.generate_path(w_ceil.astype(dtype), attn_mask)
 
     m_p_exp = jnp.einsum("byx,bxc->byc", attn, m_p)
     logs_p_exp = jnp.einsum("byx,bxc->byc", attn, logs_p)
@@ -307,7 +310,8 @@ def infer(params, hp: VitsHParams,
     if prior_noise is None:
         rng, sub = jax.random.split(rng)
         prior_noise = jax.random.normal(sub, m_p_exp.shape, dtype)
-    z_p = m_p_exp + prior_noise * jnp.exp(logs_p_exp) * noise_scale
+    z_p = m_p_exp + prior_noise.astype(dtype) * jnp.exp(logs_p_exp) \
+        * jnp.asarray(noise_scale, dtype)
     z = posterior.coupling_flow(params["flow"], z_p, y_mask, g=g,
                                 reverse=True)
     audio = hifigan.generator(params["dec"], z * y_mask, g=g)
@@ -325,7 +329,7 @@ def infer_durations(params, hp: VitsHParams, x_ids: Array, x_lengths: Array,
     sum(w_ceil) and dispatches phase 2 (:func:`infer_decode`).
     """
     b, t_x = x_ids.shape
-    dtype = jnp.float32
+    dtype = params["enc_p"]["emb"]["weight"].dtype
     x_mask = nn.sequence_mask(x_lengths, t_x)[..., None].astype(dtype)
     x, m_p, logs_p = encoder.text_encoder(params["enc_p"], x_ids, x_mask)
     g = _speaker_embedding(params, hp, sid, b)
@@ -335,11 +339,13 @@ def infer_durations(params, hp: VitsHParams, x_ids: Array, x_lengths: Array,
         dp_noise = jax.random.normal(sub, (b, t_x, 2), dtype)
     if hp.use_sdp:
         logw = duration.sdp_reverse(
-            params["dp"], x, x_mask, dp_noise * noise_w, g=g
+            params["dp"], x, x_mask,
+            dp_noise.astype(dtype) * jnp.asarray(noise_w, dtype), g=g,
         )
     else:
         logw = duration.duration_predictor(params["dp"], x, x_mask, g=g)
-    w = jnp.exp(logw) * x_mask * length_scale
+    w = jnp.exp(logw.astype(jnp.float32)) * x_mask.astype(jnp.float32) \
+        * length_scale
     w_ceil = jnp.ceil(w)[..., 0]
     return m_p, logs_p, w_ceil, x_mask, g
 
@@ -355,7 +361,7 @@ def infer_decode(params, hp: VitsHParams, m_p: Array, logs_p: Array,
     y_lengths = jnp.minimum(y_lengths, max_frames)
     y_mask = nn.sequence_mask(y_lengths, max_frames)[..., None].astype(dtype)
     attn_mask = y_mask * jnp.swapaxes(x_mask, 1, 2)
-    attn = nn.generate_path(w_ceil, attn_mask)
+    attn = nn.generate_path(w_ceil.astype(dtype), attn_mask)
 
     m_p_exp = jnp.einsum("byx,bxc->byc", attn, m_p)
     logs_p_exp = jnp.einsum("byx,bxc->byc", attn, logs_p)
@@ -363,7 +369,8 @@ def infer_decode(params, hp: VitsHParams, m_p: Array, logs_p: Array,
     if prior_noise is None:
         rng, sub = jax.random.split(rng)
         prior_noise = jax.random.normal(sub, m_p_exp.shape, dtype)
-    z_p = m_p_exp + prior_noise * jnp.exp(logs_p_exp) * noise_scale
+    z_p = m_p_exp + prior_noise.astype(dtype) * jnp.exp(logs_p_exp) \
+        * jnp.asarray(noise_scale, dtype)
     z = posterior.coupling_flow(params["flow"], z_p, y_mask, g=g,
                                 reverse=True)
     audio = hifigan.generator(params["dec"], z * y_mask, g=g)

@@ -302,9 +302,12 @@ def conv_flow(params, x: Array, x_mask: Array, g: Optional[Array] = None,
     unnorm_heights = h[..., num_bins:2 * num_bins] * scale
     unnorm_derivs = h[..., 2 * num_bins:]
 
+    # plain float: the StaticFloat wrapper is not a weak scalar to JAX and
+    # would silently promote bf16 activations to f32
     x1, logabsdet = piecewise_rational_quadratic_transform(
         x1, unnorm_widths, unnorm_heights, unnorm_derivs,
-        inverse=reverse, tails="linear", tail_bound=params["tail_bound"],
+        inverse=reverse, tails="linear",
+        tail_bound=float(params["tail_bound"]),
     )
 
     out = jnp.concatenate([x0, x1], axis=-1) * x_mask
