@@ -318,6 +318,32 @@ def infer(params, hp: VitsHParams,
     return audio, y_lengths, attn
 
 
+def voice_conversion(params, hp: VitsHParams, spec: Array,
+                     spec_lengths: Array, sid_src: Array, sid_tgt: Array,
+                     rng: Array):
+    """Convert an utterance between speakers (models.py:724-732).
+
+    spec [B, T, C_spec] -> waveform in the target speaker's voice; requires
+    a multi-speaker training checkpoint (posterior encoder weights).
+    """
+    if hp.n_speakers <= 1:
+        raise ValueError("voice conversion requires a multi-speaker model")
+    b, t_y = spec.shape[:2]
+    y_mask = nn.sequence_mask(spec_lengths, t_y)[..., None].astype(spec.dtype)
+    g_src = nn.embedding(params["emb_g"], sid_src)[:, None, :]
+    g_tgt = nn.embedding(params["emb_g"], sid_tgt)[:, None, :]
+
+    noise = jax.random.normal(rng, (b, t_y, hp.inter_channels), spec.dtype)
+    z, _m_q, _logs_q = posterior.posterior_encoder(
+        params["enc_q"], spec, y_mask, noise, g=g_src,
+    )
+    z_p = posterior.coupling_flow(params["flow"], z, y_mask, g=g_src)
+    z_hat = posterior.coupling_flow(params["flow"], z_p, y_mask, g=g_tgt,
+                                    reverse=True)
+    audio = hifigan.generator(params["dec"], z_hat * y_mask, g=g_tgt)
+    return audio, y_mask
+
+
 def infer_durations(params, hp: VitsHParams, x_ids: Array, x_lengths: Array,
                     length_scale: Array, noise_w: Array,
                     sid: Optional[Array] = None,

@@ -287,6 +287,78 @@ class TTSVoice:
                 wav_file.writeframes(silence_bytes)
             wav_file.writeframes(chunk.audio_int16_bytes)
 
+    def synthesize_batch(
+        self,
+        texts: List[str],
+        syn_config: Optional[SynthesisConfig] = None,
+    ) -> List[np.ndarray]:
+        """Batched multi-utterance synthesis (one waveform per text).
+
+        All sentences across all texts are phonemized, padded into shape
+        buckets, and decoded together — the high-throughput serving path
+        (see bench.py: batch-16 decodes >100k audio-sec/sec/chip).
+        """
+        if syn_config is None:
+            syn_config = SynthesisConfig()
+
+        per_text_ids: List[List[List[int]]] = []
+        flat_ids: List[List[int]] = []
+        for text in texts:
+            if self.phonetic_spellings and \
+                    syn_config.enable_phonetic_spellings:
+                text = self.phonetic_spellings.apply(text)
+            if syn_config.add_diacritics:
+                text = self.phonemizer.add_diacritics(
+                    text, self.config.lang_code
+                )
+            sentence_ids = [
+                self.phonemes_to_ids(ph)
+                for ph in self.phonemize(text) if ph
+            ]
+            sentence_ids = [ids for ids in sentence_ids if ids]
+            per_text_ids.append(sentence_ids)
+            flat_ids.extend(sentence_ids)
+
+        if not flat_ids:
+            return [np.zeros(0, np.float32) for _ in texts]
+
+        length_scale = (syn_config.length_scale
+                        if syn_config.length_scale is not None
+                        else self.config.length_scale)
+        noise_scale = (syn_config.noise_scale
+                       if syn_config.noise_scale is not None
+                       else self.config.noise_scale)
+        noise_w = (syn_config.noise_w_scale
+                   if syn_config.noise_w_scale is not None
+                   else self.config.noise_w_scale)
+        audio, frame_lengths = self.engine.synthesize_batch(
+            flat_ids,
+            noise_scale=float(noise_scale),
+            length_scale=float(length_scale),
+            noise_w=float(noise_w),
+            speaker_ids=[syn_config.speaker_id or 0] * len(flat_ids),
+            seed=syn_config.seed,
+        )
+        upsample = self.engine.hp.total_upsample
+
+        outputs: List[np.ndarray] = []
+        cursor = 0
+        for sentence_ids in per_text_ids:
+            pieces = []
+            for _ in sentence_ids:
+                n = frame_lengths[cursor] * upsample
+                pieces.append(audio[cursor][:n])
+                cursor += 1
+            wav = (np.concatenate(pieces) if pieces
+                   else np.zeros(0, np.float32))
+            if syn_config.normalize_audio and len(wav):
+                peak = np.max(np.abs(wav))
+                wav = wav / peak if peak > 1e-8 else np.zeros_like(wav)
+            if syn_config.volume != 1.0:
+                wav = wav * syn_config.volume
+            outputs.append(np.clip(wav, -1.0, 1.0).astype(np.float32))
+        return outputs
+
     def phoneme_ids_to_audio(
         self, phoneme_ids: List[int],
         syn_config: Optional[SynthesisConfig] = None,

@@ -140,3 +140,47 @@ def test_engine_bucketing(voice_files):
     # trimmed to true frame counts * upsample factor
     assert len(short) % SMALL_HP.total_upsample == 0
     assert len(longer) % SMALL_HP.total_upsample == 0
+
+
+def test_voice_conversion(tmp_path):
+    """voice_conversion between speakers on a multi-speaker model."""
+    from dataclasses import replace
+
+    import jax.numpy as jnp
+
+    from phoonnx_tpu.models.vits.model import voice_conversion
+
+    hp = replace(SMALL_HP, n_speakers=3, gin_channels=16)
+    params = random_params(jax.random.PRNGKey(1), hp)
+    spec = jnp.asarray(
+        np.random.default_rng(0).standard_normal(
+            (1, 24, hp.spec_channels)
+        ).astype(np.float32) ** 2
+    )
+    audio, y_mask = voice_conversion(
+        params, hp, spec, jnp.asarray([24]),
+        jnp.asarray([0]), jnp.asarray([2]), jax.random.PRNGKey(2),
+    )
+    assert audio.shape == (1, 24 * hp.total_upsample)
+    assert np.isfinite(np.asarray(audio)).all()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        voice_conversion(
+            params, SMALL_HP, spec, jnp.asarray([24]),
+            jnp.asarray([0]), jnp.asarray([1]), jax.random.PRNGKey(2),
+        )
+
+
+def test_voice_synthesize_batch(voice_files):
+    from phoonnx_tpu import SynthesisConfig, TTSVoice
+
+    model_path, config_path, _, _ = voice_files
+    voice = TTSVoice.load(str(model_path), str(config_path))
+    outs = voice.synthesize_batch(
+        ["[[abc]]", "[[de fg]]"], SynthesisConfig(seed=3)
+    )
+    assert len(outs) == 2
+    assert all(o.ndim == 1 and len(o) > 0 for o in outs)
+    assert all(np.abs(o).max() <= 1.0 for o in outs)
