@@ -46,20 +46,23 @@ def _conv2d(params, x, stride=(1, 1), padding=((0, 0), (0, 0))):
 
 
 def init_discriminator_p(rng, period: int, kernel_size: int = 5,
-                         stride: int = 3):
+                         stride: int = 3, channel_scale: int = 1):
     keys = jax.random.split(rng, 6)
-    channels = [(1, 32), (32, 128), (128, 512), (512, 1024)]
+    cs = channel_scale
+    channels = [(1, 32 // cs), (32 // cs, 128 // cs),
+                (128 // cs, 512 // cs), (512 // cs, 1024 // cs)]
     convs = [
         _init_wn_conv2d(keys[i], out_ch, in_ch, (kernel_size, 1))
         for i, (in_ch, out_ch) in enumerate(channels)
     ]
-    convs.append(_init_wn_conv2d(keys[4], 1024, 1024, (kernel_size, 1)))
+    convs.append(_init_wn_conv2d(keys[4], 1024 // cs, 1024 // cs,
+                                 (kernel_size, 1)))
     return {
         "period": StaticInt(period),
         "kernel_size": StaticInt(kernel_size),
         "stride": StaticInt(stride),
         "convs": convs,
-        "conv_post": _init_wn_conv2d(keys[5], 1, 1024, (3, 1)),
+        "conv_post": _init_wn_conv2d(keys[5], 1, 1024 // cs, (3, 1)),
     }
 
 
@@ -88,15 +91,16 @@ def discriminator_p(params, y: Array) -> Tuple[Array, List[Array]]:
     return x.reshape(b, -1), fmap
 
 
-def init_discriminator_s(rng):
+def init_discriminator_s(rng, channel_scale: int = 1):
     keys = jax.random.split(rng, 7)
+    cs = channel_scale
     specs = [  # (in, out, kernel, stride, groups, padding)
-        (1, 16, 15, 1, 1, 7),
-        (16, 64, 41, 4, 4, 20),
-        (64, 256, 41, 4, 16, 20),
-        (256, 1024, 41, 4, 64, 20),
-        (1024, 1024, 41, 4, 256, 20),
-        (1024, 1024, 5, 1, 1, 2),
+        (1, 16 // cs, 15, 1, 1, 7),
+        (16 // cs, 64 // cs, 41, 4, 4, 20),
+        (64 // cs, 256 // cs, 41, 4, 16 // cs if cs <= 4 else 4, 20),
+        (256 // cs, 1024 // cs, 41, 4, 64 // cs, 20),
+        (1024 // cs, 1024 // cs, 41, 4, 256 // cs, 20),
+        (1024 // cs, 1024 // cs, 5, 1, 1, 2),
     ]
     convs = []
     for key, (in_ch, out_ch, k, s, groups, p) in zip(keys, specs):
@@ -107,7 +111,7 @@ def init_discriminator_s(rng):
         convs.append(conv)
     return {
         "convs": convs,
-        "conv_post": nn.init_wn_conv(keys[6], 1, 1024, 3),
+        "conv_post": nn.init_wn_conv(keys[6], 1, 1024 // cs, 3),
     }
 
 
@@ -128,13 +132,17 @@ def discriminator_s(params, y: Array) -> Tuple[Array, List[Array]]:
     return x.reshape(x.shape[0], -1), fmap
 
 
-def init_multi_period_discriminator(rng):
-    keys = jax.random.split(rng, len(PERIODS) + 1)
+def init_multi_period_discriminator(rng, periods=PERIODS,
+                                    channel_scale: int = 1):
+    """periods/channel_scale are test knobs; defaults match the reference
+    (periods (2,3,5,7,11), channels up to 1024, models.py:495-519)."""
+    keys = jax.random.split(rng, len(periods) + 1)
     return {
-        "msd": init_discriminator_s(keys[0]),
+        "msd": init_discriminator_s(keys[0], channel_scale=channel_scale),
         "mpd": [
-            init_discriminator_p(keys[i + 1], p)
-            for i, p in enumerate(PERIODS)
+            init_discriminator_p(keys[i + 1], p,
+                                 channel_scale=channel_scale)
+            for i, p in enumerate(periods)
         ],
     }
 

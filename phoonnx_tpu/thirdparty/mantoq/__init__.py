@@ -1,165 +1,119 @@
-"""Arabic G2P: text -> Buckwalter-style phoneme tokens.
+"""Arabic G2P: text -> Buckwalter-style phoneme tokens (mantoq pipeline).
 
-Capability rebuild of phoonnx/thirdparty/mantoq (mhashim6/Mantoq):
-normalization of Arabic orthography, number expansion, and rule-based
-phonetization of (ideally diacritized) text into Buckwalter-like tokens
-with ``_+_`` word separators, consumable by
+Capability rebuild of phoonnx/thirdparty/mantoq: punctuation folding,
+number verbalization, the MSA phonetisation rule cascade
+(:mod:`phoonnx_tpu.thirdparty.mantoq.phonetise`, golden-tested against the
+reference), vowel simplification, and tokenization with ``_dbl_``
+(gemination) and ``_+_`` (word separator) markers, consumable by
 :mod:`phoonnx_tpu.thirdparty.bw2ipa`.
-
-This is a from-scratch implementation of the same contract. For best
-results, run :class:`~phoonnx_tpu.thirdparty.tashkeel.TashkeelDiacritizer`
-first (the reference pipeline does the same via ``add_diacritics``).
 """
 
 import re
-from typing import List, Tuple
+from typing import Dict, List, Tuple
 
 from phoonnx_tpu.thirdparty.mantoq.num2words import arabic_num2words
+from phoonnx_tpu.thirdparty.mantoq.phonetise import (
+    arabic_to_buckwalter,
+    buckwalter_to_arabic,
+    process_utterance,
+)
 
-# Arabic codepoint -> Buckwalter consonant/letter
-_AR2BW = {
-    "ء": "'",   # hamza
-    "آ": "'A",  # alef madda -> glottal + long a
-    "أ": "'",   # alef hamza above
-    "ؤ": "'",   # waw hamza
-    "إ": "'",   # alef hamza below
-    "ئ": "'",   # yeh hamza
-    "ا": "A",   # alef (long a)
-    "ب": "b",
-    "ة": "p",   # teh marbuta (handled contextually)
-    "ت": "t",
-    "ث": "v",   # thaa -> IPA θ (v in mantoq inventory maps to θ via *)
-    "ج": "j",
-    "ح": "H",
-    "خ": "x",
-    "د": "d",
-    "ذ": "*",   # dhal -> ð
-    "ر": "r",
-    "ز": "z",
-    "س": "s",
-    "ش": "$",   # sheen -> ʃ
-    "ص": "S",
-    "ض": "D",
-    "ط": "T",
-    "ظ": "Z",
-    "ع": "E",   # ain
-    "غ": "g",   # ghain
-    "ف": "f",
-    "ق": "q",
-    "ك": "k",
-    "ل": "l",
-    "م": "m",
-    "ن": "n",
-    "ه": "h",
-    "و": "w",
-    "ى": "A",   # alef maqsura -> long a
-    "ي": "y",
+PADDING_TOKEN = "_pad_"
+EOS_TOKEN = "_eos_"
+DOUBLING_TOKEN = "_dbl_"
+SEPARATOR_TOKEN = "_+_"
+WORD_SEP = SEPARATOR_TOKEN
+
+# Arabic punctuation / quotes / brackets folded to ASCII equivalents
+_AR_PUNCS = str.maketrans("،؟؛", ",?;")
+_QUOTES = str.maketrans("“”„«»", '"' * 5)
+_BRACKETS = str.maketrans("[]{}", "()()")
+
+_VOWEL_SIMPLIFY: Dict[str, str] = {
+    "aa": "aa", "AA": "aa", "uu0": "uu", "uu1": "uu", "UU0": "uu",
+    "UU1": "uu", "ii0": "ii", "ii1": "ii", "II0": "ii", "II1": "ii",
+    "a": "a", "A": "a", "u0": "u", "u1": "u", "U0": "u", "U1": "u",
+    "i0": "i", "i1": "i", "I0": "i", "I1": "i",
+}
+# Exact reference inventory (tokenization.py:5-26): bare "uu"/"ii" are NOT
+# in it, so post-simplification long u/i tokenize as short + _dbl_ (a
+# reference quirk that checkpoints were trained with).
+_RAW_VOWELS = {
+    "aa", "AA", "uu0", "uu1", "UU0", "UU1", "ii0", "ii1", "II0", "II1",
+    "a", "A", "u0", "u1", "U0", "U1", "i0", "i1", "I0", "I1",
 }
 
-# short vowel diacritics
-_HARAKAT = {
-    "َ": "a",  # fatha
-    "ُ": "u",  # damma
-    "ِ": "i",  # kasra
-}
-_TANWEEN = {
-    "ً": "an",  # fathatan
-    "ٌ": "un",  # dammatan
-    "ٍ": "in",  # kasratan
-}
-_SUKUN = "ْ"
-_SHADDA = "ّ"
-_TATWEEL = "ـ"
 
-_SUN_LETTERS = set("tv*drzs$SDTZln")
-
-WORD_SEP = "_+_"
+def simplify_phonemes(phonemes: str) -> str:
+    for src, dst in _VOWEL_SIMPLIFY.items():
+        phonemes = phonemes.replace(src, dst)
+    return phonemes
 
 
-def normalize(text: str) -> str:
-    """Orthographic cleanup: strip tatweel, unify spacing, keep harakat."""
-    text = text.replace(_TATWEEL, "")
-    text = re.sub(r"\s+", " ", text).strip()
-    return text
-
-
-def _expand_numbers(text: str) -> str:
-    return re.sub(
-        r"\d+(?:[.,]\d+)?",
-        lambda m: arabic_num2words(m.group(0)),
-        text,
-    )
-
-
-def _word_to_tokens(word: str) -> List[str]:
-    """One Arabic word -> Buckwalter token list with _dbl_ markers."""
-    tokens: List[str] = []
-    chars = list(word)
+def phonemes_to_tokens(phonemes: str, append_space: bool = False
+                       ) -> List[str]:
+    """'ph ph + ph' string -> token list with _dbl_/_+_ markers."""
+    tokens = phonemes.replace("sil", "").replace("+", SEPARATOR_TOKEN).split()
     i = 0
-    n = len(chars)
-
-    # definite article assimilation: Al + sun letter
-    def last_consonant() -> str:
-        for tok in reversed(tokens):
-            if tok not in ("a", "i", "u", "_dbl_"):
-                return tok
-        return ""
-
-    while i < n:
-        ch = chars[i]
-        if ch in _AR2BW:
-            bw = _AR2BW[ch]
-            if ch == "ة":  # teh marbuta: 't' unless word-final
-                is_final = all(
-                    c in _HARAKAT or c in _TANWEEN or c in (_SUKUN, _SHADDA)
-                    for c in chars[i + 1:]
-                )
-                bw = "h" if is_final and not any(
-                    c in _TANWEEN for c in chars[i + 1:]
-                ) else "t"
-            tokens.extend(list(bw) if len(bw) > 1 and bw != "'A" else [bw]
-                          if bw != "'A" else ["'", "A"])
-        elif ch in _HARAKAT:
-            tokens.append(_HARAKAT[ch])
-        elif ch in _TANWEEN:
-            tokens.extend(list(_TANWEEN[ch]))
-        elif ch == _SHADDA:
-            tokens.append("_dbl_")
-        elif ch == _SUKUN:
-            pass  # explicit absence of vowel
-        else:
-            # non-Arabic character: keep as-is
-            tokens.append(ch)
+    while i < len(tokens):
+        tok = tokens[i]
+        if (len(tok) == 2 and tok not in _RAW_VOWELS
+                and tok[0] == tok[1]):
+            tokens[i] = tok[0]
+            tokens.insert(i + 1, DOUBLING_TOKEN)
+        if tokens[i] in _VOWEL_SIMPLIFY:
+            tokens[i] = _VOWEL_SIMPLIFY[tokens[i]]
         i += 1
-
-    # sun-letter assimilation: 'Al' + sun letter -> l dropped, gemination
-    if len(tokens) >= 3 and tokens[0] == "A" and tokens[1] == "l":
-        nxt = tokens[2] if tokens[2] not in ("a", "i", "u") else (
-            tokens[3] if len(tokens) > 3 else "")
-        if nxt in _SUN_LETTERS:
-            tokens = ["a"] + tokens[2:] + []
-            # geminate the sun letter
-            idx = 1
-            tokens.insert(idx + 1, "_dbl_")
-        else:
-            tokens = ["a", "l"] + tokens[2:]
+    if append_space:
+        tokens.append(SEPARATOR_TOKEN)
+    tokens.append(EOS_TOKEN)
     return tokens
 
 
-def g2p(text: str) -> Tuple[str, List[str]]:
+def num2words(text: str) -> str:
+    r"""Replace integer digit runs with Arabic number words.
+
+    Like the reference (mantoq/num2words.py:8), only ``\d+`` runs are
+    substituted — a decimal point stays as punctuation between the two
+    parts. The wordings come from our own num2words backend (divergence:
+    pyarabic's diacritized feminine forms vs our plain forms).
+    """
+    text = re.sub("[٠-٩]", lambda m: str(ord(m.group(0)) - 0x660), text)
+    return re.sub(r"\d+", lambda m: arabic_num2words(m.group(0)), text)
+
+
+def normalize(text: str) -> str:
+    text = text.translate(_AR_PUNCS).translate(_QUOTES).translate(_BRACKETS)
+    return re.sub(r"\s+", " ", text).strip()
+
+
+def arabic_to_phonemes(text: str) -> str:
+    return process_utterance(arabic_to_buckwalter(text))
+
+
+def g2p(text: str, process_numbers: bool = True,
+        append_eos: bool = False) -> Tuple[str, List[str]]:
     """Arabic text -> (normalized_text, phoneme token list).
 
-    Matches the reference call surface (thirdparty/mantoq/__init__.py:24):
-    tokens join with ``_+_`` between words.
+    Matches the reference surface (thirdparty/mantoq/__init__.py:24-39):
+    tokens use ``_+_`` between words and ``_dbl_`` for gemination; the
+    trailing EOS token is dropped unless requested.
     """
-    normalized = normalize(_expand_numbers(text))
-    words = [w for w in re.split(r"[\s]+", normalized) if w]
-    tokens: List[str] = []
-    for idx, word in enumerate(words):
-        word = re.sub(r"[^\w؀-ۿ]+", "", word)
-        if not word:
-            continue
-        if idx and tokens:
-            tokens.append(WORD_SEP)
-        tokens.extend(_word_to_tokens(word))
-    return normalized, tokens
+    text = normalize(text)
+    if process_numbers:
+        text = num2words(text)
+    normalized_text = text
+    phones = arabic_to_phonemes(text)
+    phones = simplify_phonemes(phones)
+    tokens = phonemes_to_tokens(phones)
+    if not append_eos:
+        tokens = tokens[:-1]
+    return normalized_text, tokens
+
+
+__all__ = [
+    "g2p", "arabic_to_buckwalter", "buckwalter_to_arabic",
+    "arabic_to_phonemes", "simplify_phonemes", "phonemes_to_tokens",
+    "num2words", "DOUBLING_TOKEN", "SEPARATOR_TOKEN", "EOS_TOKEN",
+    "WORD_SEP",
+]

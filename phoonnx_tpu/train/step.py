@@ -35,6 +35,8 @@ class TrainConfig(NamedTuple):
     c_mel: float = 45.0
     c_kl: float = 1.0
     grad_clip: Optional[float] = None
+    disc_periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
+    disc_channel_scale: int = 1  # >1 shrinks the discriminator (tests)
 
 
 class TrainState(NamedTuple):
@@ -66,7 +68,10 @@ def init_train_state(rng: Array, hp: VitsHParams,
                      cfg: TrainConfig) -> TrainState:
     rng_g, rng_d = jax.random.split(rng)
     params_g = vits_model.random_params(rng_g, hp)
-    params_d = disc.init_multi_period_discriminator(rng_d)
+    params_d = disc.init_multi_period_discriminator(
+        rng_d, periods=cfg.disc_periods,
+        channel_scale=cfg.disc_channel_scale,
+    )
     optimizer = make_optimizer(cfg)
     return TrainState(
         params_g=params_g,

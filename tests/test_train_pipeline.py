@@ -104,7 +104,8 @@ def test_train_export_load_roundtrip(preprocessed, tmp_path):
         utterances, batch_size=2, segment_size_frames=hp.segment_size,
         hop_length=hp.hop_length, spec_pad_multiple=32,
     )
-    cfg = TrainConfig(steps_per_epoch=3)
+    cfg = TrainConfig(steps_per_epoch=3, disc_periods=(2, 3),
+                      disc_channel_scale=4)
     state = init_train_state(jax.random.PRNGKey(0), hp, cfg)
 
     batch = next(iter(loader.epoch()))

@@ -64,7 +64,8 @@ def make_batch(batch_size=2, t_x=12, t_y=40):
 
 @pytest.fixture(scope="module")
 def cfg():
-    return TrainConfig(steps_per_epoch=10)
+    return TrainConfig(steps_per_epoch=10, disc_periods=(2, 3),
+                       disc_channel_scale=4)
 
 
 def test_single_step_updates_params(cfg):
