@@ -5,3 +5,4 @@ VERSION_MINOR = 1
 VERSION_BUILD = 0
 
 __version__ = f"{VERSION_MAJOR}.{VERSION_MINOR}.{VERSION_BUILD}"
+VERSION_STR = __version__
