@@ -256,12 +256,82 @@ def _de_int(n: int) -> str:
     return head + (" " + _de_int(rest) if rest else "")
 
 
+_IT_ONES = [
+    "zero", "uno", "due", "tre", "quattro", "cinque", "sei", "sette",
+    "otto", "nove", "dieci", "undici", "dodici", "tredici", "quattordici",
+    "quindici", "sedici", "diciassette", "diciotto", "diciannove",
+]
+_IT_TENS = ["", "", "venti", "trenta", "quaranta", "cinquanta", "sessanta",
+            "settanta", "ottanta", "novanta"]
+
+
+def _it_int(n: int) -> str:
+    if n < 0:
+        return "meno " + _it_int(-n)
+    if n < 20:
+        return _IT_ONES[n]
+    if n < 100:
+        tens, ones = divmod(n, 10)
+        stem = _IT_TENS[tens]
+        if ones in (1, 8):  # elision: ventuno, ventotto
+            stem = stem[:-1]
+        return stem + (_IT_ONES[ones] if ones else "")
+    if n < 1000:
+        hundreds, rest = divmod(n, 100)
+        head = ("cento" if hundreds == 1 else _IT_ONES[hundreds] + "cento")
+        return head + (_it_int(rest) if rest else "")
+    if n < 10 ** 6:
+        thousands, rest = divmod(n, 1000)
+        head = "mille" if thousands == 1 else _it_int(thousands) + "mila"
+        return head + (_it_int(rest) if rest else "")
+    millions, rest = divmod(n, 10 ** 6)
+    head = ("un milione" if millions == 1
+            else _it_int(millions) + " milioni")
+    return head + (" " + _it_int(rest) if rest else "")
+
+
+_NL_ONES = [
+    "nul", "een", "twee", "drie", "vier", "vijf", "zes", "zeven", "acht",
+    "negen", "tien", "elf", "twaalf", "dertien", "veertien", "vijftien",
+    "zestien", "zeventien", "achttien", "negentien",
+]
+_NL_TENS = ["", "", "twintig", "dertig", "veertig", "vijftig", "zestig",
+            "zeventig", "tachtig", "negentig"]
+
+
+def _nl_int(n: int) -> str:
+    if n < 0:
+        return "min " + _nl_int(-n)
+    if n < 20:
+        return _NL_ONES[n]
+    if n < 100:
+        tens, ones = divmod(n, 10)
+        if ones:
+            joiner = "ën" if _NL_ONES[ones].endswith("e") else "en"
+            return _NL_ONES[ones] + joiner + _NL_TENS[tens]
+        return _NL_TENS[tens]
+    if n < 1000:
+        hundreds, rest = divmod(n, 100)
+        head = ("honderd" if hundreds == 1
+                else _NL_ONES[hundreds] + "honderd")
+        return head + (_nl_int(rest) if rest else "")
+    if n < 10 ** 6:
+        thousands, rest = divmod(n, 1000)
+        head = ("duizend" if thousands == 1
+                else _nl_int(thousands) + "duizend")
+        return head + (" " + _nl_int(rest) if rest else "")
+    millions, rest = divmod(n, 10 ** 6)
+    head = ("een miljoen" if millions == 1
+            else _nl_int(millions) + " miljoen")
+    return head + (" " + _nl_int(rest) if rest else "")
+
+
 _INT_BACKENDS = {"en": _en_int, "pt": _pt_int, "es": _es_int, "fr": _fr_int,
-                 "de": _de_int}
+                 "de": _de_int, "it": _it_int, "nl": _nl_int}
 _DECIMAL_POINT = {"en": "point", "pt": "vírgula", "es": "coma", "fr": "virgule",
-                  "de": "Komma"}
+                  "de": "Komma", "it": "virgola", "nl": "komma"}
 _MINUS = {"en": "minus", "pt": "menos", "es": "menos", "fr": "moins",
-          "de": "minus"}
+          "de": "minus", "it": "meno", "nl": "min"}
 
 
 def spell_digits(digits: str, lang: str) -> str:

@@ -478,3 +478,58 @@ _OPS = {
     "LSTM": _op_lstm,
     "GRU": _op_gru,
 }
+
+
+def _op_gather_elements(node, data, indices):
+    axis = _attr(node, "axis", 0)
+    return np.take_along_axis(data, np.asarray(indices, np.int64), axis=axis)
+
+
+def _op_conv_transpose(node, x, w, b=None):
+    """1D/2D transposed conv (torch layout [I, O/g, K...])."""
+    import jax
+    import jax.numpy as jnp
+
+    spatial = x.ndim - 2
+    strides = tuple(_attr(node, "strides", [1] * spatial))
+    pads = list(_attr(node, "pads", [0] * (2 * spatial)))
+    group = _attr(node, "group", 1)
+    if group != 1:
+        raise NotImplementedError("grouped ConvTranspose")
+    kernel = w.shape[2:]
+    pad_pairs = [
+        (kernel[i] - 1 - pads[i], kernel[i] - 1 - pads[i + spatial])
+        for i in range(spatial)
+    ]
+    dims = ("NCH", "IOH", "NCH") if spatial == 1 else ("NCHW", "IOHW", "NCHW")
+    flipped = np.flip(w, axis=tuple(range(2, w.ndim))).copy()
+    out = jax.lax.conv_general_dilated(
+        jnp.asarray(x, jnp.float32), jnp.asarray(flipped, jnp.float32),
+        window_strides=(1,) * spatial, padding=pad_pairs,
+        lhs_dilation=strides, dimension_numbers=dims,
+    )
+    out = np.asarray(out)
+    if b is not None:
+        out = out + b.reshape((1, -1) + (1,) * spatial)
+    return out.astype(np.float32)
+
+
+def _op_random_normal_like(node, x):
+    scale = _attr(node, "scale", 1.0)
+    mean = _attr(node, "mean", 0.0)
+    seed = _attr(node, "seed")
+    rng = np.random.default_rng(None if seed is None else int(seed))
+    return (mean + scale * rng.standard_normal(x.shape)).astype(np.float32)
+
+
+_OPS.update({
+    "GatherElements": _op_gather_elements,
+    "Softplus": _op_unary(
+        lambda x: np.logaddexp(0.0, x).astype(np.float32)
+    ),
+    "LeakyRelu": lambda node, x: np.where(
+        x >= 0, x, x * _attr(node, "alpha", 0.01)
+    ).astype(np.float32),
+    "ConvTranspose": _op_conv_transpose,
+    "RandomNormalLike": _op_random_normal_like,
+})

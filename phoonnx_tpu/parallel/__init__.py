@@ -5,5 +5,6 @@ from phoonnx_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     replicated,
     shard_batch,
+    shard_params_tp,
     shard_train_state,
 )

@@ -60,3 +60,46 @@ def shard_train_state(mesh: Mesh, state: Any) -> Any:
         lambda a: jax.device_put(a, rep) if hasattr(a, "shape") else a,
         state,
     )
+
+
+# ---------------------------------------------------------------------------
+# Tensor parallelism over the `model` axis
+# ---------------------------------------------------------------------------
+
+_TP_MIN_DIM = 64  # only shard matrices with a large enough channel dim
+
+
+def _tp_spec_for(path_keys, array, n_model: int) -> P:
+    """Partition rule for one parameter.
+
+    Large conv/linear kernels shard their output-channel dim (dim 0 for
+    [O, I, K] conv weights) over `model` when divisible; everything else
+    replicates. With GSPMD this yields 1D tensor parallelism: each shard
+    computes its slice of the output channels and XLA inserts the
+    all-gathers where a replicated activation is required.
+    """
+    if not hasattr(array, "shape") or array.ndim < 2:
+        return P()
+    leading = array.shape[0]
+    if leading >= _TP_MIN_DIM and leading % n_model == 0:
+        return P(MODEL_AXIS, *([None] * (array.ndim - 1)))
+    return P()
+
+
+def shard_params_tp(mesh: Mesh, params: Any) -> Any:
+    """Place a parameter tree with output-channel TP over `model`.
+
+    The VITS voices are small enough that DP alone matches the reference's
+    scale (SURVEY §2.9); this layout exercises the reserved `model` axis so
+    larger variants can split weight memory/FLOPs across chips without
+    re-plumbing.
+    """
+    n_model = mesh.shape[MODEL_AXIS]
+
+    def place(path, a):
+        if not hasattr(a, "shape"):
+            return a
+        spec = _tp_spec_for(path, a, n_model)
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)

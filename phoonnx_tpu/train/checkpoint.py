@@ -76,6 +76,32 @@ def restore(path: str, target_state):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def restore_generator(path: str, hp):
+    """Load only the generator params from a train-state checkpoint.
+
+    Robust to training-side differences (discriminator size, optimizer
+    states): only ``.params_g`` leaves are read, into a fresh skeleton.
+    """
+    from phoonnx_tpu.models.vits.model import random_params
+
+    stored = np.load(path)
+    skeleton = random_params(jax.random.PRNGKey(0), hp)
+    paths_and_leaves, treedef = jax.tree_util.tree_flatten_with_path(skeleton)
+    leaves = []
+    for key_path, leaf in paths_and_leaves:
+        key = ".params_g" + jax.tree_util.keystr(key_path)
+        if key not in stored:
+            raise ValueError(f"checkpoint missing generator leaf {key}")
+        value = stored[key]
+        if tuple(leaf.shape) != value.shape:
+            raise ValueError(
+                f"shape mismatch for {key}: checkpoint {value.shape} "
+                f"vs model {tuple(leaf.shape)}"
+            )
+        leaves.append(value)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     base = Path(ckpt_dir)
     if not base.is_dir():

@@ -93,24 +93,19 @@ def run_export(
     quality: str = "medium",
     generate_tokens: bool = False,
     piper: bool = False,
+    executable_graph: bool = True,
 ) -> Path:
     from phoonnx_tpu.models.vits.load import params_to_flat
     from phoonnx_tpu.onnx.writer import write_onnx
-    from phoonnx_tpu.train.checkpoint import restore
-    from phoonnx_tpu.train.step import TrainConfig, init_train_state
+    from phoonnx_tpu.train.checkpoint import restore_generator
     from phoonnx_tpu.train.trainer import build_hparams
-
-    import jax
 
     with open(config_path, encoding="utf-8") as f:
         config = json.load(f)
     hp = build_hparams(config, quality)
 
-    # Rebuild the train-state skeleton and restore into it.
-    state = init_train_state(jax.random.PRNGKey(0), hp,
-                             TrainConfig(steps_per_epoch=1))
-    state = restore(checkpoint, state)
-    params = fold_decoder_weight_norm(state.params_g)
+    params_g = restore_generator(checkpoint, hp)
+    params = fold_decoder_weight_norm(params_g)
     flat = params_to_flat(params)
 
     output_path = Path(output_dir)
@@ -136,16 +131,27 @@ def run_export(
     if alphabet == "ipa" and phoneme_type == "espeak":
         metadata["comment"] = "piper"
 
-    inputs = ["input", "input_lengths", "scales"]
-    if hp.n_speakers > 1:
-        inputs.append("sid")
-    write_onnx(
-        str(model_output),
-        {k: np.asarray(v) for k, v in flat.items()},
-        metadata=metadata,
-        inputs=inputs,
-        outputs=["output"],
-    )
+    if executable_graph:
+        # Full opset-15 inference graph: runs under onnxruntime (piper
+        # ecosystem) and under phoonnx_tpu's executor; the initializers
+        # keep the reference names so it also reloads as a weight source.
+        from phoonnx_tpu.onnx.vits_graph import export_vits_onnx
+
+        export_vits_onnx(
+            {k: np.asarray(v) for k, v in flat.items()}, hp,
+            str(model_output), metadata=metadata,
+        )
+    else:
+        inputs = ["input", "input_lengths", "scales"]
+        if hp.n_speakers > 1:
+            inputs.append("sid")
+        write_onnx(
+            str(model_output),
+            {k: np.asarray(v) for k, v in flat.items()},
+            metadata=metadata,
+            inputs=inputs,
+            outputs=["output"],
+        )
     LOG.info("wrote %s (%d tensors)", model_output, len(flat))
 
     # config.json alongside the model for TTSVoice.load
@@ -172,6 +178,9 @@ def run_export(
 @click.option("--quality", default="medium")
 @click.option("--generate-tokens", is_flag=True)
 @click.option("--piper", is_flag=True)
+@click.option("--weights-only", "executable_graph", flag_value=False,
+              default=True, help="Write a weights-only container instead "
+              "of the executable inference graph")
 @click.option("--debug", is_flag=True)
 def main(**kwargs) -> None:
     debug = kwargs.pop("debug", False)

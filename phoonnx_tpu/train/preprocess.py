@@ -18,9 +18,9 @@ import csv
 import dataclasses
 import json
 import logging
+import multiprocessing
 import os
 from dataclasses import dataclass
-from multiprocessing import JoinableQueue, Process, Queue
 from pathlib import Path
 from typing import Any, Callable, Dict, Iterable, List, Optional, Set
 
@@ -99,7 +99,7 @@ def read_ljspeech(input_dir: Path, metadata_name: str = "metadata.csv"
                 LOG.warning("Missing audio file: %s", filename)
 
 
-def phonemize_worker(task_queue: JoinableQueue, result_queue: Queue,
+def phonemize_worker(task_queue, result_queue,
                      phonemizer, language: str, casing_name: str,
                      add_diacritics: bool, skip_audio: bool,
                      cache_dir: str, sample_rate: int,
@@ -193,10 +193,13 @@ def run_preprocess(
     )
 
     max_workers = max_workers or max(1, (os.cpu_count() or 2) - 1)
-    task_queue: JoinableQueue = JoinableQueue()
-    result_queue: Queue = Queue()
+    # spawn (not fork): workers import jax for the spectrogram cache, and
+    # forking a jax-initialized parent deadlocks in XLA's runtime locks.
+    ctx = multiprocessing.get_context("spawn")
+    task_queue = ctx.JoinableQueue()
+    result_queue = ctx.Queue()
     workers = [
-        Process(
+        ctx.Process(
             target=phonemize_worker,
             args=(task_queue, result_queue, phonemizer, language,
                   text_casing, add_diacritics, skip_audio, str(cache_dir),

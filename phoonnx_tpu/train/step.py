@@ -37,6 +37,7 @@ class TrainConfig(NamedTuple):
     grad_clip: Optional[float] = None
     disc_periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
     disc_channel_scale: int = 1  # >1 shrinks the discriminator (tests)
+    remat: bool = False  # rematerialize the generator forward (saves HBM)
 
 
 class TrainState(NamedTuple):
@@ -100,8 +101,17 @@ def train_step(state: TrainState, batch: Dict[str, Array], rng: Array,
     optimizer = make_optimizer(cfg)
     segment_samples = hp.segment_size * hp.hop_length
 
+    forward = vits_model.train_forward
+    if cfg.remat:
+        # Trade FLOPs for HBM: recompute generator activations in the
+        # backward pass (useful for the 'high' preset at large batch).
+        forward = jax.checkpoint(
+            vits_model.train_forward,
+            static_argnums=(1,),
+        )
+
     def generator_loss_fn(params_g, params_d):
-        out = vits_model.train_forward(
+        out = forward(
             params_g, hp, rng,
             batch["phoneme_ids"], batch["phoneme_lengths"],
             batch["spec"], batch["spec_lengths"],

@@ -75,6 +75,7 @@ def run_training(
     max_phoneme_ids: Optional[int] = None,
     learning_rate: float = 2e-4,
     grad_clip: Optional[float] = None,
+    remat: bool = False,
     seed: int = 1234,
     resume_from_checkpoint: Optional[str] = None,
     resume_from_single_speaker: Optional[str] = None,
@@ -109,6 +110,7 @@ def run_training(
         learning_rate=learning_rate,
         steps_per_epoch=max(len(train_loader), 1),
         grad_clip=grad_clip,
+        remat=remat,
     )
     state = init_train_state(jax.random.PRNGKey(seed), hp, cfg)
 
@@ -171,6 +173,8 @@ def run_training(
 @click.option("--max-phoneme-ids", default=None, type=int)
 @click.option("--learning-rate", default=2e-4, type=float)
 @click.option("--grad-clip", default=None, type=float)
+@click.option("--remat", is_flag=True,
+              help="Rematerialize generator activations (saves HBM)")
 @click.option("--seed", default=1234, type=int)
 @click.option("--resume-from-checkpoint", default=None)
 @click.option("--resume-from-single-speaker-checkpoint",

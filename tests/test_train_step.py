@@ -118,3 +118,30 @@ def test_dp_mesh_8_devices(cfg):
     # params remain replicated (same value everywhere)
     emb = new_state.params_g["enc_p"]["emb"]["weight"]
     assert emb.sharding.is_fully_replicated
+
+
+def test_tp_mesh_4x2(cfg):
+    """Train step with params tensor-parallel over a (4 data, 2 model) mesh."""
+    from functools import partial
+
+    from phoonnx_tpu.parallel import shard_params_tp
+    from phoonnx_tpu.parallel.mesh import make_mesh as _make_mesh
+
+    mesh = _make_mesh(n_data=4, n_model=2)
+    state = init_train_state(jax.random.PRNGKey(0), TRAIN_HP, cfg)
+    state = shard_train_state(mesh, state)
+    # shard the generator weights' output channels over `model`
+    state = state._replace(
+        params_g=shard_params_tp(mesh, state.params_g),
+        opt_g=shard_params_tp(mesh, state.opt_g),
+    )
+    batch = shard_batch(mesh, make_batch(batch_size=4))
+
+    step = jax.jit(partial(train_step, hp=TRAIN_HP, cfg=cfg))
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(5))
+    assert np.isfinite(float(metrics["loss_gen_all"]))
+    # at least one parameter actually ended up model-sharded
+    # (ffn conv_1 has 64 output channels >= the TP threshold)
+    ffn_w = new_state.params_g["enc_p"]["encoder"]["layers"][0]["ffn"][
+        "conv_1"]["weight"]
+    assert not ffn_w.sharding.is_fully_replicated

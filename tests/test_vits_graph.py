@@ -1,0 +1,117 @@
+"""Executable ONNX graph export: round-trip vs JAX inference."""
+
+from dataclasses import replace
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from phoonnx_tpu.models.vits.load import params_to_flat
+from phoonnx_tpu.models.vits.model import infer, random_params
+from phoonnx_tpu.onnx.executor import OnnxExecutor
+from phoonnx_tpu.onnx.reader import read_onnx
+from phoonnx_tpu.onnx.vits_graph import export_vits_onnx
+
+from .test_voice_e2e import SMALL_HP
+
+
+def _roundtrip(hp, params, feeds, tmp_path, deterministic=True):
+    flat = params_to_flat(params)
+    path = tmp_path / "graph.onnx"
+    export_vits_onnx(flat, hp, str(path), deterministic=deterministic,
+                     metadata={"model_type": "vits"})
+    model = read_onnx(str(path))
+    assert model.metadata["model_type"] == "vits"
+    return OnnxExecutor(model).run(feeds)[0]
+
+
+def test_graph_matches_jax(tmp_path):
+    hp = SMALL_HP
+    params = random_params(jax.random.PRNGKey(0), hp)
+    ids = np.array([[1, 5, 9, 3, 7, 2, 11, 13]], np.int64)
+    feeds = {
+        "input": ids,
+        "input_lengths": np.array([8], np.int64),
+        "scales": np.array([0.667, 1.0, 0.8], np.float32),
+    }
+    audio = _roundtrip(hp, params, feeds, tmp_path)
+    assert audio.ndim == 3 and audio.shape[1] == 1
+
+    frames = audio.shape[-1] // hp.total_upsample
+    jax_audio, y_len, _ = infer(
+        params, hp, jnp.asarray(ids.astype(np.int32)), jnp.asarray([8]),
+        max_frames=frames,
+        noise_scale=jnp.float32(0.667), length_scale=jnp.float32(1.0),
+        noise_w=jnp.float32(0.8),
+        dp_noise=jnp.zeros((1, 8, 2)),
+        prior_noise=jnp.zeros((1, frames, hp.inter_channels)),
+    )
+    n = int(y_len[0]) * hp.total_upsample
+    deviation = np.abs(audio[0, 0, :n] - np.asarray(jax_audio)[0, :n]).max()
+    assert deviation < 1e-4, deviation
+
+
+def test_graph_multispeaker(tmp_path):
+    hp = replace(SMALL_HP, n_speakers=3, gin_channels=16)
+    params = random_params(jax.random.PRNGKey(1), hp)
+    ids = np.array([[2, 4, 6, 8, 10, 12]], np.int64)
+    feeds = {
+        "input": ids,
+        "input_lengths": np.array([6], np.int64),
+        "scales": np.array([0.5, 1.2, 0.6], np.float32),
+        "sid": np.array([1], np.int64),
+    }
+    audio = _roundtrip(hp, params, feeds, tmp_path)
+    assert audio.shape[1] == 1 and audio.shape[-1] > 0
+
+    frames = audio.shape[-1] // hp.total_upsample
+    jax_audio, y_len, _ = infer(
+        params, hp, jnp.asarray(ids.astype(np.int32)), jnp.asarray([6]),
+        max_frames=frames,
+        noise_scale=jnp.float32(0.5), length_scale=jnp.float32(1.2),
+        noise_w=jnp.float32(0.6), sid=jnp.asarray([1]),
+        dp_noise=jnp.zeros((1, 6, 2)),
+        prior_noise=jnp.zeros((1, frames, hp.inter_channels)),
+    )
+    n = int(y_len[0]) * hp.total_upsample
+    deviation = np.abs(audio[0, 0, :n] - np.asarray(jax_audio)[0, :n]).max()
+    assert deviation < 1e-4, deviation
+
+
+def test_graph_stochastic_mode_runs(tmp_path):
+    """Production graph (RandomNormalLike noise) executes end-to-end."""
+    hp = SMALL_HP
+    params = random_params(jax.random.PRNGKey(0), hp)
+    ids = np.array([[1, 5, 9, 3]], np.int64)
+    feeds = {
+        "input": ids,
+        "input_lengths": np.array([4], np.int64),
+        "scales": np.array([0.667, 1.0, 0.8], np.float32),
+    }
+    audio = _roundtrip(hp, params, feeds, tmp_path, deterministic=False)
+    assert np.isfinite(audio).all()
+    assert audio.shape[-1] % hp.total_upsample == 0
+
+
+def test_graph_reloads_as_weights(tmp_path):
+    """The executable graph doubles as a weight container for TTSVoice."""
+    from phoonnx_tpu.models.vits.load import (
+        infer_hparams_from_flat,
+        params_from_flat,
+    )
+
+    hp = SMALL_HP
+    params = random_params(jax.random.PRNGKey(0), hp)
+    path = tmp_path / "graph.onnx"
+    export_vits_onnx(params_to_flat(params), hp, str(path))
+    model = read_onnx(str(path))
+    hp2 = infer_hparams_from_flat(model.initializers)
+    assert hp2.n_vocab == hp.n_vocab
+    assert hp2.upsample_rates == hp.upsample_rates
+    rebuilt = params_from_flat(model.initializers, hp2, strict=False)
+    np.testing.assert_array_equal(
+        np.asarray(rebuilt["enc_p"]["emb"]["weight"]),
+        np.asarray(params["enc_p"]["emb"]["weight"]),
+    )
