@@ -350,8 +350,9 @@ _TIME_PATTERN = re.compile(r"(\d{1,2})h(\d{2})", re.IGNORECASE)
 _DATE_PATTERN = re.compile(r"(\d{1,4})[/-](\d{1,2})[/-](\d{1,4})")
 _AMPM_PATTERN = re.compile(r"(?i)(\d+)(am|pm)")
 # Divergence from the reference: util.py:469 does a bare str.replace which
-# also rewrites "team" -> "teA M"; we only expand standalone am/pm tokens.
-_AMPM_WORD = re.compile(r"\b(am|pm)\b")
+# rewrites "team" -> "teA M" and "ma'am" -> "ma'A M"; we only expand am/pm
+# tokens directly preceded by a digit (a time expression).
+_AMPM_WORD = re.compile(r"(?i)(?<=\d )(am|pm)\b")
 
 
 def _normalize_dates_and_times(
@@ -362,7 +363,7 @@ def _normalize_dates_and_times(
     if lang_code == "en":
         text = _AMPM_PATTERN.sub(r"\1 \2", text)
         text = _AMPM_WORD.sub(
-            lambda m: "A M" if m.group(1) == "am" else "P M", text
+            lambda m: "A M" if m.group(1).lower() == "am" else "P M", text
         )
 
     text = _TIME_PATTERN.sub(

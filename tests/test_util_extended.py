@@ -1,0 +1,176 @@
+"""Extended normalizer battery mirroring the reference's test_util.py scope
+(separators, fractions, dates/times, units, contractions) plus the Arabic
+phonemizer surface from test_ar.py (alphabet validation, get_lang tables)."""
+
+import pytest
+
+from phoonnx_tpu.config import Alphabet
+from phoonnx_tpu.util import CONTRACTIONS, TITLES, UNITS, normalize
+
+
+# ---------------------------------------------------------------------------
+# Number separators
+# ---------------------------------------------------------------------------
+
+
+def test_en_thousands_separator():
+    assert normalize("1,234 items", "en") == (
+        "one thousand two hundred and thirty four items"
+    )
+
+
+def test_pt_thousands_separator():
+    out = normalize("1.234 itens", "pt")
+    assert out == "mil duzentos e trinta e quatro itens"
+
+
+def test_pt_mixed_separators():
+    # 123.456,78 -> 123456.78
+    out = normalize("O lucro foi de 123.456,78", "pt")
+    assert "cento e vinte e três mil" in out
+    assert "vírgula" in out
+
+
+def test_en_decimal():
+    assert normalize("exactly 0.5 left", "en") == (
+        "exactly zero point five left"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contractions: every table entry must expand
+# ---------------------------------------------------------------------------
+
+
+def test_all_contractions_expand():
+    for contraction, expansion in CONTRACTIONS["en"].items():
+        out = normalize(f"x {contraction} x", "en")
+        assert expansion in out, contraction
+
+
+def test_contraction_exact_token_only():
+    # no substring expansion inside other words
+    assert normalize("cantata", "en") == "cantata"
+
+
+# ---------------------------------------------------------------------------
+# Titles
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("lang", sorted(TITLES))
+def test_titles_expand(lang):
+    for title, expansion in TITLES[lang].items():
+        out = normalize(f"{title} X", lang)
+        assert expansion in out, (lang, title)
+
+
+# ---------------------------------------------------------------------------
+# Units
+# ---------------------------------------------------------------------------
+
+
+def test_units_symbolic_no_space():
+    assert normalize("100%", "en") == "one hundred per cent"
+    assert normalize("12€", "en") == "twelve euros"
+
+
+def test_units_with_space():
+    assert normalize("5 km away", "en") == "five kilometers away"
+
+
+def test_units_decimal_value():
+    assert normalize("1.5L bottle", "en") == "one point five liters bottle"
+
+
+def test_units_de():
+    assert normalize("10kg Mehl", "de") == "zehn Kilogramm Mehl"
+
+
+def test_units_fr():
+    assert normalize("10km de route", "fr") == "dix kilomètres de route"
+
+
+@pytest.mark.parametrize("lang", sorted(UNITS))
+def test_percent_all_locales(lang):
+    out = normalize("50%", lang)
+    assert "%" not in out
+    assert "50" not in out
+
+
+# ---------------------------------------------------------------------------
+# Dates / times
+# ---------------------------------------------------------------------------
+
+
+def test_date_four_digit_year_first():
+    # YYYY/A/B parses A as day, B as month (reference behavior,
+    # util.py:494-522: the remaining parts go through the DMY branch)
+    out = normalize("on 2025/03/08", "en-GB")
+    assert "twenty twenty five" in out
+    assert "august" in out
+
+
+def test_date_two_digit_year():
+    out = normalize("on 08/03/99", "en-GB")
+    assert "nineteen ninety nine" in out
+
+
+def test_invalid_date_left_alone():
+    out = normalize("version 99/99/99 tag", "en")
+    assert "99/99/99" in out
+
+
+def test_time_minutes_under_ten():
+    out = normalize("at 9h05", "en")
+    assert "nine oh five" in out
+
+
+def test_fraction_in_sentence():
+    out = normalize("add 3/4 cup", "en")
+    assert out == "add three quarters cup"
+
+
+def test_hyphen_word_number():
+    assert normalize("sub-23", "pt") == "sub vinte e três"
+
+
+# ---------------------------------------------------------------------------
+# Arabic phonemizer surface (reference test_ar.py scope)
+# ---------------------------------------------------------------------------
+
+
+def test_mantoq_alphabet_validation():
+    from phoonnx_tpu.phonemizers.ar import MantoqPhonemizer
+
+    assert MantoqPhonemizer(Alphabet.BUCKWALTER).alphabet == \
+        Alphabet.BUCKWALTER
+    assert MantoqPhonemizer(Alphabet.IPA).alphabet == Alphabet.IPA
+    with pytest.raises(ValueError):
+        MantoqPhonemizer(Alphabet.HANGUL)
+
+
+@pytest.mark.parametrize("accepted", ["ar", "ar-SA", "ar-EG", "arb"])
+def test_mantoq_get_lang_accepts(accepted):
+    from phoonnx_tpu.phonemizers.ar import MantoqPhonemizer
+
+    assert MantoqPhonemizer.get_lang(accepted) == "ar"
+
+
+@pytest.mark.parametrize("rejected", ["en", "he", "fa", "zz"])
+def test_mantoq_get_lang_rejects(rejected):
+    from phoonnx_tpu.phonemizers.ar import MantoqPhonemizer
+
+    with pytest.raises(ValueError):
+        MantoqPhonemizer.get_lang(rejected)
+
+
+def test_mantoq_phonemize_buckwalter_vs_ipa():
+    from phoonnx_tpu.phonemizers.ar import MantoqPhonemizer
+
+    text = "مرحبا"
+    bw = MantoqPhonemizer(Alphabet.BUCKWALTER).phonemize_string(text, "ar")
+    ipa = MantoqPhonemizer(Alphabet.IPA).phonemize_string(text, "ar")
+    assert bw != ipa
+    assert "ħ" in ipa  # Haa' mapped to IPA
+    assert "H" in bw   # stays Buckwalter
