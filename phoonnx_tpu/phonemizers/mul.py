@@ -173,18 +173,18 @@ class CharsiuPhonemizer(ByT5Phonemizer):
     cannot handle whitespace (mul.py:239-288)."""
 
     CHARSIU_LANGS = [
-        'ady', 'afr', 'sqi', 'amh', 'ara', 'arg', 'hye-e', 'hye-w', 'aze',
-        'bak', 'eus', 'bel', 'ben', 'bos', 'bul', 'mya', 'cat', 'yue', 'zho-s',
-        'zho-t', 'hrv', 'ces', 'dan', 'dsb', 'nld', 'eng-uk', 'eng-us', 'epo',
-        'est', 'fin', 'fra', 'fra-qu', 'gla', 'gle', 'glg', 'kat', 'deu',
-        'ell', 'grc', 'grn', 'guj', 'hat', 'heb', 'hin', 'hun', 'isl', 'ind',
-        'ina', 'ita', 'jam', 'jpn', 'kaz', 'khm', 'kor', 'kur', 'kir', 'lat-clas',
-        'lat-eccl', 'lav', 'lit', 'ltz', 'mkd', 'msa', 'mal', 'mlt', 'mri',
-        'mar', 'enm', 'nob', 'ori', 'gaz', 'pap', 'fas', 'pol', 'por-bz',
-        'por-po', 'ron', 'rus', 'san', 'srp', 'hbs-latn', 'hbs-cyrl', 'snd',
-        'slk', 'slv', 'spa', 'spa-latin', 'spa-me', 'swa', 'swe', 'tgl',
-        'tam', 'tat', 'tha', 'tur', 'tuk', 'ukr', 'urd', 'uig', 'vie-n',
-        'vie-c', 'vie-s', 'wel-nw', 'wel-sw',
+        'ady', 'afr', 'sqi', 'amh', 'ara', 'arg', 'arm-e', 'arm-w', 'aze',
+        'bak', 'eus', 'bel', 'ben', 'bos', 'bul', 'bur', 'cat', 'yue',
+        'zho-t', 'zho-s', 'min', 'cze', 'dan', 'dut', 'eng-uk', 'eng-us',
+        'epo', 'est', 'fin', 'fra', 'fra-qu', 'gla', 'geo', 'ger', 'gre',
+        'grc', 'grn', 'guj', 'hin', 'hun', 'ido', 'ind', 'ina', 'ita',
+        'jam', 'jpn', 'kaz', 'khm', 'kor', 'kur', 'lat-clas', 'lat-eccl',
+        'lit', 'ltz', 'mac', 'mlt', 'tts', 'nob', 'ori', 'pap', 'fas',
+        'pol', 'por-po', 'por-bz', 'ron', 'rus', 'san', 'srp', 'hbs-latn',
+        'hbs-cyrl', 'snd', 'slo', 'slv', 'spa', 'spa-latin', 'spa-me',
+        'swa', 'swe', 'tgl', 'tam', 'tat', 'tha', 'tur', 'tuk', 'ukr',
+        'vie-n', 'vie-c', 'vie-s', 'wel-nw', 'wel-sw', 'ice', 'ang', 'gle',
+        'enm', 'syc', 'glg', 'sme', 'egy',
     ]
 
     @classmethod
@@ -236,40 +236,172 @@ class GruutPhonemizer(BasePhonemizer):
 
 
 class GoruutPhonemizer(BasePhonemizer):
-    """pygoruut IPA phonemizer with an optional remote API (mul.py:439-617)."""
+    """pygoruut IPA phonemizer with an optional remote API (mul.py:439-617).
 
-    GORUUT_LANGS = [
-        "af", "sq", "am", "ar", "an", "hy", "as", "az", "ba", "eu", "be",
-        "bn", "bs", "bg", "my", "ca", "zh", "cs", "da", "nl", "en", "eo",
-        "et", "fa", "fi", "fr", "gl", "ka", "de", "el", "gu", "ha", "he",
-        "hi", "hu", "is", "id", "ga", "it", "ja", "jv", "kn", "kk", "km",
-        "ko", "ku", "ky", "lo", "la", "lv", "lt", "lb", "mk", "ms", "ml",
-        "mt", "mr", "mn", "ne", "no", "or", "ps", "pl", "pt", "pa", "ro",
-        "ru", "sr", "sd", "si", "sk", "sl", "es", "sw", "sv", "ta", "te",
-        "th", "tr", "uk", "ur", "uz", "vi", "cy", "yo", "zu",
+    goruut addresses languages by English name; the ISO639 map and the
+    non-standard variant names mirror the reference inventory."""
+
+    GORUUT_LANGS_NON_STD = [
+        'BengaliDhaka', 'BengaliRahr', 'MalayArab', 'VietnameseCentral',
+        'VietnameseSouthern', 'EnglishAmerican', 'EnglishBritish',
+        'NahuatlClassical', 'Hebrew2', 'Hebrew3', 'MinnanTawianese',
+        'MinnanHokkien', 'MinnanTawianese2', 'MinnanHokkien2',
     ]
+    ISO639 = {
+        "af": "Afrikaans",
+        "am": "Amharic",
+        "ar": "Arabic",
+        "az": "Azerbaijani",
+        "be": "Belarusian",
+        "bn": "Bengali",
+        "my": "Burmese",
+        "ceb": "Cebuano",
+        "ce": "Chechen",
+        "zh": "ChineseMandarin",
+        "cs": "Czech",
+        "da": "Danish",
+        "nl": "Dutch",
+        "dz": "Dzongkha",
+        "en": "English",
+        "eo": "Esperanto",
+        "fa": "Farsi",
+        "fi": "Finnish",
+        "fr": "French",
+        "de": "German",
+        "el": "Greek",
+        "gu": "Gujarati",
+        "ha": "Hausa",
+        "he": "Hebrew",
+        "hi": "Hindi",
+        "hu": "Hungarian",
+        "is": "Icelandic",
+        "id": "Indonesian",
+        "tts": "Isan",
+        "it": "Italian",
+        "jam": "Jamaican",
+        "ja": "Japanese",
+        "jv": "Javanese",
+        "kk": "Kazakh",
+        "ko": "Korean",
+        "lb": "Luxembourgish",
+        "mk": "Macedonian",
+        "ml": "Malayalam",
+        "ms": "MalayLatin",
+        "mt": "Maltese",
+        "mr": "Marathi",
+        "mn": "Mongolian",
+        "ne": "Nepali",
+        "no": "Norwegian",
+        "ps": "Pashto",
+        "pl": "Polish",
+        "pt": "Portuguese",
+        "pa": "Punjabi",
+        "ro": "Romanian",
+        "ru": "Russian",
+        "sk": "Slovak",
+        "es": "Spanish",
+        "sw": "Swahili",
+        "sv": "Swedish",
+        "ta": "Tamil",
+        "te": "Telugu",
+        "th": "Thai",
+        "bo": "Tibetan",
+        "tr": "Turkish",
+        "uk": "Ukrainian",
+        "ur": "Urdu",
+        "ug": "Uyghur",
+        "vi": "VietnameseNorthern",
+        "zu": "Zulu",
+        "hy": "Armenian",
+        "eu": "Basque",
+        "bg": "Bulgarian",
+        "ca": "Catalan",
+        "ny": "Chichewa",
+        "hr": "Croatian",
+        "et": "Estonian",
+        "gl": "Galician",
+        "ka": "Georgian",
+        "km": "KhmerCentral",
+        "lo": "Lao",
+        "lv": "Latvian",
+        "lt": "Lithuanian",
+        "sr": "Serbian",
+        "tl": "Tagalog",
+        "yo": "Yoruba",
+        "sq": "Albanian",
+        "an": "Aragonese",
+        "as": "Assamese",
+        "ba": "Bashkir",
+        "bpy": "BishnupriyaManipuri",
+        "bs": "Bosnian",
+        "chr": "Cherokee",
+        "cu": "Chuvash",
+        "gla": "GaelicScottish",
+        "gle": "GaelicIrish",
+        "kl": "Greenlandic",
+        "gn": "Guarani",
+        "ht": "HaitianCreole",
+        "haw": "Hawaiian",
+        "io": "Ido",
+        "ia": "Interlingua",
+        "kn": "Kannada",
+        "quc": "Kiche",
+        "kok": "Konkani",
+        "ku": "Kurdish",
+        "ky": "Kyrgyz",
+        "qdb": "LangBelta",
+        "ltg": "Latgalian",
+        "la": "LatinClassical",
+        "lat": "LatinEcclesiastical",
+        "lfn": "LinguaFrancaNova",
+        "jbo": "Lojban",
+        "smj": "LuleSaami",
+        "mi": "Maori",
+        "nah": "NahuatlCentral",
+        "nci": "NahuatlMecayapan",
+        "ncz": "NahuatlTetelcingo",
+        "nog": "Nogai",
+        "om": "Oromo",
+        "pap": "Papiamento",
+        "qu": "Quechua",
+        "qya": "Quenya",
+        "tn": "Setswana",
+        "shn": "ShanTaiYai",
+        "sjn": "Sindarin",
+        "sd": "Sindhi",
+        "si": "Sinhala",
+        "sl": "Slovenian",
+        "tt": "Tatar",
+        "tk": "Turkmen",
+        "uz": "Uzbek",
+        "cyw": "WelshNorth",
+        "cys": "WelshSouth",
+        "yue": "Cantonese",
+    }
 
     def __init__(self, remote_url: Optional[str] = None):
         super().__init__(Alphabet.IPA)
-        self.remote_url = remote_url
-        self._pygoruut = None
+        from pygoruut.pygoruut import Pygoruut
 
-    @property
-    def pygoruut(self):
-        if self._pygoruut is None:
-            from pygoruut.pygoruut import Pygoruut
-
-            self._pygoruut = Pygoruut()
-        return self._pygoruut
+        if remote_url is not None:
+            self.pygoruut = Pygoruut(api=remote_url)
+        else:
+            self.pygoruut = Pygoruut()
 
     @classmethod
     def get_lang(cls, target_lang: str) -> str:
-        return cls.match_lang(target_lang, cls.GORUUT_LANGS)
+        if target_lang in cls.GORUUT_LANGS_NON_STD:
+            return target_lang
+        if target_lang.lower() == "en-us":
+            return "EnglishAmerican"
+        if target_lang.lower() in ("en-gb", "en-uk"):
+            return "EnglishBritish"
+        lang = cls.match_lang(target_lang, list(cls.ISO639))
+        return cls.ISO639[lang]
 
     def phonemize_string(self, text: str, lang: str) -> str:
         lang = self.get_lang(lang)
-        response = self.pygoruut.phonemize(language=lang, sentence=text)
-        return " ".join(w.Phonetic for w in response.Words)
+        return str(self.pygoruut.phonemize(language=lang, sentence=text))
 
 
 class EpitranPhonemizer(BasePhonemizer):

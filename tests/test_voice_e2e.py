@@ -184,3 +184,38 @@ def test_voice_synthesize_batch(voice_files):
     assert len(outs) == 2
     assert all(o.ndim == 1 and len(o) > 0 for o in outs)
     assert all(np.abs(o).max() <= 1.0 for o in outs)
+
+
+def test_warm_start_from_torch_checkpoint(tmp_path, voice_files):
+    """Generator import from a Lightning-style torch checkpoint, including
+    the single->multi-speaker surgery."""
+    torch = pytest.importorskip("torch")
+    from dataclasses import replace
+
+    from phoonnx_tpu.train.checkpoint import load_generator_warm_start
+
+    _, _, params, flat = voice_files
+    state_dict = {
+        "model_g." + k: torch.from_numpy(np.asarray(v).copy())
+        for k, v in flat.items()
+    }
+    state_dict["model_d.something.weight"] = torch.zeros(3)
+    ckpt_path = tmp_path / "lightning.ckpt"
+    torch.save({"state_dict": state_dict, "epoch": 7}, ckpt_path)
+
+    # same-architecture warm start: weights must round-trip exactly
+    restored = load_generator_warm_start(str(ckpt_path), SMALL_HP, None)
+    np.testing.assert_array_equal(
+        np.asarray(restored["enc_p"]["emb"]["weight"]),
+        np.asarray(params["enc_p"]["emb"]["weight"]),
+    )
+
+    # single -> multi-speaker: conditioning layers appear fresh
+    hp_multi = replace(SMALL_HP, n_speakers=4, gin_channels=16)
+    multi = load_generator_warm_start(str(ckpt_path), hp_multi, None)
+    assert "emb_g" in multi
+    assert "cond" in multi["dec"]
+    np.testing.assert_array_equal(
+        np.asarray(multi["enc_p"]["emb"]["weight"]),
+        np.asarray(params["enc_p"]["emb"]["weight"]),
+    )
