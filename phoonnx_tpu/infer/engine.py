@@ -53,10 +53,32 @@ class VitsEngine:
         text_buckets: Sequence[int] = DEFAULT_TEXT_BUCKETS,
         frame_buckets: Sequence[int] = DEFAULT_FRAME_BUCKETS,
         dtype: str = "float32",
+        mode: str = "two_phase",
+        frames_per_token: int = 12,
+        fetch_pcm16: bool = False,
     ):
+        """mode:
+
+        * ``"fused"``: one device dispatch per call; the frame
+          budget is ``frames_per_token * text_bucket`` rounded to a frame
+          bucket. No host synchronisation between the duration predictor
+          and the decoder — essential when host<->device latency is high
+          (remote TPU tunnels), and 12 frames/token is ~3x the worst
+          durations real voices produce (hop 256 @ 22 kHz).
+        * ``"two_phase"`` (default): predict durations, sync to host,
+          decode at the tightest frame bucket. Minimises FLOPs and audio
+          transfer bytes per utterance; one extra host round-trip.
+
+        fetch_pcm16: quantise audio to int16 on device before fetching
+        (4x fewer bytes over the host link; the WAV output is 16-bit
+        anyway). Host converts back to float32 in [-1, 1].
+        """
         self.hp = hp
         self.text_buckets = tuple(text_buckets)
         self.frame_buckets = tuple(frame_buckets)
+        self.mode = mode
+        self.frames_per_token = frames_per_token
+        self.fetch_pcm16 = fetch_pcm16
         self.dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
         if dtype == "bfloat16":
             params = jax.tree.map(
@@ -67,6 +89,7 @@ class VitsEngine:
         self.params = jax.device_put(params)
         self._phase1 = {}
         self._phase2 = {}
+        self._fused = {}
 
     # -- compiled phases -------------------------------------------------
 
@@ -100,6 +123,36 @@ class VitsEngine:
 
             self._phase2[key] = partial(phase2, max_frames=f_bucket)
         return self._phase2[key]
+
+    def _get_fused(self, batch: int, t_bucket: int, f_bucket: int):
+        key = (batch, t_bucket, f_bucket)
+        if key not in self._fused:
+            hp = self.hp
+
+            @partial(jax.jit, static_argnames=("max_frames",))
+            def fused(params, ids, lengths, noise_scale, length_scale,
+                      noise_w, sid, rng, max_frames):
+                audio, y_lengths, _ = vits_model.infer(
+                    params, hp, ids, lengths, max_frames=max_frames,
+                    noise_scale=noise_scale, length_scale=length_scale,
+                    noise_w=noise_w,
+                    sid=sid if hp.n_speakers > 1 else None, rng=rng,
+                )
+                return audio, y_lengths
+
+            self._fused[key] = partial(fused, max_frames=f_bucket)
+        return self._fused[key]
+
+    @staticmethod
+    @jax.jit
+    def _to_pcm16(audio):
+        return jnp.clip(audio * 32767.0, -32767.0, 32767.0).astype(jnp.int16)
+
+    def _fetch_audio(self, audio) -> np.ndarray:
+        if self.fetch_pcm16:
+            pcm = self._to_pcm16(audio)
+            return np.asarray(pcm).astype(np.float32) / 32767.0
+        return np.asarray(audio, np.float32)
 
     # -- public API ------------------------------------------------------
 
@@ -151,6 +204,31 @@ class VitsEngine:
                                  np.random.randint(0, 2 ** 31 - 1))
         rng1, rng2 = jax.random.split(rng)
 
+        if self.mode == "fused":
+            # budget from the *bucket* (not the raw length) so each
+            # (batch, text-bucket) pair compiles exactly once
+            budget = t_bucket * self.frames_per_token
+            f_bucket = _bucket_for(
+                min(budget, self.frame_buckets[-1]), self.frame_buckets
+            )
+            fused = self._get_fused(batch, t_bucket, f_bucket)
+            audio, y_lengths = fused(
+                self.params, jnp.asarray(ids), jnp.asarray(lengths),
+                jnp.asarray(noise_scale, self.dtype),
+                jnp.asarray(length_scale, self.dtype),
+                jnp.asarray(noise_w, self.dtype),
+                jnp.asarray(sid), rng1,
+            )
+            audio_np = self._fetch_audio(audio)
+            frame_lengths = [int(n) for n in np.asarray(y_lengths)]
+            if any(n >= f_bucket for n in frame_lengths):
+                LOG.warning(
+                    "frame budget %d reached — audio may be truncated; "
+                    "raise frames_per_token or use mode='two_phase'",
+                    f_bucket,
+                )
+            return audio_np, frame_lengths
+
         phase1 = self._get_phase1(batch, t_bucket)
         m_p, logs_p, w_ceil, x_mask, g = phase1(
             self.params, jnp.asarray(ids), jnp.asarray(lengths),
@@ -168,8 +246,62 @@ class VitsEngine:
             self.params, m_p, logs_p, w_ceil, x_mask, g,
             jnp.asarray(noise_scale, self.dtype), rng2,
         )
-        audio_np = np.asarray(audio, np.float32)
+        audio_np = self._fetch_audio(audio)
         return audio_np, [int(n) for n in np.asarray(y_lengths)]
+
+    def synthesize_many(
+        self,
+        utterances: Sequence[Sequence[int]],
+        noise_scale: float = 0.667,
+        length_scale: float = 1.0,
+        noise_w: float = 0.8,
+        speaker_id: int = 0,
+        seed: Optional[int] = None,
+    ) -> List[np.ndarray]:
+        """Pipelined synthesis of many utterances (streaming workloads).
+
+        Dispatches every utterance through the fused single-call program
+        without blocking (JAX async dispatch), then fetches results in
+        order — device compute and host transfers overlap, so sustained
+        throughput approaches pure device time even when each host<->device
+        round-trip is slow (remote TPU tunnels).
+        """
+        base_seed = seed if seed is not None else np.random.randint(
+            0, 2 ** 31 - 1)
+        in_flight = []
+        for i, utt in enumerate(utterances):
+            t_bucket = _bucket_for(len(utt), self.text_buckets)
+            budget = t_bucket * self.frames_per_token
+            f_bucket = _bucket_for(
+                min(budget, self.frame_buckets[-1]), self.frame_buckets
+            )
+            fused = self._get_fused(1, t_bucket, f_bucket)
+            ids = np.zeros((1, t_bucket), np.int32)
+            ids[0, : len(utt)] = utt
+            audio, y_lengths = fused(
+                self.params, jnp.asarray(ids),
+                jnp.asarray([len(utt)], jnp.int32),
+                jnp.asarray(noise_scale, self.dtype),
+                jnp.asarray(length_scale, self.dtype),
+                jnp.asarray(noise_w, self.dtype),
+                jnp.asarray([speaker_id], jnp.int32),
+                jax.random.PRNGKey(base_seed + i),
+            )
+            if self.fetch_pcm16:
+                audio = self._to_pcm16(audio)
+            in_flight.append((audio, y_lengths))
+
+        outputs: List[np.ndarray] = []
+        upsample = self.hp.total_upsample
+        for audio, y_lengths in in_flight:
+            wav = np.asarray(audio)
+            if self.fetch_pcm16:
+                wav = wav.astype(np.float32) / 32767.0
+            else:
+                wav = wav.astype(np.float32)
+            n = int(np.asarray(y_lengths)[0]) * upsample
+            outputs.append(wav[0][:n])
+        return outputs
 
     def warmup(self, batch_sizes: Sequence[int] = (1,),
                text_buckets: Optional[Sequence[int]] = None) -> None:

@@ -219,3 +219,43 @@ def test_warm_start_from_torch_checkpoint(tmp_path, voice_files):
         np.asarray(multi["enc_p"]["emb"]["weight"]),
         np.asarray(params["enc_p"]["emb"]["weight"]),
     )
+
+
+def test_engine_fused_mode(voice_files):
+    _, _, params, _ = voice_files
+    from phoonnx_tpu.infer.engine import VitsEngine
+
+    engine = VitsEngine(params, SMALL_HP, text_buckets=(8, 16),
+                        frame_buckets=(64, 128, 256), mode="fused",
+                        frames_per_token=8)
+    audio = engine.synthesize_ids([1, 4, 5, 6], seed=0)
+    assert audio.ndim == 1 and len(audio) > 0
+    assert np.isfinite(audio).all()
+    # deterministic per seed within the mode
+    audio_again = engine.synthesize_ids([1, 4, 5, 6], seed=0)
+    np.testing.assert_array_equal(audio, audio_again)
+
+
+def test_engine_synthesize_many(voice_files):
+    _, _, params, _ = voice_files
+    from phoonnx_tpu.infer.engine import VitsEngine
+
+    engine = VitsEngine(params, SMALL_HP, text_buckets=(8, 16),
+                        frame_buckets=(64, 128, 256), frames_per_token=8)
+    outs = engine.synthesize_many([[1, 4, 5], [2, 6, 7, 8, 9]], seed=3)
+    assert len(outs) == 2
+    assert all(o.ndim == 1 and len(o) > 0 for o in outs)
+
+
+def test_engine_pcm16_fetch(voice_files):
+    _, _, params, _ = voice_files
+    from phoonnx_tpu.infer.engine import VitsEngine
+
+    base = VitsEngine(params, SMALL_HP, text_buckets=(8,),
+                      frame_buckets=(64, 128))
+    quant = VitsEngine(params, SMALL_HP, text_buckets=(8,),
+                       frame_buckets=(64, 128), fetch_pcm16=True)
+    a = base.synthesize_ids([1, 4, 5], seed=0)
+    b = quant.synthesize_ids([1, 4, 5], seed=0)
+    assert len(a) == len(b)
+    assert np.abs(a - b).max() <= 1.0 / 32767.0 + 1e-6
