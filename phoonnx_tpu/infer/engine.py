@@ -10,9 +10,12 @@ dispatched over a small set of static buckets:
   from the predicted durations (the reference's dynamic output length,
   models.py:702-704, is the one data-dependent shape in the graph).
 
-Both phases are donated-input jit functions; padded lanes are masked. The
-first call per bucket pays the XLA compile; `warmup()` precompiles the
-common grid. RTF on repeat calls is pure device time.
+A ``fused`` mode compiles the whole pipeline as ONE program per
+(batch, text-bucket) with a frame budget derived from the bucket — no
+host synchronisation mid-utterance (best when host<->device latency is
+high); ``synthesize_many`` pipelines utterances via async dispatch. Padded
+lanes are masked everywhere. The first call per bucket pays the XLA
+compile; ``warmup()`` precompiles the common grid.
 """
 
 import logging

@@ -269,9 +269,12 @@ class TTSVoice:
         wav_file: wave.Wave_write,
         syn_config: Optional[SynthesisConfig] = None,
         set_wav_format: bool = True,
+        sentence_silence: float = 0.0,
     ) -> None:
-        """Synthesize text into an open wave writer (voice.py:291-326)."""
-        sentence_silence = 0.0
+        """Synthesize text into an open wave writer (voice.py:291-326).
+
+        sentence_silence: seconds of silence between sentences (the
+        reference hardcodes 0.0)."""
         silence_bytes = bytes(
             int(self.config.sample_rate * sentence_silence * 2)
         )

@@ -208,3 +208,37 @@ def test_audio_chunk_int16():
     assert pcm[1] == 16383
     assert pcm[2] == -32767  # clipped
     assert chunk.audio_int16_bytes == pcm.tobytes()
+
+
+def test_zh_retone():
+    from phoonnx_tpu.phonemizers.zh import BaseChinesePinyinPhonemizer
+
+    retone = BaseChinesePinyinPhonemizer._retone
+    assert retone("ma˧˩˧") == "ma↓"
+    assert retone("ma˧˥") == "ma↗"
+    assert retone("ma˥˩") == "ma↘"
+    assert retone("ma˥") == "ma→"
+
+
+def test_korean_ipa_pipeline_to_ids():
+    """Full offline ko path: KoG2P rules -> hangul2ipa -> default IPA ids."""
+    from phoonnx_tpu.phoneme_ids import phonemes_to_ids
+    from phoonnx_tpu.phonemizers.ko import KoG2PPhonemizer
+
+    pho = KoG2PPhonemizer(Alphabet.IPA)
+    ipa = pho.phonemize_string("안녕하세요", "ko")
+    assert ipa
+    ids = phonemes_to_ids(list(ipa))
+    assert len(ids) > 4
+    assert ids[0] == 1 and ids[-1] == 2  # bos/eos
+
+
+def test_arabic_ipa_pipeline_to_ids():
+    """Full offline ar path: mantoq -> bw2ipa -> default IPA ids."""
+    from phoonnx_tpu.phoneme_ids import phonemes_to_ids
+    from phoonnx_tpu.phonemizers.ar import MantoqPhonemizer
+
+    pho = MantoqPhonemizer(Alphabet.IPA)
+    ipa = pho.phonemize_string("مرحبا بالعالم", "ar")
+    ids = phonemes_to_ids(list(ipa))
+    assert len(ids) > 4
