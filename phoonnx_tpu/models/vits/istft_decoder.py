@@ -1,0 +1,102 @@
+"""iSTFT decoder: a lighter alternative to the HiFi-GAN vocoder.
+
+Follows the iSTFT-VITS direction (Kaneko et al., "Lightweight and
+High-Fidelity End-to-End Text-to-Speech with Multi-Band Generation and
+Inverse Short-Time Fourier Transform", arXiv:2210.15975): the last
+transposed-conv upsampling stages are replaced by predicting a complex
+spectrogram and inverting it with an iSTFT. For hop 256 this cuts the
+vocoder's upsampled-domain convolutions by the iSTFT hop factor (4x here)
+— the dominant FLOPs of synthesis — at equal sample rate.
+
+The decoder is a drop-in alternative selected by
+``VitsHParams.decoder_type == "istft"``; training (mel/GAN losses operate
+on the waveform) and the synthesis engine are unchanged.
+
+Measured on TPU v5e (batch 16, 512 frames): hifigan 1.0 ms vs istft
+1.7 ms — the rFFT and the small overlap-add kernel map poorly onto the
+MXU, while HiFi-GAN's transposed convolutions are exactly what the MXU is
+built for. The variant still cuts parameters/FLOPs and is the right
+choice for CPU-bound deployments; on TPU the reference architecture wins.
+"""
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from phoonnx_tpu.models.vits import modules, nn
+from phoonnx_tpu.ops.istft import istft
+
+Array = jax.Array
+
+
+def init_istft_generator(rng, initial_channel: int, resblock: str,
+                         resblock_kernel_sizes: Sequence[int],
+                         resblock_dilation_sizes,
+                         upsample_rates: Sequence[int],
+                         upsample_initial_channel: int,
+                         upsample_kernel_sizes: Sequence[int],
+                         istft_n_fft: int = 16,
+                         istft_hop: int = 4,
+                         gin_channels: int = 0):
+    """Same stage structure as the HiFi-GAN init, plus mag/phase heads."""
+    from phoonnx_tpu.models.vits.hifigan import init_generator
+    from phoonnx_tpu.models.vits.statics import StaticInt
+
+    params = init_generator(
+        rng, initial_channel, resblock, resblock_kernel_sizes,
+        resblock_dilation_sizes, upsample_rates, upsample_initial_channel,
+        upsample_kernel_sizes, gin_channels=gin_channels,
+    )
+    # replace the waveform head with spectral heads
+    params.pop("conv_post")
+    final_ch = upsample_initial_channel // (2 ** len(upsample_rates))
+    n_freqs = istft_n_fft // 2 + 1
+    k_mag, k_phase = jax.random.split(jax.random.fold_in(rng, 1))
+    params["conv_mag"] = nn.init_conv(k_mag, n_freqs, final_ch, 7)
+    params["conv_phase"] = nn.init_conv(k_phase, n_freqs, final_ch, 7)
+    params["istft_n_fft"] = StaticInt(istft_n_fft)
+    params["istft_hop"] = StaticInt(istft_hop)
+    return params
+
+
+def istft_generator(params, x: Array, g: Optional[Array] = None) -> Array:
+    """Latent frames [B, T, C] -> waveform [B, T * prod(rates) * hop]."""
+    num_kernels = params["num_kernels"]
+    resblock_fn = (modules.resblock1 if params["resblock_type"] == "1"
+                   else modules.resblock2)
+    n_fft = params["istft_n_fft"]
+    hop = params["istft_hop"]
+
+    x = nn.apply_conv(params["conv_pre"], x, padding=3)
+    if g is not None and "cond" in params:
+        x = x + nn.apply_conv(params["cond"], g)
+
+    for i, up in enumerate(params["ups"]):
+        rate = params["upsample_rates"][i]
+        kernel = params["upsample_kernel_sizes"][i]
+        x = nn.leaky_relu(x, modules.LRELU_SLOPE)
+        x = nn.conv_transpose1d(
+            x, nn.resolve_weight(up), up.get("bias"),
+            stride=rate, padding=(kernel - rate) // 2,
+        )
+        acc = None
+        for j in range(num_kernels):
+            block = params["resblocks"][i * num_kernels + j]
+            out = resblock_fn(block, x)
+            acc = out if acc is None else acc + out
+        x = acc / num_kernels
+
+    x = nn.leaky_relu(x, 0.01)
+    magnitude = jnp.exp(
+        jnp.clip(nn.apply_conv(params["conv_mag"], x, padding=3), -12.0, 6.0)
+    )
+    phase = math.pi * jnp.sin(nn.apply_conv(params["conv_phase"], x,
+                                            padding=3))
+    # pad one silent frame so the output is exactly T*hop samples
+    magnitude = jnp.pad(magnitude, [(0, 0), (0, 1), (0, 0)])
+    phase = jnp.pad(phase, [(0, 0), (0, 1), (0, 0)])
+    audio = istft(magnitude.astype(jnp.float32),
+                  phase.astype(jnp.float32), n_fft, hop, n_fft)
+    return audio.astype(x.dtype)

@@ -62,7 +62,8 @@ def _route(name: str) -> Optional[Tuple]:
         return None
 
     if top == "dec":
-        if parts[1] in ("conv_pre", "conv_post", "cond"):
+        if parts[1] in ("conv_pre", "conv_post", "cond", "conv_mag",
+                        "conv_phase"):
             return ("dec", parts[1], parts[2])
         if parts[1] == "ups":
             return ("dec", "ups", int(parts[2]), parts[3])
@@ -225,9 +226,9 @@ def params_to_flat(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
     # dec
     dec = params["dec"]
     walk_leaf_dict("dec.conv_pre", dec["conv_pre"])
-    walk_leaf_dict("dec.conv_post", dec["conv_post"])
-    if "cond" in dec:
-        walk_leaf_dict("dec.cond", dec["cond"])
+    for head in ("conv_post", "conv_mag", "conv_phase", "cond"):
+        if head in dec:
+            walk_leaf_dict(f"dec.{head}", dec[head])
     for i, up in enumerate(dec["ups"]):
         walk_leaf_dict(f"dec.ups.{i}", up)
     for j, block in enumerate(dec["resblocks"]):
@@ -378,6 +379,13 @@ def infer_hparams_from_flat(named: Mapping[str, np.ndarray],
     n_speakers, gin = emb_g if emb_g else (1, 0)
     use_sdp = any(n.startswith("dp.flows.") for n in names)
 
+    decoder_type = "hifigan"
+    istft_n_fft, istft_hop = 16, 4
+    mag = shape("dec.conv_mag.weight")
+    if mag is not None:
+        decoder_type = "istft"
+        istft_n_fft = 2 * (mag[0] - 1)
+
     hp = VitsHParams(
         n_vocab=n_vocab,
         spec_channels=spec_channels,
@@ -394,6 +402,9 @@ def infer_hparams_from_flat(named: Mapping[str, np.ndarray],
         n_speakers=n_speakers,
         gin_channels=gin,
         use_sdp=use_sdp,
+        decoder_type=decoder_type,
+        istft_n_fft=istft_n_fft,
+        istft_hop=istft_hop,
     )
     if overrides:
         from dataclasses import replace

@@ -44,6 +44,11 @@ class VitsHParams:
     n_speakers: int = 1
     gin_channels: int = 0
     use_sdp: bool = True
+    # decoder family: "hifigan" (reference) or "istft" (lightweight
+    # spectral head + inverse STFT, arXiv:2210.15975 direction)
+    decoder_type: str = "hifigan"
+    istft_n_fft: int = 16
+    istft_hop: int = 4
     # audio
     sample_rate: int = 22050
     filter_length: int = 1024
@@ -56,6 +61,8 @@ class VitsHParams:
         out = 1
         for rate in self.upsample_rates:
             out *= rate
+        if self.decoder_type == "istft":
+            out *= self.istft_hop
         return out
 
     @staticmethod
@@ -86,6 +93,16 @@ class VitsHParams:
         elif quality == "x-low":
             hp = replace(hp, hidden_channels=96, inter_channels=96,
                          filter_channels=384)
+        elif quality == "medium-istft":
+            # medium body; the final x4 upsampling becomes an iSTFT
+            hp = replace(
+                hp,
+                decoder_type="istft",
+                upsample_rates=(8, 8),
+                upsample_kernel_sizes=(16, 16),
+                istft_n_fft=16,
+                istft_hop=4,
+            )
         elif quality == "high":
             hp = replace(
                 hp,
@@ -111,12 +128,7 @@ def random_params(rng: Array, hp: VitsHParams) -> Dict[str, Any]:
             keys[0], hp.n_vocab, hp.inter_channels, hp.hidden_channels,
             hp.filter_channels, hp.n_heads, hp.n_layers, hp.kernel_size,
         ),
-        "dec": hifigan.init_generator(
-            keys[1], hp.inter_channels, hp.resblock,
-            hp.resblock_kernel_sizes, hp.resblock_dilation_sizes,
-            hp.upsample_rates, hp.upsample_initial_channel,
-            hp.upsample_kernel_sizes, gin_channels=hp.gin_channels,
-        ),
+        "dec": _init_decoder(keys[1], hp),
         "enc_q": posterior.init_posterior_encoder(
             keys[2], hp.spec_channels, hp.inter_channels, hp.hidden_channels,
             5, 1, 16, gin_channels=hp.gin_channels,
@@ -142,6 +154,37 @@ def random_params(rng: Array, hp: VitsHParams) -> Dict[str, Any]:
             )
         }
     return params
+
+
+def _init_decoder(rng: Array, hp: VitsHParams):
+    if hp.decoder_type == "istft":
+        from phoonnx_tpu.models.vits.istft_decoder import (
+            init_istft_generator,
+        )
+
+        return init_istft_generator(
+            rng, hp.inter_channels, hp.resblock,
+            hp.resblock_kernel_sizes, hp.resblock_dilation_sizes,
+            hp.upsample_rates, hp.upsample_initial_channel,
+            hp.upsample_kernel_sizes, istft_n_fft=hp.istft_n_fft,
+            istft_hop=hp.istft_hop, gin_channels=hp.gin_channels,
+        )
+    return hifigan.init_generator(
+        rng, hp.inter_channels, hp.resblock,
+        hp.resblock_kernel_sizes, hp.resblock_dilation_sizes,
+        hp.upsample_rates, hp.upsample_initial_channel,
+        hp.upsample_kernel_sizes, gin_channels=hp.gin_channels,
+    )
+
+
+def decode_audio(params, hp: VitsHParams, z: Array,
+                 g: Optional[Array] = None) -> Array:
+    """Latent frames -> waveform via the configured decoder family."""
+    if hp.decoder_type == "istft":
+        from phoonnx_tpu.models.vits.istft_decoder import istft_generator
+
+        return istft_generator(params["dec"], z, g=g)
+    return hifigan.generator(params["dec"], z, g=g)
 
 
 def _speaker_embedding(params, hp: VitsHParams, sid: Optional[Array],
@@ -224,7 +267,7 @@ def train_forward(params, hp: VitsHParams, rng: Array,
     max_start = jnp.maximum(spec_lengths - seg + 1, 1)
     starts = (jax.random.uniform(rng_slice, (b,)) * max_start).astype(jnp.int32)
     z_slice = _slice_segments(z, starts, seg)
-    o = hifigan.generator(params["dec"], z_slice, g=g)
+    o = decode_audio(params, hp, z_slice, g=g)
 
     return {
         "audio": o,
@@ -314,7 +357,7 @@ def infer(params, hp: VitsHParams,
         * jnp.asarray(noise_scale, dtype)
     z = posterior.coupling_flow(params["flow"], z_p, y_mask, g=g,
                                 reverse=True)
-    audio = hifigan.generator(params["dec"], z * y_mask, g=g)
+    audio = decode_audio(params, hp, z * y_mask, g=g)
     return audio, y_lengths, attn
 
 
@@ -340,7 +383,7 @@ def voice_conversion(params, hp: VitsHParams, spec: Array,
     z_p = posterior.coupling_flow(params["flow"], z, y_mask, g=g_src)
     z_hat = posterior.coupling_flow(params["flow"], z_p, y_mask, g=g_tgt,
                                     reverse=True)
-    audio = hifigan.generator(params["dec"], z_hat * y_mask, g=g_tgt)
+    audio = decode_audio(params, hp, z_hat * y_mask, g=g_tgt)
     return audio, y_mask
 
 
@@ -399,5 +442,5 @@ def infer_decode(params, hp: VitsHParams, m_p: Array, logs_p: Array,
         * jnp.asarray(noise_scale, dtype)
     z = posterior.coupling_flow(params["flow"], z_p, y_mask, g=g,
                                 reverse=True)
-    audio = hifigan.generator(params["dec"], z * y_mask, g=g)
+    audio = decode_audio(params, hp, z * y_mask, g=g)
     return audio, y_lengths

@@ -127,10 +127,19 @@ def run_export(
             config.get("phoneme_id_map", {}), ensure_ascii=False
         ),
         "has_espeak": str(phoneme_type == "espeak"),
+        "decoder_type": hp.decoder_type,
+        "istft_hop": str(hp.istft_hop),
+        "istft_n_fft": str(hp.istft_n_fft),
     }
     if alphabet == "ipa" and phoneme_type == "espeak":
         metadata["comment"] = "piper"
 
+    if executable_graph and hp.decoder_type != "hifigan":
+        LOG.warning(
+            "executable ONNX graphs support the hifigan decoder only; "
+            "writing a weights-only container (loads in phoonnx_tpu)"
+        )
+        executable_graph = False
     if executable_graph:
         # Full opset-15 inference graph: runs under onnxruntime (piper
         # ecosystem) and under phoonnx_tpu's executor; the initializers

@@ -164,10 +164,13 @@ def run_preprocess(
     n_fft: int = 1024,
     hop_length: int = 256,
     win_length: int = 1024,
+    cache_dir: Optional[str] = None,
 ) -> None:
     input_path, output_path = Path(input_dir), Path(output_dir)
     output_path.mkdir(parents=True, exist_ok=True)
-    cache_dir = output_path / "cache" / str(sample_rate)
+    cache_dir = Path(cache_dir) if cache_dir else (
+        output_path / "cache" / str(sample_rate)
+    )
 
     utterances = list(read_ljspeech(input_path))
     if not utterances:
@@ -321,6 +324,9 @@ def run_preprocess(
 @click.option("--phonemizer-model", default=None)
 @click.option("--dataset-name", default=None)
 @click.option("--audio-quality", default=None)
+@click.option("--cache-dir", default=None,
+              help="Audio cache directory (default: "
+                   "<output-dir>/cache/<sample-rate>)")
 @click.option("--n-fft", default=1024, type=int)
 @click.option("--hop-length", default=256, type=int)
 @click.option("--win-length", default=1024, type=int)

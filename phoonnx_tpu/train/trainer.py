@@ -164,7 +164,8 @@ def run_training(
 @click.command(context_settings={"help_option_names": ["-h", "--help"]})
 @click.option("--dataset-dir", required=True)
 @click.option("--quality", default="medium",
-              type=click.Choice(["micro", "x-low", "medium", "high"]))
+              type=click.Choice(["micro", "x-low", "medium",
+                                 "medium-istft", "high"]))
 @click.option("--batch-size", default=16, type=int)
 @click.option("--max-epochs", default=1000, type=int)
 @click.option("--checkpoint-epochs", default=1, type=int)

@@ -165,9 +165,10 @@ class TTSVoice:
 
         onnx_model = read_onnx(str(model_path))
         named = onnx_model.initializers
-        hp = infer_hparams_from_flat(
-            named, sample_rate=config.sample_rate,
-        )
+        overrides = {"sample_rate": config.sample_rate}
+        if "istft_hop" in onnx_model.metadata:
+            overrides["istft_hop"] = int(onnx_model.metadata["istft_hop"])
+        hp = infer_hparams_from_flat(named, **overrides)
         params = params_from_flat(named, hp, strict=False)
         engine = VitsEngine(params, hp, dtype=dtype)
         return TTSVoice(engine=engine, config=config)
