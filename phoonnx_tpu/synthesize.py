@@ -34,19 +34,24 @@ LOG = logging.getLogger("synthesize")
 @click.option("--seed", default=None, type=int)
 @click.option("--no-normalize", is_flag=True)
 @click.option("--volume", default=1.0, type=float)
+@click.option("--bf16", is_flag=True,
+              help="Run the model in bfloat16 (2x throughput, ~1e-3 "
+                   "waveform deviation)")
 @click.option("--stats", "show_stats", is_flag=True,
               help="Print RTF/latency stats to stderr")
 @click.option("--debug", is_flag=True)
 def main(model, config_path, text, output, speaker_id, length_scale,
-         noise_scale, noise_w, seed, no_normalize, volume, show_stats,
-         debug) -> None:
+         noise_scale, noise_w, seed, no_normalize, volume, bf16,
+         show_stats, debug) -> None:
     logging.basicConfig(level=logging.DEBUG if debug else logging.INFO)
     from phoonnx_tpu.voice import TTSVoice
 
     if text is None:
         text = sys.stdin.read()
 
-    voice = TTSVoice.load(model, config_path)
+    voice = TTSVoice.load(
+        model, config_path, dtype="bfloat16" if bf16 else "float32"
+    )
     syn_config = SynthesisConfig(
         speaker_id=speaker_id,
         length_scale=length_scale,
