@@ -125,3 +125,47 @@ def test_mas_pallas_interpret_matches_oracle():
         jnp.asarray(neg_cent), jnp.asarray(mask), interpret=True
     ))
     np.testing.assert_array_equal(got, want)
+
+
+def test_istft_roundtrip_with_stft():
+    """spectrogram -> istft reconstructs the waveform (center region)."""
+    from phoonnx_tpu.ops.istft import istft
+    from phoonnx_tpu.ops.stft import spectrogram
+
+    rng = np.random.default_rng(5)
+    n_fft, hop, win = 32, 8, 32
+    y = (rng.standard_normal((1, 512)) * 0.3).astype(np.float32)
+    # use a full complex STFT for the round trip (our spectrogram returns
+    # magnitude; rebuild phase from the same framing)
+    pad = (n_fft - hop) // 2
+    yp = np.pad(y, [(0, 0), (pad, pad)], mode="reflect")
+    n_frames = 1 + (yp.shape[1] - n_fft) // hop
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    frames = yp[:, idx] * np.hanning(n_fft + 1)[:-1]
+    spec = np.fft.rfft(frames, axis=-1)
+    out = np.asarray(istft(
+        jnp.asarray(np.abs(spec).astype(np.float32)),
+        jnp.asarray(np.angle(spec).astype(np.float32)),
+        n_fft, hop, win,
+    ))
+    # istft crops n_fft//2 (center=True) while our framing padded
+    # (n_fft-hop)//2 -> a constant offset of hop//2 samples
+    shift = n_fft // 2 - (n_fft - hop) // 2
+    n = min(out.shape[1], y.shape[1]) - n_fft
+    core = np.arange(n_fft, n)
+    np.testing.assert_allclose(
+        out[0, core], y[0, core + shift], atol=1e-3
+    )
+
+
+def test_observability_stats():
+    from phoonnx_tpu.observability import SynthesisStats
+
+    stats = SynthesisStats()
+    for latency in (0.1, 0.2, 0.3):
+        stats.record(latency, 5.0)
+    summary = stats.summary()
+    assert summary["count"] == 3
+    assert abs(summary["rtf"] - 0.6 / 15.0) < 1e-6
+    assert summary["p50_latency_ms"] == 200.0
+    assert summary["total_audio_s"] == 15.0
