@@ -386,18 +386,36 @@ class ByT5Engine:
 
     def greedy_decode(self, input_ids: List[int]) -> List[int]:
         """One utterance byte-id list -> generated token ids (pre-EOS)."""
-        length = len(input_ids)
+        return self.greedy_decode_batch([input_ids])[0]
+
+    def greedy_decode_batch(self, batch_ids: List[List[int]]
+                            ) -> List[List[int]]:
+        """Batched greedy decode over padded inputs.
+
+        The per-row ``finished`` handling in the decode loop keeps short
+        sequences padded after their EOS, so e.g. Charsiu's word-by-word
+        phonemization runs as ONE device program instead of one decode per
+        word (the reference loops a full onnxruntime decoder per word,
+        mul.py:286-288).
+        """
+        length = max(len(ids) for ids in batch_ids)
         bucket = next(
             (b for b in self.input_buckets if length <= b),
             self.input_buckets[-1],
         )
-        ids = np.zeros((1, bucket), np.int32)
-        mask = np.zeros((1, bucket), np.int32)
-        ids[0, :length] = input_ids[:bucket]
-        mask[0, :length] = 1
+        batch = len(batch_ids)
+        ids = np.zeros((batch, bucket), np.int32)
+        mask = np.zeros((batch, bucket), np.int32)
+        for row, utt in enumerate(batch_ids):
+            ids[row, : len(utt)] = utt[:bucket]
+            mask[row, : len(utt)] = 1
         tokens, lengths = self._decode(
             self.params, input_ids=jnp.asarray(ids),
             attention_mask=jnp.asarray(mask),
         )
-        n = int(lengths[0])
-        return [int(t) for t in np.asarray(tokens[0][:n])]
+        tokens = np.asarray(tokens)
+        lengths = np.asarray(lengths)
+        return [
+            [int(t) for t in tokens[row][: int(lengths[row])]]
+            for row in range(batch)
+        ]

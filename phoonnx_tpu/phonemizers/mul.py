@@ -195,11 +195,11 @@ class CharsiuPhonemizer(ByT5Phonemizer):
         if not text.strip():
             return ""
         lang = self.get_lang(lang)
-        phones: List[str] = []
-        for word in text.split():
-            ids = ByT5Phonemizer.encode_text(word, lang)
-            phones.append(self.decode_phones(self.engine.greedy_decode(ids)))
-        return " ".join(phones)
+        words = text.split()
+        # all words decode as one batched device program
+        batch = [ByT5Phonemizer.encode_text(w, lang) for w in words]
+        results = self.engine.greedy_decode_batch(batch)
+        return " ".join(self.decode_phones(ids) for ids in results)
 
 
 class GruutPhonemizer(BasePhonemizer):

@@ -123,3 +123,10 @@ def test_kv_cache_consistency(engine):
     ))
     rescored = logits.argmax(-1)[0].tolist()
     assert rescored == generated
+
+
+def test_greedy_decode_batch_matches_single(engine):
+    seqs = [[10, 45, 99, 1], [7, 8, 1], [200, 150, 90, 60, 30, 1]]
+    batched = engine.greedy_decode_batch(seqs)
+    singles = [engine.greedy_decode(s) for s in seqs]
+    assert batched == singles
