@@ -419,12 +419,18 @@ def infer_durations(params, hp: VitsHParams, x_ids: Array, x_lengths: Array,
     return m_p, logs_p, w_ceil, x_mask, g
 
 
-def infer_decode(params, hp: VitsHParams, m_p: Array, logs_p: Array,
-                 w_ceil: Array, x_mask: Array, max_frames: int,
-                 noise_scale: Array, g: Optional[Array] = None,
-                 prior_noise: Optional[Array] = None,
-                 rng: Optional[Array] = None):
-    """Phase-2: expand prior to ``max_frames``, reverse flow, vocode."""
+def infer_latents(params, hp: VitsHParams, m_p: Array, logs_p: Array,
+                  w_ceil: Array, x_mask: Array, max_frames: int,
+                  noise_scale: Array, g: Optional[Array] = None,
+                  prior_noise: Optional[Array] = None,
+                  rng: Optional[Array] = None):
+    """Expand prior to ``max_frames`` and reverse the flow -> latent frames.
+
+    Returns (z * y_mask, y_lengths). The decoder (``decode_audio`` or the
+    engine's chunked streaming decode) turns the latents into waveform —
+    splitting here lets the decoder, which holds ~all the FLOPs after the
+    256x upsampling, run incrementally.
+    """
     dtype = m_p.dtype
     y_lengths = jnp.maximum(jnp.sum(w_ceil, axis=-1), 1.0).astype(jnp.int32)
     y_lengths = jnp.minimum(y_lengths, max_frames)
@@ -442,5 +448,18 @@ def infer_decode(params, hp: VitsHParams, m_p: Array, logs_p: Array,
         * jnp.asarray(noise_scale, dtype)
     z = posterior.coupling_flow(params["flow"], z_p, y_mask, g=g,
                                 reverse=True)
-    audio = decode_audio(params, hp, z * y_mask, g=g)
+    return z * y_mask, y_lengths
+
+
+def infer_decode(params, hp: VitsHParams, m_p: Array, logs_p: Array,
+                 w_ceil: Array, x_mask: Array, max_frames: int,
+                 noise_scale: Array, g: Optional[Array] = None,
+                 prior_noise: Optional[Array] = None,
+                 rng: Optional[Array] = None):
+    """Phase-2: expand prior to ``max_frames``, reverse flow, vocode."""
+    z, y_lengths = infer_latents(
+        params, hp, m_p, logs_p, w_ceil, x_mask, max_frames, noise_scale,
+        g=g, prior_noise=prior_noise, rng=rng,
+    )
+    audio = decode_audio(params, hp, z, g=g)
     return audio, y_lengths

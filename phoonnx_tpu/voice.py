@@ -264,6 +264,67 @@ class TTSVoice:
                 audio_float_array=audio,
             )
 
+    def synthesize_streaming(
+        self, text: str, syn_config: Optional[SynthesisConfig] = None,
+        chunk_frames: int = 128, overlap_frames: int = 32,
+    ) -> Iterable[AudioChunk]:
+        """Yield audio in sub-sentence chunks as the vocoder produces them.
+
+        Time-to-first-audio path: each sentence's decoder runs
+        incrementally (``chunk_frames`` latent frames per chunk, ~1.5 s of
+        audio at 22 kHz for the default) and chunks stream out while the
+        device is still decoding the rest. The concatenated stream equals
+        :meth:`synthesize` output for the same seed (tests/test_streaming).
+        Capability beyond the reference, whose synthesize (voice.py:234-289)
+        yields only whole sentences, one onnxruntime run each.
+
+        ``normalize_audio`` is ignored here — the utterance peak is unknown
+        until the last chunk; use :meth:`synthesize` if you need it.
+        """
+        if syn_config is None:
+            syn_config = SynthesisConfig()
+
+        if self.phonetic_spellings and syn_config.enable_phonetic_spellings:
+            text = self.phonetic_spellings.apply(text)
+        if syn_config.add_diacritics:
+            text = self.phonemizer.add_diacritics(text, self.config.lang_code)
+
+        length_scale = (syn_config.length_scale
+                        if syn_config.length_scale is not None
+                        else self.config.length_scale)
+        noise_scale = (syn_config.noise_scale
+                       if syn_config.noise_scale is not None
+                       else self.config.noise_scale)
+        noise_w = (syn_config.noise_w_scale
+                   if syn_config.noise_w_scale is not None
+                   else self.config.noise_w_scale)
+
+        for phonemes in self.phonemize(text):
+            if not phonemes:
+                continue
+            phoneme_ids = self.phonemes_to_ids(phonemes)
+            if not phoneme_ids:
+                continue
+            for audio in self.engine.synthesize_ids_streaming(
+                phoneme_ids,
+                chunk_frames=chunk_frames,
+                overlap_frames=overlap_frames,
+                noise_scale=float(noise_scale),
+                length_scale=float(length_scale),
+                noise_w=float(noise_w),
+                speaker_id=syn_config.speaker_id or 0,
+                seed=syn_config.seed,
+            ):
+                if syn_config.volume != 1.0:
+                    audio = audio * syn_config.volume
+                audio = np.clip(audio, -1.0, 1.0).astype(np.float32)
+                yield AudioChunk(
+                    sample_rate=self.config.sample_rate,
+                    sample_width=2,
+                    sample_channels=1,
+                    audio_float_array=audio,
+                )
+
     def synthesize_wav(
         self,
         text: str,

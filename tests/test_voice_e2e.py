@@ -117,6 +117,22 @@ def test_ttsvoice_load_and_synthesize(voice_files):
     assert np.abs(pcm).max() > 0  # non-silent (normalized random voice)
 
 
+def test_ttsvoice_streaming_matches_synthesize(voice_files):
+    from phoonnx_tpu import SynthesisConfig, TTSVoice
+
+    model_path, config_path, _, _ = voice_files
+    voice = TTSVoice.load(str(model_path), str(config_path))
+    cfg = SynthesisConfig(seed=11, normalize_audio=False)
+    full = np.concatenate([
+        c.audio_float_array for c in voice.synthesize("[[abc def]]", cfg)
+    ])
+    stream_chunks = list(voice.synthesize_streaming(
+        "[[abc def]]", cfg, chunk_frames=8, overlap_frames=16))
+    assert len(stream_chunks) > 1
+    stream = np.concatenate([c.audio_float_array for c in stream_chunks])
+    np.testing.assert_allclose(stream, full, atol=2e-5)
+
+
 def test_ttsvoice_deterministic_seed(voice_files):
     from phoonnx_tpu import SynthesisConfig, TTSVoice
 
