@@ -1,0 +1,420 @@
+"""Production TTS serving: dynamic batching over the XLA engine.
+
+The reference has no serving layer (phoonnx is a library; one
+onnxruntime call per sentence). On TPU, serving throughput comes from
+batching: the engine decodes a batch-16 program at >100k audio-sec/sec
+(bench.py), so the server's job is to coalesce concurrent requests into
+full device batches without adding latency for the single-stream case.
+
+Design:
+
+* request handler threads do the host-side work (normalize -> phonemize
+  -> ids) in parallel, then submit to the :class:`DynamicBatcher`;
+* one dispatcher thread drains the queue: it waits at most
+  ``max_wait_ms`` for the batch to fill to ``max_batch`` utterances,
+  groups submissions by synthesis scales (a batch shares one compiled
+  program and one set of scale scalars; speaker ids vary per row), and
+  runs ONE ``engine.synthesize_batch`` per group — except explicitly
+  seeded requests, which run solo so their audio is reproducible
+  regardless of what they would have batched with;
+* responses: WAV bytes, or chunked raw PCM16 (``"stream": true``) fed
+  by the engine's chunked-decode path for sub-utterance latency.
+
+Everything is stdlib (http.server / threading / queue) — no framework
+dependencies, matching the repo's no-new-deps rule.
+"""
+
+import io
+import json
+import logging
+import queue
+import threading
+import time
+import wave
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from phoonnx_tpu.config import SynthesisConfig
+
+LOG = logging.getLogger(__name__)
+
+
+@dataclass
+class _Submission:
+    """One utterance's sentences, awaiting a batch slot."""
+    sentence_ids: List[List[int]]
+    scales: Tuple[float, float, float]  # (noise, length, noise_w)
+    speaker_id: int
+    seed: Optional[int]
+    event: threading.Event = field(default_factory=threading.Event)
+    audio: Optional[np.ndarray] = None
+    error: Optional[Exception] = None
+
+    def wait(self, timeout: Optional[float] = None) -> np.ndarray:
+        if not self.event.wait(timeout):
+            raise TimeoutError("synthesis timed out")
+        if self.error is not None:
+            raise self.error
+        return self.audio
+
+
+class DynamicBatcher:
+    """Coalesce concurrent synthesis submissions into device batches."""
+
+    def __init__(self, engine, max_batch: int = 16,
+                 max_wait_ms: float = 10.0, autostart: bool = True):
+        self.engine = engine
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self._queue: "queue.Queue[_Submission]" = queue.Queue()
+        self._stop = threading.Event()
+        self.stats = {"requests": 0, "batches": 0, "max_batch_seen": 0}
+        self._thread = None
+        if autostart:
+            self.start()
+
+    def start(self) -> None:
+        if self._thread is None:
+            self._thread = threading.Thread(target=self._run, daemon=True,
+                                            name="phoonnx-batcher")
+            self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+            self._thread = None
+
+    def submit(self, sentence_ids: List[List[int]],
+               scales: Tuple[float, float, float],
+               speaker_id: int = 0,
+               seed: Optional[int] = None) -> _Submission:
+        sub = _Submission(sentence_ids, scales, speaker_id, seed)
+        self.stats["requests"] += 1
+        self._queue.put(sub)
+        return sub
+
+    # -- dispatcher --------------------------------------------------
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            self._drain_once(first)
+
+    def _drain_once(self, first: Optional[_Submission] = None) -> None:
+        """Collect one batch (waiting up to max_wait) and synthesize it."""
+        subs: List[_Submission] = []
+        if first is None:
+            try:
+                first = self._queue.get_nowait()
+            except queue.Empty:
+                return
+        subs.append(first)
+        # fill up to max_batch sentences (sentences are what occupy
+        # device batch lanes), waiting at most max_wait for stragglers
+        lanes = len(first.sentence_ids)
+        t_end = time.monotonic() + self.max_wait
+        while lanes < self.max_batch:
+            wait_left = t_end - time.monotonic()
+            try:
+                sub = (self._queue.get(timeout=wait_left)
+                       if wait_left > 0 else self._queue.get_nowait())
+            except queue.Empty:
+                break
+            subs.append(sub)
+            lanes += len(sub.sentence_ids)
+
+        # group by scale scalars: one compiled program + scalar set each.
+        # Explicitly-seeded submissions synthesize SOLO: the engine seeds
+        # noise per batch, so a seeded request's audio would otherwise
+        # depend on which requests it happened to batch with.
+        groups: Dict[Any, List[_Submission]] = {}
+        for sub in subs:
+            if sub.seed is not None:
+                self._synthesize_group([sub], sub.scales, sub.seed)
+            else:
+                groups.setdefault(sub.scales, []).append(sub)
+        for scales, group in groups.items():
+            self._synthesize_group(group, scales, None)
+
+    def _synthesize_group(self, group: List[_Submission],
+                          scales: Tuple[float, float, float],
+                          seed: Optional[int]) -> None:
+        flat_ids: List[List[int]] = []
+        speaker_ids: List[int] = []
+        for sub in group:
+            flat_ids.extend(sub.sentence_ids)
+            speaker_ids.extend([sub.speaker_id] * len(sub.sentence_ids))
+        try:
+            if not flat_ids:
+                for sub in group:
+                    sub.audio = np.zeros(0, np.float32)
+                    sub.event.set()
+                return
+            audio, frame_lengths = self.engine.synthesize_batch(
+                flat_ids,
+                noise_scale=scales[0], length_scale=scales[1],
+                noise_w=scales[2], speaker_ids=speaker_ids, seed=seed,
+            )
+            self.stats["batches"] += 1
+            self.stats["max_batch_seen"] = max(
+                self.stats["max_batch_seen"], len(flat_ids))
+            upsample = self.engine.hp.total_upsample
+            cursor = 0
+            for sub in group:
+                pieces = []
+                for _ in sub.sentence_ids:
+                    n = frame_lengths[cursor] * upsample
+                    pieces.append(audio[cursor][:n])
+                    cursor += 1
+                sub.audio = (np.concatenate(pieces) if pieces
+                             else np.zeros(0, np.float32))
+                sub.event.set()
+        except Exception as exc:  # surface to the waiting handler
+            LOG.exception("batch synthesis failed")
+            for sub in group:
+                if not sub.event.is_set():
+                    sub.error = exc
+                    sub.event.set()
+
+
+class TTSServer:
+    """HTTP front-end over a loaded :class:`~phoonnx_tpu.voice.TTSVoice`.
+
+    Routes:
+
+    * ``GET /health`` -> ``{"status": "ok", "sample_rate": N, ...}``
+    * ``GET /stats`` -> batcher counters
+    * ``POST /synthesize`` body ``{"text": "...", "noise_scale"?,
+      "length_scale"?, "noise_w"?, "speaker_id"?, "seed"?}`` ->
+      ``audio/wav`` bytes (dynamic-batched with concurrent requests)
+    * ``POST /synthesize`` with ``"stream": true`` -> chunked
+      ``application/octet-stream`` of raw s16le PCM (headers
+      ``X-Sample-Rate``/``X-Sample-Width``/``X-Channels``), chunks
+      emitted as the vocoder produces them
+    * ``POST /phonemize`` body ``{"text": "..."}`` -> sentences of
+      phonemes + ids (debugging / pipelines)
+    """
+
+    def __init__(self, voice, host: str = "127.0.0.1", port: int = 0,
+                 max_batch: int = 16, max_wait_ms: float = 10.0):
+        self.voice = voice
+        self.batcher = DynamicBatcher(voice.engine, max_batch=max_batch,
+                                      max_wait_ms=max_wait_ms)
+        handler = _make_handler(self)
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self.httpd.daemon_threads = True
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def address(self) -> Tuple[str, int]:
+        return self.httpd.server_address[:2]
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self.httpd.serve_forever,
+                                        daemon=True, name="phoonnx-http")
+        self._thread.start()
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self.batcher.stop()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+            self._thread = None
+
+    def serve_forever(self) -> None:
+        try:
+            self.httpd.serve_forever()
+        finally:
+            self.batcher.stop()
+
+    # -- request-side synthesis -------------------------------------
+
+    def _prepare(self, text: str, cfg: SynthesisConfig) -> List[List[int]]:
+        voice = self.voice
+        if voice.phonetic_spellings and cfg.enable_phonetic_spellings:
+            text = voice.phonetic_spellings.apply(text)
+        if cfg.add_diacritics:
+            text = voice.phonemizer.add_diacritics(
+                text, voice.config.lang_code)
+        ids = [voice.phonemes_to_ids(ph)
+               for ph in voice.phonemize(text) if ph]
+        return [i for i in ids if i]
+
+    def _scales(self, body: Dict[str, Any]) -> Tuple[float, float, float]:
+        cfg = self.voice.config
+        return (
+            float(body.get("noise_scale", cfg.noise_scale)),
+            float(body.get("length_scale", cfg.length_scale)),
+            float(body.get("noise_w", cfg.noise_w_scale)),
+        )
+
+    def synthesize_wav_bytes(self, body: Dict[str, Any]) -> bytes:
+        cfg = SynthesisConfig(seed=body.get("seed"))
+        sentence_ids = self._prepare(str(body["text"]), cfg)
+        sub = self.batcher.submit(
+            sentence_ids, self._scales(body),
+            speaker_id=int(body.get("speaker_id", 0)),
+            seed=body.get("seed"),
+        )
+        audio = sub.wait(timeout=120.0)
+        if body.get("normalize", False) and len(audio):
+            peak = np.max(np.abs(audio))
+            audio = audio / peak if peak > 1e-8 else audio
+        pcm = np.clip(audio * 32767.0, -32767.0, 32767.0).astype(np.int16)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setframerate(self.voice.config.sample_rate)
+            w.setsampwidth(2)
+            w.setnchannels(1)
+            w.writeframes(pcm.tobytes())
+        return buf.getvalue()
+
+    def stream_pcm_chunks(self, body: Dict[str, Any]):
+        """Yield s16le PCM chunks (engine chunked decode; sub-utterance
+        latency — bypasses the batcher by design: streaming optimizes
+        time-to-first-audio, batching optimizes throughput)."""
+        cfg = SynthesisConfig(seed=body.get("seed"))
+        sentence_ids = self._prepare(str(body["text"]), cfg)
+        scales = self._scales(body)
+        for ids in sentence_ids:
+            for chunk in self.voice.engine.synthesize_ids_streaming(
+                ids,
+                chunk_frames=int(body.get("chunk_frames", 128)),
+                overlap_frames=int(body.get("overlap_frames", 32)),
+                noise_scale=scales[0], length_scale=scales[1],
+                noise_w=scales[2],
+                speaker_id=int(body.get("speaker_id", 0)),
+                seed=body.get("seed"),
+            ):
+                pcm = np.clip(chunk * 32767.0, -32767.0,
+                              32767.0).astype(np.int16)
+                yield pcm.tobytes()
+
+
+def _make_handler(server: TTSServer):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # route to logging, not stderr
+            LOG.debug("%s - %s", self.address_string(), fmt % args)
+
+        def _json(self, code: int, payload: Dict[str, Any]) -> None:
+            data = json.dumps(payload).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _read_body(self) -> Optional[Dict[str, Any]]:
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(length) or b"{}")
+                if not isinstance(body, dict):
+                    raise ValueError("body must be a JSON object")
+                return body
+            except (ValueError, json.JSONDecodeError) as exc:
+                self._json(400, {"error": f"bad request: {exc}"})
+                return None
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._json(200, {
+                    "status": "ok",
+                    "sample_rate": server.voice.config.sample_rate,
+                    "num_speakers": server.voice.config.num_speakers,
+                    "lang_code": server.voice.config.lang_code,
+                })
+            elif self.path == "/stats":
+                self._json(200, dict(server.batcher.stats))
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            body = self._read_body()
+            if body is None:
+                return
+            if self.path == "/synthesize":
+                if "text" not in body:
+                    self._json(400, {"error": "missing 'text'"})
+                    return
+                try:
+                    if body.get("stream"):
+                        self._stream(body)
+                    else:
+                        wav = server.synthesize_wav_bytes(body)
+                        self.send_response(200)
+                        self.send_header("Content-Type", "audio/wav")
+                        self.send_header("Content-Length", str(len(wav)))
+                        self.end_headers()
+                        self.wfile.write(wav)
+                except Exception as exc:
+                    LOG.exception("synthesis failed")
+                    self._json(500, {"error": str(exc)})
+            elif self.path == "/phonemize":
+                if "text" not in body:
+                    self._json(400, {"error": "missing 'text'"})
+                    return
+                sentences = server.voice.phonemize(str(body["text"]))
+                self._json(200, {
+                    "phonemes": sentences,
+                    "ids": [server.voice.phonemes_to_ids(ph)
+                            for ph in sentences],
+                })
+            else:
+                self._json(404, {"error": "not found"})
+
+        def _stream(self, body: Dict[str, Any]) -> None:
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.send_header("X-Sample-Rate",
+                             str(server.voice.config.sample_rate))
+            self.send_header("X-Sample-Width", "2")
+            self.send_header("X-Channels", "1")
+            self.end_headers()
+            for chunk in server.stream_pcm_chunks(body):
+                self.wfile.write(f"{len(chunk):x}\r\n".encode())
+                self.wfile.write(chunk)
+                self.wfile.write(b"\r\n")
+            self.wfile.write(b"0\r\n\r\n")
+
+    return Handler
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    import argparse
+
+    from phoonnx_tpu.voice import TTSVoice
+
+    ap = argparse.ArgumentParser(
+        description="phoonnx_tpu TTS server (dynamic batching)")
+    ap.add_argument("--model", required=True, help="voice model path")
+    ap.add_argument("--config", default=None, help="voice config json")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--max-batch", type=int, default=16)
+    ap.add_argument("--max-wait-ms", type=float, default=10.0)
+    ap.add_argument("--bf16", action="store_true",
+                    help="serve in bfloat16 (2x batch throughput)")
+    args = ap.parse_args(argv)
+
+    voice = TTSVoice.load(args.model, args.config,
+                          dtype="bfloat16" if args.bf16 else "float32")
+    srv = TTSServer(voice, host=args.host, port=args.port,
+                    max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+    LOG.info("serving on %s:%d", *srv.address)
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    logging.basicConfig(level=logging.INFO)
+    main()

@@ -1,0 +1,195 @@
+"""TTS HTTP server: dynamic batching, WAV and streaming-PCM responses.
+
+Serving layer beyond the reference (phoonnx is library-only); the
+batcher coalesces concurrent requests into one engine.synthesize_batch
+call per scale group.
+"""
+
+import http.client
+import io
+import json
+import threading
+import wave
+
+import numpy as np
+import pytest
+
+import jax
+
+from phoonnx_tpu.models.vits import model as vits_model
+from phoonnx_tpu.models.vits.load import params_to_flat
+from phoonnx_tpu.models.vits.model import VitsHParams
+from phoonnx_tpu.onnx.writer import write_onnx
+from phoonnx_tpu.serve import DynamicBatcher, TTSServer
+
+
+@pytest.fixture(scope="module")
+def voice(tmp_path_factory):
+    from phoonnx_tpu import TTSVoice
+
+    tmp = tmp_path_factory.mktemp("serve_voice")
+    hp = VitsHParams.preset("micro")
+    params = vits_model.random_params(jax.random.PRNGKey(0), hp)
+    flat = params_to_flat(params)
+    model_path = tmp / "model.onnx"
+    write_onnx(
+        str(model_path),
+        {k: np.asarray(v) for k, v in flat.items()},
+        metadata={"model_type": "vits", "sample_rate": "16000"},
+        inputs=["input", "input_lengths", "scales"],
+        outputs=["output"],
+    )
+    id_map = {"_": 0, "^": 1, "$": 2, " ": 3}
+    id_map.update({c: i + 4 for i, c in enumerate("abcdefghijklmnop")})
+    config = {
+        "phoneme_type": "raw",
+        "lang_code": "en",
+        "alphabet": "ipa",
+        "phoneme_id_map": id_map,
+        "num_symbols": len(id_map),
+        "num_speakers": 1,
+        "audio": {"sample_rate": 16000},
+        "inference": {"noise_scale": 0.667, "length_scale": 1.0,
+                      "noise_w": 0.8},
+    }
+    config_path = tmp / "model.onnx.json"
+    config_path.write_text(json.dumps(config), encoding="utf-8")
+    return TTSVoice.load(str(model_path), str(config_path))
+
+
+@pytest.fixture(scope="module")
+def server(voice):
+    srv = TTSServer(voice, port=0, max_batch=8, max_wait_ms=30.0)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _request(server, method, path, body=None):
+    host, port = server.address
+    conn = http.client.HTTPConnection(host, port, timeout=120)
+    conn.request(method, path,
+                 body=json.dumps(body) if body is not None else None,
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    return resp, data
+
+
+def test_health(server):
+    resp, data = _request(server, "GET", "/health")
+    assert resp.status == 200
+    payload = json.loads(data)
+    assert payload["status"] == "ok"
+    assert payload["sample_rate"] == 16000
+
+
+def test_synthesize_wav(server):
+    resp, data = _request(server, "POST", "/synthesize",
+                          {"text": "[[abc def]]", "seed": 3})
+    assert resp.status == 200
+    assert resp.getheader("Content-Type") == "audio/wav"
+    with wave.open(io.BytesIO(data), "rb") as w:
+        assert w.getframerate() == 16000
+        assert w.getnchannels() == 1
+        pcm = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+    assert len(pcm) > 0
+    assert np.abs(pcm).max() > 0
+
+
+def test_synthesize_deterministic_seed(server):
+    _, wav1 = _request(server, "POST", "/synthesize",
+                       {"text": "[[abc]]", "seed": 42})
+    _, wav2 = _request(server, "POST", "/synthesize",
+                       {"text": "[[abc]]", "seed": 42})
+    assert wav1 == wav2
+
+
+def test_synthesize_stream_pcm(server):
+    resp, data = _request(server, "POST", "/synthesize",
+                          {"text": "[[abc def gah]]", "seed": 5,
+                           "stream": True, "chunk_frames": 8,
+                           "overlap_frames": 8})
+    assert resp.status == 200
+    assert resp.getheader("X-Sample-Rate") == "16000"
+    pcm_stream = np.frombuffer(data, np.int16)
+    assert len(pcm_stream) > 0
+
+    # the streamed PCM must equal the batch path's audio for the seed
+    resp, wav = _request(server, "POST", "/synthesize",
+                         {"text": "[[abc def gah]]", "seed": 5})
+    with wave.open(io.BytesIO(wav), "rb") as w:
+        pcm_full = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+    assert len(pcm_stream) == len(pcm_full)
+    np.testing.assert_allclose(pcm_stream, pcm_full, atol=2)
+
+
+def test_concurrent_requests_batch(server):
+    results = {}
+
+    def worker(i):
+        resp, data = _request(server, "POST", "/synthesize",
+                              {"text": "[[abc def]]", "seed": 9})
+        results[i] = (resp.status, data)
+
+    before = dict(server.batcher.stats)
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(status == 200 for status, _ in results.values())
+    # identical params + seed -> identical audio regardless of batching
+    blobs = {data for _, data in results.values()}
+    assert len(blobs) == 1
+    after = server.batcher.stats
+    assert after["requests"] - before["requests"] == 6
+
+
+def test_phonemize_route(server):
+    resp, data = _request(server, "POST", "/phonemize",
+                          {"text": "[[abc]]"})
+    assert resp.status == 200
+    payload = json.loads(data)
+    assert payload["phonemes"]
+    assert payload["ids"]
+
+
+def test_bad_requests(server):
+    resp, _ = _request(server, "POST", "/synthesize", {"nope": 1})
+    assert resp.status == 400
+    resp, _ = _request(server, "GET", "/nope")
+    assert resp.status == 404
+    host, port = server.address
+    conn = http.client.HTTPConnection(host, port, timeout=30)
+    conn.request("POST", "/synthesize", body=b"{not json",
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    resp.read()
+    conn.close()
+    assert resp.status == 400
+
+
+def test_batcher_coalesces_submissions(voice):
+    """Deterministic batching check: stopped dispatcher, manual drain."""
+    calls = []
+    real = voice.engine.synthesize_batch
+
+    def spy(batch_ids, **kw):
+        calls.append(len(batch_ids))
+        return real(batch_ids, **kw)
+
+    batcher = DynamicBatcher(voice.engine, max_batch=8, max_wait_ms=1.0,
+                             autostart=False)
+    batcher.engine = type("E", (), {
+        "synthesize_batch": staticmethod(spy), "hp": voice.engine.hp})()
+    ids = [[1, 5, 9, 3]]
+    scales = (0.667, 1.0, 0.8)
+    subs = [batcher.submit(ids, scales) for _ in range(3)]
+    batcher._drain_once()
+    for sub in subs:
+        audio = sub.wait(timeout=1.0)
+        assert len(audio) > 0
+    assert calls == [3]  # ONE device batch of 3 lanes
+    assert batcher.stats["max_batch_seen"] == 3
