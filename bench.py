@@ -88,6 +88,26 @@ def main() -> None:
     batch16_fp32 = throughput(16, jnp.float32)
     batch16_bf16 = throughput(16, jnp.bfloat16)
 
+    # Streaming: time-to-first-audio via the chunked vocoder decode
+    # (includes host round-trips; on a remote-tunnel TPU those dominate)
+    from phoonnx_tpu.infer.engine import VitsEngine
+
+    engine = VitsEngine(params, hp, text_buckets=(128,),
+                        frame_buckets=(512,))
+    ids_list = [int(x) for x in np.asarray(ids)[0]]
+    for _ in range(2):  # compile phase1/latents/chunk programs
+        for _chunk in engine.synthesize_ids_streaming(
+                ids_list, chunk_frames=128, overlap_frames=32, seed=0):
+            break
+    ttfa = []
+    for i in range(10):
+        t0 = time.perf_counter()
+        for _chunk in engine.synthesize_ids_streaming(
+                ids_list, chunk_frames=128, overlap_frames=32, seed=i):
+            ttfa.append(time.perf_counter() - t0)
+            break
+    ttfa_ms = float(np.median(ttfa) * 1000)
+
     result = {
         "metric": "rtf_vits_medium_22k05",
         "value": round(rtf, 6),
@@ -98,6 +118,7 @@ def main() -> None:
             "p50_latency_ms": round(elapsed * 1000, 2),
             "batch16_fp32_audio_sec_per_sec": round(batch16_fp32, 1),
             "batch16_bf16_audio_sec_per_sec": round(batch16_bf16, 1),
+            "streaming_ttfa_ms": round(ttfa_ms, 2),
             "frames": max_frames,
             "device": str(jax.devices()[0]),
         },
