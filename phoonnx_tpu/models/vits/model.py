@@ -200,12 +200,14 @@ def train_forward(params, hp: VitsHParams, rng: Array,
                   x_ids: Array, x_lengths: Array,
                   spec: Array, spec_lengths: Array,
                   sid: Optional[Array] = None,
-                  deterministic: bool = False):
+                  deterministic: bool = False,
+                  mas_impl: str = "scan"):
     """Training forward pass (models.py:617-679).
 
     x_ids [B, T_x] int32; spec [B, T_y, C_spec]; lengths [B].
     Returns dict with the sliced waveform, duration loss pieces, the
-    alignment, and the latents needed for the KL loss.
+    alignment, and the latents needed for the KL loss. ``mas_impl``
+    selects the alignment kernel (see ops/mas.py).
     """
     b, t_x = x_ids.shape
     t_y = spec.shape[1]
@@ -243,7 +245,8 @@ def train_forward(params, hp: VitsHParams, rng: Array,
 
     attn_mask = y_mask * jnp.swapaxes(x_mask, 1, 2)  # [B, T_y, T_x]
     attn = jax.lax.stop_gradient(
-        mas.maximum_path(jax.lax.stop_gradient(neg_cent), attn_mask)
+        mas.maximum_path(jax.lax.stop_gradient(neg_cent), attn_mask,
+                         impl=mas_impl)
     )
 
     w = jnp.sum(attn, axis=1)[..., None]  # [B, T_x, 1] durations

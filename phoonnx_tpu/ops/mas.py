@@ -29,8 +29,34 @@ Array = jax.Array
 _NEG_INF = -1e9
 
 
-def maximum_path(neg_cent: Array, attn_mask: Array) -> Array:
-    """Best monotonic path; neg_cent/attn_mask [B, T_spec, T_text]."""
+def maximum_path(neg_cent: Array, attn_mask: Array,
+                 impl: str = "scan") -> Array:
+    """Best monotonic path; neg_cent/attn_mask [B, T_spec, T_text].
+
+    impl:
+      * ``"scan"`` — lax.scan DP (default; partitions under GSPMD, runs
+        on any backend);
+      * ``"pallas"`` — VMEM kernel (ops/mas_pallas.py), bit-identical;
+        ~2x faster standalone on v5e (2.1 vs 4.4 ms at [8, 512, 128]),
+        within noise of scan inside the fused train step (XLA overlaps
+        the scan with other work there). Single-device programs only
+        (pallas_call is opaque to the SPMD partitioner). On non-TPU
+        backends it runs in interpret mode (slow — for tests).
+      * ``"auto"`` — pallas on a TPU backend, scan otherwise. The
+        training step resolves auto to scan when the data mesh axis is
+        sharded (see train/step.py).
+    """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "scan"
+    if impl == "pallas":
+        from phoonnx_tpu.ops.mas_pallas import maximum_path_pallas
+
+        return maximum_path_pallas(
+            neg_cent, attn_mask,
+            interpret=jax.default_backend() != "tpu",
+        )
+    if impl != "scan":
+        raise ValueError(f"unknown MAS impl: {impl!r}")
     b, t_y, t_x = neg_cent.shape
     y_lens = jnp.maximum(jnp.sum(attn_mask[:, :, 0], axis=1), 1).astype(jnp.int32)
     x_lens = jnp.maximum(jnp.sum(attn_mask[:, 0, :], axis=1), 1).astype(jnp.int32)

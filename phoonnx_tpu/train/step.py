@@ -38,6 +38,10 @@ class TrainConfig(NamedTuple):
     disc_periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
     disc_channel_scale: int = 1  # >1 shrinks the discriminator (tests)
     remat: bool = False  # rematerialize the generator forward (saves HBM)
+    # MAS kernel: "auto" = Pallas VMEM kernel on single-device TPU
+    # programs (2x the scan DP), scan under a sharded mesh / on CPU.
+    mas_impl: str = "auto"
+    data_axis_size: int = 1  # devices on the mesh's data axis
 
 
 class TrainState(NamedTuple):
@@ -101,22 +105,28 @@ def train_step(state: TrainState, batch: Dict[str, Array], rng: Array,
     optimizer = make_optimizer(cfg)
     segment_samples = hp.segment_size * hp.hop_length
 
-    forward = vits_model.train_forward
-    if cfg.remat:
-        # Trade FLOPs for HBM: recompute generator activations in the
-        # backward pass (useful for the 'high' preset at large batch).
-        forward = jax.checkpoint(
-            vits_model.train_forward,
-            static_argnums=(1,),
-        )
+    # pallas_call is opaque to the SPMD partitioner — keep the scan DP
+    # whenever the batch is sharded over a data axis
+    mas_impl = cfg.mas_impl
+    if cfg.data_axis_size > 1 and mas_impl != "scan":
+        mas_impl = "scan"
 
-    def generator_loss_fn(params_g, params_d):
-        out = forward(
+    def forward(params_g, hp, rng):
+        return vits_model.train_forward(
             params_g, hp, rng,
             batch["phoneme_ids"], batch["phoneme_lengths"],
             batch["spec"], batch["spec_lengths"],
             sid=batch.get("sid"),
+            mas_impl=mas_impl,
         )
+
+    if cfg.remat:
+        # Trade FLOPs for HBM: recompute generator activations in the
+        # backward pass (useful for the 'high' preset at large batch).
+        forward = jax.checkpoint(forward, static_argnums=(1,))
+
+    def generator_loss_fn(params_g, params_d):
+        out = forward(params_g, hp, rng)
         y_hat = out["audio"]  # [B, segment_samples]
         y = vits_model.slice_audio_segments(
             batch["audio"], out["ids_slice"], segment_samples, hp.hop_length

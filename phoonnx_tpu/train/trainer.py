@@ -76,6 +76,7 @@ def run_training(
     learning_rate: float = 2e-4,
     grad_clip: Optional[float] = None,
     remat: bool = False,
+    mas_impl: str = "auto",
     seed: int = 1234,
     resume_from_checkpoint: Optional[str] = None,
     resume_from_single_speaker: Optional[str] = None,
@@ -111,6 +112,7 @@ def run_training(
         steps_per_epoch=max(len(train_loader), 1),
         grad_clip=grad_clip,
         remat=remat,
+        mas_impl=mas_impl,
     )
     state = init_train_state(jax.random.PRNGKey(seed), hp, cfg)
 
@@ -176,6 +178,9 @@ def run_training(
 @click.option("--grad-clip", default=None, type=float)
 @click.option("--remat", is_flag=True,
               help="Rematerialize generator activations (saves HBM)")
+@click.option("--mas-impl", default="auto",
+              type=click.Choice(["auto", "scan", "pallas"]),
+              help="Alignment-search kernel (auto: Pallas on TPU)")
 @click.option("--seed", default=1234, type=int)
 @click.option("--resume-from-checkpoint", default=None)
 @click.option("--resume-from-single-speaker-checkpoint",

@@ -127,6 +127,25 @@ def test_mas_pallas_interpret_matches_oracle():
     np.testing.assert_array_equal(got, want)
 
 
+def test_mas_impl_dispatch():
+    """maximum_path(impl=...) routes to identical implementations."""
+    from phoonnx_tpu.ops.mas import maximum_path
+
+    rng = np.random.default_rng(9)
+    b, t_y, t_x = 2, 32, 12
+    neg_cent = rng.standard_normal((b, t_y, t_x)).astype(np.float32)
+    mask = np.zeros((b, t_y, t_x), np.float32)
+    mask[0, :32, :12] = 1
+    mask[1, :20, :7] = 1
+    want = maximum_path_numpy(neg_cent, mask)
+    for impl in ("scan", "pallas", "auto"):
+        got = np.asarray(maximum_path(
+            jnp.asarray(neg_cent), jnp.asarray(mask), impl=impl))
+        np.testing.assert_array_equal(got, want, err_msg=impl)
+    with pytest.raises(ValueError):
+        maximum_path(jnp.asarray(neg_cent), jnp.asarray(mask), impl="nope")
+
+
 def test_istft_roundtrip_with_stft():
     """spectrogram -> istft reconstructs the waveform (center region)."""
     from phoonnx_tpu.ops.istft import istft
