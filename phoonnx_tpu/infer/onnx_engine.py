@@ -1,0 +1,122 @@
+"""Fallback engine: execute a foreign ONNX voice graph directly.
+
+The fast path (:class:`~phoonnx_tpu.infer.engine.VitsEngine`) imports
+weights by name into the JAX VITS graph — that covers voices exported by
+this framework, piper, and the reference trainer (export_onnx.py keeps
+state-dict initializer names). Voices whose graphs are NOT that layout
+(coqui-VITS exports, mimic3 models, anything else the reference would
+simply hand to onnxruntime, reference voice.py:167) cannot be
+name-imported; for those this engine interprets the voice's own ONNX
+graph with the in-repo executor, preserving the reference's
+architecture-agnostic behavior.
+
+Feed contract matches the reference call (voice.py:350-377): ``input``
+[1, T] int64, ``input_lengths`` [1] int64, ``scales`` [3] float32
+(noise, length, noise_w), plus ``sid``/``langid`` [1] int64 when the
+graph declares them. Host/numpy execution — functional compatibility,
+not TPU speed; re-export such voices through this framework's trainer
+for the compiled path.
+"""
+
+import logging
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from phoonnx_tpu.onnx.executor import OnnxExecutor
+from phoonnx_tpu.onnx.reader import OnnxModel
+
+LOG = logging.getLogger(__name__)
+
+
+class _HpShim:
+    """Minimal hparams surface TTSVoice uses (lengths are in samples)."""
+
+    total_upsample = 1
+
+    def __init__(self, sample_rate: int):
+        self.sample_rate = sample_rate
+
+
+class OnnxFallbackEngine:
+    """Architecture-agnostic voice execution via the ONNX interpreter."""
+
+    def __init__(self, model: OnnxModel, sample_rate: int):
+        self.executor = OnnxExecutor(model)
+        self.input_names = set(model.inputs)
+        self.output_name = model.outputs[0] if model.outputs else None
+        self.hp = _HpShim(sample_rate)
+
+    def _run_one(self, ids: Sequence[int], noise_scale: float,
+                 length_scale: float, noise_w: float,
+                 speaker_id: int, lang_id: Optional[int]) -> np.ndarray:
+        feeds = {
+            "input": np.asarray([list(ids)], np.int64),
+            "input_lengths": np.asarray([len(ids)], np.int64),
+            "scales": np.asarray([noise_scale, length_scale, noise_w],
+                                 np.float32),
+            "sid": np.asarray([speaker_id], np.int64),
+            "langid": np.asarray([lang_id or 0], np.int64),
+        }
+        # the reference filters feeds to the graph's declared inputs
+        # (voice.py:369-372); unknown extras would be rejected
+        feeds = {k: v for k, v in feeds.items() if k in self.input_names}
+        audio = self.executor.run(feeds)[0]
+        audio = np.asarray(audio, np.float32)
+        return audio.reshape(-1)  # [1, 1, T] / [1, T] -> [T]
+
+    # -- VitsEngine-compatible surface --------------------------------
+
+    def synthesize_ids(
+        self,
+        phoneme_ids: Sequence[int],
+        noise_scale: float = 0.667,
+        length_scale: float = 1.0,
+        noise_w: float = 0.8,
+        speaker_id: int = 0,
+        seed: Optional[int] = None,
+        lang_id: Optional[int] = None,
+    ) -> np.ndarray:
+        if seed is not None:
+            LOG.warning(
+                "seed is not supported by the ONNX fallback engine "
+                "(graph-internal RandomNormalLike nodes draw their own "
+                "noise); output will not be reproducible"
+            )
+        return self._run_one(phoneme_ids, noise_scale, length_scale,
+                             noise_w, speaker_id, lang_id)
+
+    def synthesize_batch(
+        self,
+        batch_ids: Sequence[Sequence[int]],
+        noise_scale: float = 0.667,
+        length_scale: float = 1.0,
+        noise_w: float = 0.8,
+        speaker_ids: Optional[Sequence[int]] = None,
+        seed: Optional[int] = None,
+    ) -> Tuple[np.ndarray, List[int]]:
+        """Sequential execution; returns (padded [B, L], sample lengths).
+
+        ``total_upsample`` is 1 for this engine, so the returned lengths
+        are already sample counts (TTSVoice multiplies by upsample).
+        """
+        wavs = []
+        for i, ids in enumerate(batch_ids):
+            sid = speaker_ids[i] if speaker_ids is not None else 0
+            wavs.append(self._run_one(ids, noise_scale, length_scale,
+                                      noise_w, sid, None))
+        lengths = [len(w) for w in wavs]
+        out = np.zeros((len(wavs), max(lengths) if lengths else 0),
+                       np.float32)
+        for i, w in enumerate(wavs):
+            out[i, : len(w)] = w
+        return out, lengths
+
+    def synthesize_ids_streaming(self, *args, **kwargs):
+        raise NotImplementedError(
+            "streaming requires the compiled VITS engine; this voice is "
+            "running on the ONNX fallback interpreter"
+        )
+
+    def warmup(self, *args, **kwargs) -> None:
+        pass  # nothing to precompile

@@ -137,6 +137,26 @@ def _route_dp(parts) -> Optional[Tuple]:
 _STRIP_PREFIXES = ("model_g.", "_orig_mod.")
 
 
+def routed_fraction(named: Mapping[str, np.ndarray]) -> float:
+    """Fraction of flat names the importer can route into the VITS tree.
+
+    ~1.0 for training state dicts / weight-only exports, ~0.8 for this
+    framework's executable graphs (constants don't route), ~0.0 for
+    foreign graphs (coqui-VITS, mimic3) — used by TTSVoice.load to decide
+    between the compiled engine and the ONNX-interpreter fallback.
+    """
+    if not named:
+        return 0.0
+    routed = 0
+    for name in named:
+        for prefix in _STRIP_PREFIXES:
+            if name.startswith(prefix):
+                name = name[len(prefix):]
+        if _route(name) is not None:
+            routed += 1
+    return routed / len(named)
+
+
 def params_from_flat(
     named: Mapping[str, np.ndarray],
     hp: VitsHParams,

@@ -168,9 +168,30 @@ class TTSVoice:
         overrides = {"sample_rate": config.sample_rate}
         if "istft_hop" in onnx_model.metadata:
             overrides["istft_hop"] = int(onnx_model.metadata["istft_hop"])
-        hp = infer_hparams_from_flat(named, **overrides)
-        params = params_from_flat(named, hp, strict=False)
-        engine = VitsEngine(params, hp, dtype=dtype)
+        try:
+            from phoonnx_tpu.models.vits.load import routed_fraction
+
+            if routed_fraction(named) < 0.25:
+                raise ValueError(
+                    "initializer names do not match the VITS import layout"
+                )
+            hp = infer_hparams_from_flat(named, **overrides)
+            params = params_from_flat(named, hp, strict=False)
+            engine = VitsEngine(params, hp, dtype=dtype)
+        except (KeyError, ValueError) as exc:
+            # Not the piper/phoonnx VITS weight layout (e.g. a coqui-VITS
+            # or mimic3 export). The reference would hand any graph to
+            # onnxruntime (voice.py:167); we interpret it with the
+            # in-repo executor — functional, host-side, not TPU-compiled.
+            from phoonnx_tpu.infer.onnx_engine import OnnxFallbackEngine
+
+            LOG.warning(
+                "weights do not match the VITS import layout (%s); "
+                "falling back to the ONNX graph interpreter "
+                "(re-export through phoonnx_tpu.train.export for the "
+                "compiled TPU path)", exc,
+            )
+            engine = OnnxFallbackEngine(onnx_model, config.sample_rate)
         return TTSVoice(engine=engine, config=config)
 
     # ------------------------------------------------------------------

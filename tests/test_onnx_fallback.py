@@ -1,0 +1,106 @@
+"""Foreign ONNX voices run via the fallback graph interpreter.
+
+A voice whose initializers are NOT the piper/phoonnx state-dict layout
+cannot be name-imported into the JAX VITS pytree; TTSVoice.load must
+fall back to interpreting the voice's own graph (the reference's
+architecture-agnostic behavior, voice.py:167).
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+
+from phoonnx_tpu.models.vits.load import params_to_flat
+from phoonnx_tpu.models.vits.model import VitsHParams, random_params
+from phoonnx_tpu.onnx.reader import read_onnx
+from phoonnx_tpu.onnx.vits_graph import export_vits_onnx
+from phoonnx_tpu.onnx.writer import write_onnx
+
+
+@pytest.fixture(scope="module")
+def foreign_voice(tmp_path_factory):
+    """An executable VITS graph with every name mangled ('foreign/...')
+    so the state-dict importer cannot possibly match it."""
+    tmp = tmp_path_factory.mktemp("foreign")
+    hp = VitsHParams.preset("micro")
+    params = random_params(jax.random.PRNGKey(0), hp)
+    native = tmp / "native.onnx"
+    export_vits_onnx(params_to_flat(params), hp, str(native),
+                     metadata={"model_type": "vits"})
+
+    model = read_onnx(str(native))
+    rename = {name: f"foreign/{name}" for name in model.initializers}
+    io_names = set(model.inputs) | set(model.outputs)
+    remap = (lambda n: rename.get(n, n) if n not in io_names else n)
+    nodes = [
+        (n.op_type,
+         [remap(i) for i in n.inputs],
+         [remap(o) for o in n.outputs],
+         n.attributes)
+        for n in model.nodes
+    ]
+    path = tmp / "model.onnx"
+    write_onnx(
+        str(path),
+        {rename[k]: v for k, v in model.initializers.items()},
+        metadata=dict(model.metadata),
+        inputs=model.inputs, outputs=model.outputs, nodes=nodes,
+    )
+
+    id_map = {"_": 0, "^": 1, "$": 2, " ": 3}
+    id_map.update({c: i + 4 for i, c in enumerate("abcdefghijklmnop")})
+    config = {
+        "phoneme_type": "raw", "lang_code": "en", "alphabet": "ipa",
+        "phoneme_id_map": id_map, "num_symbols": len(id_map),
+        "num_speakers": 1, "audio": {"sample_rate": hp.sample_rate},
+        "inference": {"noise_scale": 0.667, "length_scale": 1.0,
+                      "noise_w": 0.8},
+    }
+    config_path = tmp / "model.onnx.json"
+    config_path.write_text(json.dumps(config), encoding="utf-8")
+    return path, config_path
+
+
+def test_foreign_voice_falls_back_and_synthesizes(foreign_voice, caplog):
+    from phoonnx_tpu import SynthesisConfig, TTSVoice
+    from phoonnx_tpu.infer.onnx_engine import OnnxFallbackEngine
+
+    model_path, config_path = foreign_voice
+    with caplog.at_level("WARNING"):
+        voice = TTSVoice.load(str(model_path), str(config_path))
+    assert isinstance(voice.engine, OnnxFallbackEngine)
+    assert any("falling back" in r.getMessage() for r in caplog.records)
+
+    audio = voice.phoneme_ids_to_audio(
+        [1, 5, 9, 3, 7, 2], SynthesisConfig())
+    assert audio.ndim == 1
+    assert len(audio) > 0
+    assert np.abs(audio).max() > 0
+
+
+def test_foreign_voice_batch_and_chunks(foreign_voice):
+    from phoonnx_tpu import SynthesisConfig, TTSVoice
+
+    model_path, config_path = foreign_voice
+    voice = TTSVoice.load(str(model_path), str(config_path))
+    outs = voice.synthesize_batch(["[[abc]]", "[[de fg ab]]"],
+                                  SynthesisConfig(normalize_audio=False))
+    assert len(outs) == 2
+    assert all(len(o) > 0 for o in outs)
+    assert len(outs[1]) > len(outs[0])
+
+    chunks = list(voice.synthesize("[[abc def]]",
+                                   SynthesisConfig(normalize_audio=False)))
+    assert chunks and all(len(c.audio_float_array) > 0 for c in chunks)
+
+
+def test_foreign_voice_streaming_raises(foreign_voice):
+    from phoonnx_tpu import TTSVoice
+
+    model_path, config_path = foreign_voice
+    voice = TTSVoice.load(str(model_path), str(config_path))
+    with pytest.raises(NotImplementedError):
+        list(voice.synthesize_streaming("[[abc]]"))
