@@ -37,11 +37,15 @@ LOG = logging.getLogger("synthesize")
 @click.option("--bf16", is_flag=True,
               help="Run the model in bfloat16 (2x throughput, ~1e-3 "
                    "waveform deviation)")
+@click.option("--stream", is_flag=True,
+              help="Write WAV frames incrementally as the vocoder "
+                   "produces them (sub-sentence chunked decode; implies "
+                   "--no-normalize — the peak is unknown upfront)")
 @click.option("--stats", "show_stats", is_flag=True,
               help="Print RTF/latency stats to stderr")
 @click.option("--debug", is_flag=True)
 def main(model, config_path, text, output, speaker_id, length_scale,
-         noise_scale, noise_w, seed, no_normalize, volume, bf16,
+         noise_scale, noise_w, seed, no_normalize, volume, bf16, stream,
          show_stats, debug) -> None:
     logging.basicConfig(level=logging.DEBUG if debug else logging.INFO)
     from phoonnx_tpu.voice import TTSVoice
@@ -65,7 +69,19 @@ def main(model, config_path, text, output, speaker_id, length_scale,
     stats = SynthesisStats()
     start = time.perf_counter()
     with wave.open(output, "wb") as wav_file:
-        voice.synthesize_wav(text, wav_file, syn_config)
+        if stream:
+            first = True
+            for chunk in voice.synthesize_streaming(text, syn_config):
+                if first:
+                    wav_file.setframerate(chunk.sample_rate)
+                    wav_file.setsampwidth(chunk.sample_width)
+                    wav_file.setnchannels(chunk.sample_channels)
+                    LOG.info("first audio after %.3fs",
+                             time.perf_counter() - start)
+                    first = False
+                wav_file.writeframes(chunk.audio_int16_bytes)
+        else:
+            voice.synthesize_wav(text, wav_file, syn_config)
     elapsed = time.perf_counter() - start
 
     with wave.open(output, "rb") as wav_file:
