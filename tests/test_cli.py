@@ -1,0 +1,86 @@
+"""Synthesis CLI surface (python -m phoonnx_tpu.synthesize)."""
+
+import json
+import wave
+
+import numpy as np
+import pytest
+from click.testing import CliRunner
+
+import jax
+
+from phoonnx_tpu.models.vits import model as vits_model
+from phoonnx_tpu.models.vits.load import params_to_flat
+from phoonnx_tpu.models.vits.model import VitsHParams
+from phoonnx_tpu.onnx.writer import write_onnx
+from phoonnx_tpu.synthesize import main as synthesize_main
+
+
+@pytest.fixture(scope="module")
+def voice_files(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli_voice")
+    hp = VitsHParams.preset("micro")
+    params = vits_model.random_params(jax.random.PRNGKey(0), hp)
+    model_path = tmp / "model.onnx"
+    write_onnx(
+        str(model_path),
+        {k: np.asarray(v) for k, v in params_to_flat(params).items()},
+        metadata={"model_type": "vits", "sample_rate": "16000"},
+        inputs=["input", "input_lengths", "scales"],
+        outputs=["output"],
+    )
+    id_map = {"_": 0, "^": 1, "$": 2, " ": 3}
+    id_map.update({c: i + 4 for i, c in enumerate("abcdefghijklmnop")})
+    (tmp / "model.onnx.json").write_text(json.dumps({
+        "phoneme_type": "raw", "lang_code": "en", "alphabet": "ipa",
+        "phoneme_id_map": id_map, "num_symbols": len(id_map),
+        "num_speakers": 1, "audio": {"sample_rate": 16000},
+        "inference": {"noise_scale": 0.667, "length_scale": 1.0,
+                      "noise_w": 0.8},
+    }), encoding="utf-8")
+    return model_path
+
+
+def _check_wav(path, sample_rate=16000):
+    with wave.open(str(path), "rb") as w:
+        assert w.getframerate() == sample_rate
+        n = w.getnframes()
+        pcm = np.frombuffer(w.readframes(n), np.int16)
+    assert n > 0 and np.abs(pcm).max() > 0
+    return pcm
+
+
+def test_cli_synthesize(voice_files, tmp_path):
+    out = tmp_path / "out.wav"
+    result = CliRunner().invoke(synthesize_main, [
+        "-m", str(voice_files), "-t", "[[abc def]]", "-o", str(out),
+        "--seed", "3", "--stats",
+    ])
+    assert result.exit_code == 0, result.output
+    _check_wav(out)
+
+
+def test_cli_synthesize_stream_matches(voice_files, tmp_path):
+    out_full = tmp_path / "full.wav"
+    out_stream = tmp_path / "stream.wav"
+    common = ["-m", str(voice_files), "-t", "[[abc def gah]]",
+              "--seed", "5", "--no-normalize"]
+    r1 = CliRunner().invoke(synthesize_main,
+                            common + ["-o", str(out_full)])
+    r2 = CliRunner().invoke(synthesize_main,
+                            common + ["-o", str(out_stream), "--stream"])
+    assert r1.exit_code == 0, r1.output
+    assert r2.exit_code == 0, r2.output
+    full = _check_wav(out_full)
+    stream = _check_wav(out_stream)
+    assert len(full) == len(stream)
+    np.testing.assert_allclose(stream, full, atol=2)
+
+
+def test_cli_stdin_input(voice_files, tmp_path):
+    out = tmp_path / "stdin.wav"
+    result = CliRunner().invoke(synthesize_main, [
+        "-m", str(voice_files), "-o", str(out), "--seed", "1",
+    ], input="[[ab cd]]")
+    assert result.exit_code == 0, result.output
+    _check_wav(out)
