@@ -8,7 +8,6 @@ preferred so output matches the reference exactly.
 
 import datetime
 from datetime import date
-from typing import Optional
 
 from phoonnx_tpu.numbers import (
     pronounce_number,

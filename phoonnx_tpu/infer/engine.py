@@ -21,7 +21,7 @@ compile; ``warmup()`` precompiles the common grid.
 import logging
 import math
 from functools import partial
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -5,7 +5,7 @@ Reference: phoonnx_train/vits/models.py:378-519. Layout: waveforms are
 convs on the MXU.
 """
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -5,7 +5,7 @@ realised as input-dilated MXU convolutions (see nn.conv_transpose1d); the
 whole stack compiles to one fused XLA program per frame bucket.
 """
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

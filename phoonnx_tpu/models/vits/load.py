@@ -13,7 +13,7 @@ copied verbatim. Only ElementwiseAffine ([C, 1] -> [C]) is squeezed.
 """
 
 import re
-from typing import Any, Dict, Mapping, Optional, Set, Tuple
+from typing import Any, Dict, Mapping, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

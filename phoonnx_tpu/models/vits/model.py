@@ -9,7 +9,7 @@ offsets) come from an explicit PRNG key or injected arrays, so synthesis is
 reproducible and can be verified bit-for-bit against other runtimes.
 """
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 from typing import Any, Dict, Optional, Tuple
 
 import jax

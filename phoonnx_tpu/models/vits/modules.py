@@ -6,7 +6,7 @@ Functional JAX rebuild of the reference blocks
 """
 
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

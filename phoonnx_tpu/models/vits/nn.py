@@ -11,7 +11,7 @@ Conventions (chosen for TPU/XLA, not a torch translation):
 """
 
 import math
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ installed they are preferred, keeping output identical to the reference.
 """
 
 import logging
-from typing import List, Optional, Union
+from typing import Union
 
 LOG = logging.getLogger(__name__)
 

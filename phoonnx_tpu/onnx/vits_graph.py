@@ -16,7 +16,7 @@ batch/length handled via shape arithmetic.
 """
 
 import math
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
 

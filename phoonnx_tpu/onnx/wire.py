@@ -6,7 +6,7 @@ message definitions declarative in reader.py.
 """
 
 import struct
-from typing import Dict, Iterator, List, Tuple
+from typing import Iterator, List, Tuple
 
 WIRETYPE_VARINT = 0
 WIRETYPE_FIXED64 = 1

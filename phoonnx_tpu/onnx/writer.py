@@ -7,7 +7,7 @@ reader. Graph nodes are optional — a weights-only container is sufficient
 for phoonnx_tpu itself to reload a voice.
 """
 
-from typing import Dict, List, Mapping, Optional, Sequence, Tuple
+from typing import Mapping, Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -11,7 +11,6 @@ stay/advance recurrence with a forced advance on the x==y edge, stay-on-tie
 backtracking, per-batch true lengths from the mask.
 """
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ import logging
 import sys
 import time
 import wave
-from typing import Optional
 
 import click
 

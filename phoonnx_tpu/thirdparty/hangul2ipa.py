@@ -10,7 +10,6 @@ voicing and l/ɾ alternation. Rule data ships as CSV tables in
 """
 
 import csv
-import math
 import os
 import re
 from functools import lru_cache

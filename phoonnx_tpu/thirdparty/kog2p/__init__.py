@@ -6,7 +6,6 @@ are decomposed arithmetically into romanized phones, a regex rulebook
 maps back to hangul jamo for downstream hangul2ipa conversion.
 """
 
-import math
 import os
 import re
 from functools import lru_cache

@@ -1,6 +1,5 @@
 """Arabic number verbalization for the mantoq pipeline."""
 
-from typing import List
 
 _ONES = [
     "صفر", "واحد", "اثنان", "ثلاثة", "أربعة", "خمسة", "ستة", "سبعة",

@@ -12,7 +12,6 @@ warning so synthesis still works on undiacritized text.
 
 import json
 import logging
-import os
 from pathlib import Path
 from typing import Dict, List, Optional, Set, Tuple, Union
 

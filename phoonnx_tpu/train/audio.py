@@ -14,7 +14,6 @@ and an energy detector otherwise.
 import hashlib
 import logging
 import os
-from pathlib import Path
 from typing import Optional, Tuple
 
 import numpy as np

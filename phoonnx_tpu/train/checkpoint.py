@@ -12,9 +12,8 @@ machinery (phoonnx_train/train.py:94-96, lightning load_from_checkpoint):
 
 import json
 import logging
-import os
 from pathlib import Path
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import numpy as np

@@ -21,7 +21,7 @@ Usage:
 import json
 import logging
 from pathlib import Path
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import click
 import numpy as np

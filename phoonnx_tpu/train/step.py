@@ -8,7 +8,6 @@ reuses cached y/y_hat"). Under a sharded mesh, GSPMD inserts the gradient
 all-reduce over the data axis automatically.
 """
 
-from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax

@@ -19,7 +19,6 @@ from typing import Optional
 
 import click
 import jax
-import numpy as np
 
 from phoonnx_tpu.models.vits.model import VitsHParams
 from phoonnx_tpu.train import checkpoint as ckpt
