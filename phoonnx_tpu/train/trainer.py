@@ -47,15 +47,22 @@ def build_hparams(config: dict, quality: str) -> VitsHParams:
 
 
 def evaluate(state, loader: BucketedLoader, rng, hp, cfg,
-             max_batches: int = 8) -> float:
-    """Mean generator loss over validation batches (no updates)."""
-    from phoonnx_tpu.train.step import train_step as _step
+             max_batches: int = 8, step_fn=None) -> float:
+    """Mean generator loss over validation batches (no updates).
 
+    ``step_fn`` must be a jitted train step WITHOUT donation (the state
+    is reused across batches); run_training caches one across epochs.
+    Never run the raw step here — un-jitted execution dispatches every
+    op individually, which over a remote-TPU link takes effectively
+    forever (~28 ms/op on the axon tunnel).
+    """
+    if step_fn is None:
+        step_fn = jax.jit(partial(train_step, hp=hp, cfg=cfg))
     total, count = 0.0, 0
     for i, batch in enumerate(loader.epoch()):
         if i >= max_batches:
             break
-        _, metrics = _step(state, batch, jax.random.fold_in(rng, i), hp, cfg)
+        _, metrics = step_fn(state, batch, jax.random.fold_in(rng, i))
         total += float(metrics["loss_gen_all"]) + float(
             metrics["loss_disc_all"]
         )
@@ -137,6 +144,8 @@ def run_training(
 
     step_fn = jax.jit(partial(train_step, hp=hp, cfg=cfg),
                       donate_argnums=(0,))
+    # validation step: no donation (state is reused), cached across epochs
+    eval_fn = jax.jit(partial(train_step, hp=hp, cfg=cfg))
     rng = jax.random.PRNGKey(seed + 1)
 
     profiling = False
@@ -174,7 +183,7 @@ def run_training(
 
         if val_loader is not None:
             val_loss = evaluate(state, val_loader, jax.random.PRNGKey(0),
-                                hp, cfg)
+                                hp, cfg, step_fn=eval_fn)
             LOG.info("epoch %d val_loss=%.3f", epoch, val_loss)
 
         if (epoch + 1) % checkpoint_epochs == 0:
