@@ -63,6 +63,30 @@ def timed(stats: SynthesisStats, audio_seconds_fn) -> Iterator[None]:
     stats.record(time.perf_counter() - start, float(audio_seconds_fn()))
 
 
+def enable_compilation_cache(cache_dir: str = "") -> str:
+    """Persist XLA compilations across process restarts.
+
+    The first call per (program, shape) pays 20-40 s of XLA compilation;
+    for serving, paying it once per MACHINE instead of once per process
+    is the difference between instant and minute-long cold starts. Safe
+    to call multiple times; returns the cache directory in use.
+    """
+    import os
+
+    import jax
+
+    cache_dir = cache_dir or os.path.join(
+        os.path.expanduser("~"), ".cache", "phoonnx_tpu", "xla"
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # cache every compilation, however small/fast
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    LOG.info("XLA compilation cache: %s", cache_dir)
+    return cache_dir
+
+
 @contextlib.contextmanager
 def device_trace(log_dir: str = "/tmp/phoonnx_tpu_trace") -> Iterator[None]:
     """jax.profiler trace around a block (view with xprof/tensorboard)."""

@@ -405,8 +405,14 @@ def main(argv: Optional[List[str]] = None) -> None:
     ap.add_argument("--max-wait-ms", type=float, default=10.0)
     ap.add_argument("--bf16", action="store_true",
                     help="serve in bfloat16 (2x batch throughput)")
+    ap.add_argument("--no-compile-cache", action="store_true",
+                    help="disable the persistent XLA compilation cache")
     args = ap.parse_args(argv)
 
+    if not args.no_compile_cache:
+        from phoonnx_tpu.observability import enable_compilation_cache
+
+        enable_compilation_cache()
     voice = TTSVoice.load(args.model, args.config,
                           dtype="bfloat16" if args.bf16 else "float32")
     srv = TTSServer(voice, host=args.host, port=args.port,

@@ -42,11 +42,18 @@ LOG = logging.getLogger("synthesize")
                    "--no-normalize — the peak is unknown upfront)")
 @click.option("--stats", "show_stats", is_flag=True,
               help="Print RTF/latency stats to stderr")
+@click.option("--compile-cache/--no-compile-cache", default=True,
+              help="Persist XLA compilations across runs "
+                   "(~/.cache/phoonnx_tpu/xla)")
 @click.option("--debug", is_flag=True)
 def main(model, config_path, text, output, speaker_id, length_scale,
          noise_scale, noise_w, seed, no_normalize, volume, bf16, stream,
-         show_stats, debug) -> None:
+         show_stats, compile_cache, debug) -> None:
     logging.basicConfig(level=logging.DEBUG if debug else logging.INFO)
+    if compile_cache:
+        from phoonnx_tpu.observability import enable_compilation_cache
+
+        enable_compilation_cache()
     from phoonnx_tpu.voice import TTSVoice
 
     if text is None:
