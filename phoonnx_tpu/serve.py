@@ -204,13 +204,41 @@ class TTSServer:
 
     def __init__(self, voice, host: str = "127.0.0.1", port: int = 0,
                  max_batch: int = 16, max_wait_ms: float = 10.0):
-        self.voice = voice
-        self.batcher = DynamicBatcher(voice.engine, max_batch=max_batch,
-                                      max_wait_ms=max_wait_ms)
+        """``voice``: a TTSVoice, or a dict name -> TTSVoice to serve
+        several voices from one process (each gets its own batcher;
+        requests pick one with ``"voice": "<name>"``)."""
+        if not isinstance(voice, dict):
+            voice = {"default": voice}
+        if not voice:
+            raise ValueError("at least one voice is required")
+        self.voices = voice
+        self.default_voice = next(iter(voice))
+        self.batchers = {
+            name: DynamicBatcher(v.engine, max_batch=max_batch,
+                                 max_wait_ms=max_wait_ms)
+            for name, v in voice.items()
+        }
         handler = _make_handler(self)
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self.httpd.daemon_threads = True
         self._thread: Optional[threading.Thread] = None
+
+    # single-voice conveniences (back-compat with tests/tooling)
+    @property
+    def voice(self):
+        return self.voices[self.default_voice]
+
+    @property
+    def batcher(self) -> DynamicBatcher:
+        return self.batchers[self.default_voice]
+
+    def _select(self, body: Dict[str, Any]):
+        name = str(body.get("voice", self.default_voice))
+        if name not in self.voices:
+            raise KeyError(
+                f"unknown voice {name!r}; available: {sorted(self.voices)}"
+            )
+        return self.voices[name], self.batchers[name]
 
     @property
     def address(self) -> Tuple[str, int]:
@@ -224,7 +252,8 @@ class TTSServer:
     def stop(self) -> None:
         self.httpd.shutdown()
         self.httpd.server_close()
-        self.batcher.stop()
+        for batcher in self.batchers.values():
+            batcher.stop()
         if self._thread is not None:
             self._thread.join(timeout=5.0)
             self._thread = None
@@ -233,12 +262,20 @@ class TTSServer:
         try:
             self.httpd.serve_forever()
         finally:
-            self.batcher.stop()
+            for batcher in self.batchers.values():
+                batcher.stop()
+
+    def warmup(self) -> None:
+        """Precompile the common bucket grid for every voice (with the
+        persistent compilation cache, later boots start hot)."""
+        for name, voice in self.voices.items():
+            LOG.info("warming up voice %r", name)
+            voice.engine.warmup()
 
     # -- request-side synthesis -------------------------------------
 
-    def _prepare(self, text: str, cfg: SynthesisConfig) -> List[List[int]]:
-        voice = self.voice
+    def _prepare(self, voice, text: str,
+                 cfg: SynthesisConfig) -> List[List[int]]:
         if voice.phonetic_spellings and cfg.enable_phonetic_spellings:
             text = voice.phonetic_spellings.apply(text)
         if cfg.add_diacritics:
@@ -248,8 +285,9 @@ class TTSServer:
                for ph in voice.phonemize(text) if ph]
         return [i for i in ids if i]
 
-    def _scales(self, body: Dict[str, Any]) -> Tuple[float, float, float]:
-        cfg = self.voice.config
+    @staticmethod
+    def _scales(voice, body: Dict[str, Any]) -> Tuple[float, float, float]:
+        cfg = voice.config
         return (
             float(body.get("noise_scale", cfg.noise_scale)),
             float(body.get("length_scale", cfg.length_scale)),
@@ -257,10 +295,11 @@ class TTSServer:
         )
 
     def synthesize_wav_bytes(self, body: Dict[str, Any]) -> bytes:
+        voice, batcher = self._select(body)
         cfg = SynthesisConfig(seed=body.get("seed"))
-        sentence_ids = self._prepare(str(body["text"]), cfg)
-        sub = self.batcher.submit(
-            sentence_ids, self._scales(body),
+        sentence_ids = self._prepare(voice, str(body["text"]), cfg)
+        sub = batcher.submit(
+            sentence_ids, self._scales(voice, body),
             speaker_id=int(body.get("speaker_id", 0)),
             seed=body.get("seed"),
         )
@@ -271,7 +310,7 @@ class TTSServer:
         pcm = np.clip(audio * 32767.0, -32767.0, 32767.0).astype(np.int16)
         buf = io.BytesIO()
         with wave.open(buf, "wb") as w:
-            w.setframerate(self.voice.config.sample_rate)
+            w.setframerate(voice.config.sample_rate)
             w.setsampwidth(2)
             w.setnchannels(1)
             w.writeframes(pcm.tobytes())
@@ -281,11 +320,12 @@ class TTSServer:
         """Yield s16le PCM chunks (engine chunked decode; sub-utterance
         latency — bypasses the batcher by design: streaming optimizes
         time-to-first-audio, batching optimizes throughput)."""
+        voice, _ = self._select(body)
         cfg = SynthesisConfig(seed=body.get("seed"))
-        sentence_ids = self._prepare(str(body["text"]), cfg)
-        scales = self._scales(body)
+        sentence_ids = self._prepare(voice, str(body["text"]), cfg)
+        scales = self._scales(voice, body)
         for ids in sentence_ids:
-            for chunk in self.voice.engine.synthesize_ids_streaming(
+            for chunk in voice.engine.synthesize_ids_streaming(
                 ids,
                 chunk_frames=int(body.get("chunk_frames", 128)),
                 overlap_frames=int(body.get("overlap_frames", 32)),
@@ -329,12 +369,27 @@ def _make_handler(server: TTSServer):
             if self.path == "/health":
                 self._json(200, {
                     "status": "ok",
+                    "voices": sorted(server.voices),
                     "sample_rate": server.voice.config.sample_rate,
                     "num_speakers": server.voice.config.num_speakers,
                     "lang_code": server.voice.config.lang_code,
                 })
+            elif self.path == "/voices":
+                self._json(200, {
+                    name: {
+                        "sample_rate": v.config.sample_rate,
+                        "num_speakers": v.config.num_speakers,
+                        "lang_code": v.config.lang_code,
+                        "phoneme_type": getattr(v.config.phoneme_type,
+                                                "value",
+                                                str(v.config.phoneme_type)),
+                    } for name, v in server.voices.items()
+                })
             elif self.path == "/stats":
-                self._json(200, dict(server.batcher.stats))
+                self._json(200, {name: dict(b.stats)
+                                 for name, b in server.batchers.items()}
+                           if len(server.batchers) > 1
+                           else dict(server.batcher.stats))
             else:
                 self._json(404, {"error": "not found"})
 
@@ -356,6 +411,8 @@ def _make_handler(server: TTSServer):
                         self.send_header("Content-Length", str(len(wav)))
                         self.end_headers()
                         self.wfile.write(wav)
+                except KeyError as exc:  # unknown voice name
+                    self._json(400, {"error": str(exc)})
                 except Exception as exc:
                     LOG.exception("synthesis failed")
                     self._json(500, {"error": str(exc)})
@@ -363,21 +420,27 @@ def _make_handler(server: TTSServer):
                 if "text" not in body:
                     self._json(400, {"error": "missing 'text'"})
                     return
-                sentences = server.voice.phonemize(str(body["text"]))
+                try:
+                    voice, _ = server._select(body)
+                except KeyError as exc:
+                    self._json(400, {"error": str(exc)})
+                    return
+                sentences = voice.phonemize(str(body["text"]))
                 self._json(200, {
                     "phonemes": sentences,
-                    "ids": [server.voice.phonemes_to_ids(ph)
+                    "ids": [voice.phonemes_to_ids(ph)
                             for ph in sentences],
                 })
             else:
                 self._json(404, {"error": "not found"})
 
         def _stream(self, body: Dict[str, Any]) -> None:
+            voice, _ = server._select(body)  # validate before headers
             self.send_response(200)
             self.send_header("Content-Type", "application/octet-stream")
             self.send_header("Transfer-Encoding", "chunked")
             self.send_header("X-Sample-Rate",
-                             str(server.voice.config.sample_rate))
+                             str(voice.config.sample_rate))
             self.send_header("X-Sample-Width", "2")
             self.send_header("X-Channels", "1")
             self.end_headers()
@@ -397,14 +460,23 @@ def main(argv: Optional[List[str]] = None) -> None:
 
     ap = argparse.ArgumentParser(
         description="phoonnx_tpu TTS server (dynamic batching)")
-    ap.add_argument("--model", required=True, help="voice model path")
-    ap.add_argument("--config", default=None, help="voice config json")
+    ap.add_argument("--model", required=True, action="append",
+                    help="voice model path; repeatable. Use NAME=PATH to "
+                         "name a voice (requests select it with "
+                         '{"voice": NAME}); a bare PATH serves as '
+                         "'default' / its file stem")
+    ap.add_argument("--config", default=None,
+                    help="voice config json (single-voice only; "
+                         "multi-voice uses <model>.json)")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--max-batch", type=int, default=16)
     ap.add_argument("--max-wait-ms", type=float, default=10.0)
     ap.add_argument("--bf16", action="store_true",
                     help="serve in bfloat16 (2x batch throughput)")
+    ap.add_argument("--warmup", action="store_true",
+                    help="precompile the common bucket grid before "
+                         "accepting traffic")
     ap.add_argument("--no-compile-cache", action="store_true",
                     help="disable the persistent XLA compilation cache")
     args = ap.parse_args(argv)
@@ -413,10 +485,26 @@ def main(argv: Optional[List[str]] = None) -> None:
         from phoonnx_tpu.observability import enable_compilation_cache
 
         enable_compilation_cache()
-    voice = TTSVoice.load(args.model, args.config,
-                          dtype="bfloat16" if args.bf16 else "float32")
-    srv = TTSServer(voice, host=args.host, port=args.port,
+    dtype = "bfloat16" if args.bf16 else "float32"
+    if len(args.model) == 1 and "=" not in args.model[0]:
+        voices = TTSVoice.load(args.model[0], args.config, dtype=dtype)
+    else:
+        if args.config:
+            ap.error("--config only applies to a single bare --model")
+        voices = {}
+        for i, spec in enumerate(args.model):
+            if "=" in spec:
+                name, path = spec.split("=", 1)
+            else:
+                from pathlib import Path as _Path
+
+                path = spec
+                name = _Path(spec).stem if i else "default"
+            voices[name] = TTSVoice.load(path, dtype=dtype)
+    srv = TTSServer(voices, host=args.host, port=args.port,
                     max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+    if args.warmup:
+        srv.warmup()
     LOG.info("serving on %s:%d", *srv.address)
     srv.serve_forever()
 

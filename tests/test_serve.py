@@ -171,6 +171,48 @@ def test_bad_requests(server):
     assert resp.status == 400
 
 
+def test_multi_voice_server(voice):
+    import jax as _jax
+
+    from phoonnx_tpu.infer.engine import VitsEngine
+    from phoonnx_tpu.voice import TTSVoice
+
+    hp = VitsHParams.preset("micro", sample_rate=8000)
+    params = vits_model.random_params(_jax.random.PRNGKey(7), hp)
+    import dataclasses
+
+    second = TTSVoice(
+        engine=VitsEngine(params, hp),
+        config=dataclasses.replace(voice.config, sample_rate=8000),
+    )
+    srv = TTSServer({"en": voice, "alt": second}, port=0,
+                    max_batch=4, max_wait_ms=10.0)
+    srv.start()
+    try:
+        resp, data = _request(srv, "GET", "/voices")
+        assert resp.status == 200
+        listing = json.loads(data)
+        assert set(listing) == {"en", "alt"}
+        assert listing["alt"]["sample_rate"] == 8000
+
+        resp, data = _request(srv, "POST", "/synthesize",
+                              {"text": "[[abc]]", "voice": "alt",
+                               "seed": 1})
+        assert resp.status == 200
+        with wave.open(io.BytesIO(data), "rb") as w:
+            assert w.getframerate() == 8000
+
+        resp, data = _request(srv, "POST", "/synthesize",
+                              {"text": "[[abc]]", "voice": "nope"})
+        assert resp.status == 400
+        assert "unknown voice" in json.loads(data)["error"]
+
+        resp, data = _request(srv, "GET", "/stats")
+        assert set(json.loads(data)) == {"en", "alt"}
+    finally:
+        srv.stop()
+
+
 def test_batcher_coalesces_submissions(voice):
     """Deterministic batching check: stopped dispatcher, manual drain."""
     calls = []
