@@ -455,6 +455,61 @@ class VitsEngine:
             outputs.append(wav[0][:n])
         return outputs
 
+    def voice_conversion(
+        self,
+        audio: np.ndarray,
+        sid_src: int,
+        sid_tgt: int,
+        seed: Optional[int] = None,
+    ) -> np.ndarray:
+        """Convert an utterance between speakers (models.py:724-732).
+
+        audio: float32 waveform [N] at the model sample rate. Requires a
+        multi-speaker voice (posterior-encoder weights are in every
+        training checkpoint / weight-only export; executable inference
+        graphs keep them as initializers too). Returns the converted
+        waveform trimmed to the true length.
+        """
+        if self.hp.n_speakers <= 1:
+            raise ValueError("voice conversion requires a multi-speaker "
+                             "model")
+        from phoonnx_tpu.ops.stft import spectrogram
+
+        hp = self.hp
+        # derive the STFT geometry from the model itself: the posterior
+        # encoder consumes filter_length//2+1 bins at one frame per
+        # decoder upsample period (robust when a loaded voice's audio
+        # section didn't carry filter/hop values)
+        n_fft = (hp.spec_channels - 1) * 2
+        hop = hp.total_upsample
+        wav = jnp.asarray(np.asarray(audio, np.float32))[None, :]
+        spec = spectrogram(wav, n_fft, hop, n_fft)  # [1, T, C]
+        n_frames = spec.shape[1]
+        f_bucket = _bucket_for(n_frames, self.frame_buckets)
+        spec = jnp.pad(spec, ((0, 0), (0, f_bucket - n_frames), (0, 0)))
+
+        key = ("vc", 1, f_bucket)
+        if key not in self._fused:
+
+            @jax.jit
+            def vc(params, spec, lengths, sid_src, sid_tgt, rng):
+                out, _mask = vits_model.voice_conversion(
+                    params, hp, spec, lengths, sid_src, sid_tgt, rng,
+                )
+                return out
+
+            self._fused[key] = vc
+        rng = jax.random.PRNGKey(seed if seed is not None else
+                                 np.random.randint(0, 2 ** 31 - 1))
+        out = self._fused[key](
+            self.params, spec.astype(self.dtype),
+            jnp.asarray([n_frames], jnp.int32),
+            jnp.asarray([sid_src], jnp.int32),
+            jnp.asarray([sid_tgt], jnp.int32), rng,
+        )
+        n = n_frames * hp.total_upsample
+        return np.asarray(out, np.float32)[0, :n]
+
     def warmup(self, batch_sizes: Sequence[int] = (1,),
                text_buckets: Optional[Sequence[int]] = None) -> None:
         """Precompile phase 1 for the given grid (phase 2 compiles lazily)."""

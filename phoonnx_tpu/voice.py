@@ -445,6 +445,17 @@ class TTSVoice:
             outputs.append(np.clip(wav, -1.0, 1.0).astype(np.float32))
         return outputs
 
+    def voice_conversion(self, audio: np.ndarray, sid_src: int,
+                         sid_tgt: int, seed: Optional[int] = None
+                         ) -> np.ndarray:
+        """Re-speak a waveform in another speaker's voice
+        (models.py:724-732; multi-speaker voices only)."""
+        if not hasattr(self.engine, "voice_conversion"):
+            raise NotImplementedError(
+                "voice conversion requires the compiled VITS engine")
+        return self.engine.voice_conversion(audio, sid_src, sid_tgt,
+                                            seed=seed)
+
     def phoneme_ids_to_audio(
         self, phoneme_ids: List[int],
         syn_config: Optional[SynthesisConfig] = None,

@@ -77,6 +77,73 @@ def test_cli_synthesize_stream_matches(voice_files, tmp_path):
     np.testing.assert_allclose(stream, full, atol=2)
 
 
+def test_cli_voice_conversion(tmp_path):
+    from dataclasses import replace as _replace
+
+    from phoonnx_tpu.convert import main as convert_main
+
+    hp = _replace(VitsHParams.preset("micro"), n_speakers=3,
+                  gin_channels=16)
+    params = vits_model.random_params(jax.random.PRNGKey(2), hp)
+    model_path = tmp_path / "ms.onnx"
+    write_onnx(
+        str(model_path),
+        {k: np.asarray(v) for k, v in params_to_flat(params).items()},
+        metadata={"model_type": "vits", "sample_rate": "16000",
+                  "n_speakers": "3"},
+        inputs=["input", "input_lengths", "scales", "sid"],
+        outputs=["output"],
+    )
+    id_map = {"_": 0, "^": 1, "$": 2, " ": 3, "a": 4, "b": 5}
+    (tmp_path / "ms.onnx.json").write_text(json.dumps({
+        "phoneme_type": "raw", "lang_code": "en", "alphabet": "ipa",
+        "phoneme_id_map": id_map, "num_symbols": len(id_map),
+        "num_speakers": 3, "audio": {"sample_rate": 16000},
+        "inference": {"noise_scale": 0.667, "length_scale": 1.0,
+                      "noise_w": 0.8},
+    }), encoding="utf-8")
+
+    src = tmp_path / "src.wav"
+    rng = np.random.default_rng(0)
+    pcm = (0.2 * np.sin(2 * np.pi * 220 * np.arange(8000) / 16000)
+           + 0.01 * rng.standard_normal(8000))
+    with wave.open(str(src), "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(16000)
+        f.writeframes((pcm * 32767).astype(np.int16).tobytes())
+
+    out = tmp_path / "converted.wav"
+    result = CliRunner().invoke(convert_main, [
+        "-m", str(model_path), "-i", str(src), "-o", str(out),
+        "--from-speaker", "0", "--to-speaker", "2", "--seed", "1",
+    ])
+    assert result.exit_code == 0, result.output
+    converted = _check_wav(out)
+    # frames -> samples contract: output = spec frames * hop, i.e. about
+    # the input length (exact count depends on the STFT edge padding)
+    assert len(converted) % 16 == 0
+    assert abs(len(converted) - 8000) <= 256
+
+    # wrong sample rate input is rejected cleanly
+    bad = CliRunner().invoke(convert_main, [
+        "-m", str(model_path), "-i", str(src), "-o", str(out),
+        "--from-speaker", "0", "--to-speaker", "1",
+    ], env={})
+    assert bad.exit_code == 0  # same file is fine; now break the rate
+    with wave.open(str(tmp_path / "bad.wav"), "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(8000)
+        f.writeframes(b"\x00\x00" * 100)
+    bad = CliRunner().invoke(convert_main, [
+        "-m", str(model_path), "-i", str(tmp_path / "bad.wav"),
+        "-o", str(out), "--from-speaker", "0", "--to-speaker", "1",
+    ])
+    assert bad.exit_code != 0
+    assert "resample" in bad.output
+
+
 def test_cli_stdin_input(voice_files, tmp_path):
     out = tmp_path / "stdin.wav"
     result = CliRunner().invoke(synthesize_main, [
