@@ -400,11 +400,18 @@ def infer_hparams_from_flat(named: Mapping[str, np.ndarray],
     use_sdp = any(n.startswith("dp.flows.") for n in names)
 
     decoder_type = "hifigan"
-    istft_n_fft, istft_hop = 16, 4
+    istft_n_fft, istft_hop, istft_bands = 16, 4, 1
     mag = shape("dec.conv_mag.weight")
     if mag is not None:
         decoder_type = "istft"
-        istft_n_fft = 2 * (mag[0] - 1)
+        # multi-band heads emit bands*(n_fft/2+1) channels; with the
+        # canonical n_fft=16 that is a multiple of 9 (metadata overrides
+        # istft_n_fft/istft_bands for non-canonical exports)
+        if mag[0] > 9 and mag[0] % 9 == 0:
+            istft_bands = mag[0] // 9
+            istft_n_fft = 16
+        else:
+            istft_n_fft = 2 * (mag[0] - 1)
 
     hp = VitsHParams(
         n_vocab=n_vocab,
@@ -425,6 +432,7 @@ def infer_hparams_from_flat(named: Mapping[str, np.ndarray],
         decoder_type=decoder_type,
         istft_n_fft=istft_n_fft,
         istft_hop=istft_hop,
+        istft_bands=istft_bands,
     )
     if overrides:
         from dataclasses import replace

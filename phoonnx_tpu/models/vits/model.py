@@ -49,6 +49,7 @@ class VitsHParams:
     decoder_type: str = "hifigan"
     istft_n_fft: int = 16
     istft_hop: int = 4
+    istft_bands: int = 1  # >1: multi-band iSTFT + PQMF synthesis
     # audio
     sample_rate: int = 22050
     filter_length: int = 1024
@@ -62,7 +63,7 @@ class VitsHParams:
         for rate in self.upsample_rates:
             out *= rate
         if self.decoder_type == "istft":
-            out *= self.istft_hop
+            out *= self.istft_hop * self.istft_bands
         return out
 
     @staticmethod
@@ -102,6 +103,18 @@ class VitsHParams:
                 upsample_kernel_sizes=(16, 16),
                 istft_n_fft=16,
                 istft_hop=4,
+            )
+        elif quality == "medium-mb-istft":
+            # full MB-iSTFT-VITS direction (arXiv:2210.15975): 4 subbands
+            # predicted at 1/16 rate, each iSTFT'd (hop 4), PQMF x4
+            hp = replace(
+                hp,
+                decoder_type="istft",
+                upsample_rates=(4, 4),
+                upsample_kernel_sizes=(8, 8),
+                istft_n_fft=16,
+                istft_hop=4,
+                istft_bands=4,
             )
         elif quality == "high":
             hp = replace(
@@ -167,7 +180,8 @@ def _init_decoder(rng: Array, hp: VitsHParams):
             hp.resblock_kernel_sizes, hp.resblock_dilation_sizes,
             hp.upsample_rates, hp.upsample_initial_channel,
             hp.upsample_kernel_sizes, istft_n_fft=hp.istft_n_fft,
-            istft_hop=hp.istft_hop, gin_channels=hp.gin_channels,
+            istft_hop=hp.istft_hop, istft_bands=hp.istft_bands,
+            gin_channels=hp.gin_channels,
         )
     return hifigan.init_generator(
         rng, hp.inter_channels, hp.resblock,

@@ -130,6 +130,7 @@ def run_export(
         "decoder_type": hp.decoder_type,
         "istft_hop": str(hp.istft_hop),
         "istft_n_fft": str(hp.istft_n_fft),
+        "istft_bands": str(hp.istft_bands),
     }
     if alphabet == "ipa" and phoneme_type == "espeak":
         metadata["comment"] = "piper"

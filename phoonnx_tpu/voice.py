@@ -166,8 +166,9 @@ class TTSVoice:
         onnx_model = read_onnx(str(model_path))
         named = onnx_model.initializers
         overrides = {"sample_rate": config.sample_rate}
-        if "istft_hop" in onnx_model.metadata:
-            overrides["istft_hop"] = int(onnx_model.metadata["istft_hop"])
+        for key in ("istft_hop", "istft_n_fft", "istft_bands"):
+            if key in onnx_model.metadata:
+                overrides[key] = int(onnx_model.metadata[key])
         try:
             from phoonnx_tpu.models.vits.load import routed_fraction
 

@@ -146,6 +146,27 @@ def test_mas_impl_dispatch():
         maximum_path(jnp.asarray(neg_cent), jnp.asarray(mask), impl="nope")
 
 
+@pytest.mark.parametrize("n_bands", [2, 4, 8])
+def test_pqmf_near_perfect_reconstruction(n_bands):
+    """analysis -> synthesis reconstructs (delay taps//2, err ~ -45 dB)."""
+    from phoonnx_tpu.ops.pqmf import (
+        pqmf_analysis,
+        pqmf_filters,
+        pqmf_synthesis,
+    )
+
+    ana, syn = pqmf_filters(n_bands)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(4096).astype(np.float32) * 0.3
+    sub = pqmf_analysis(jnp.asarray(x)[None], ana, n_bands)
+    assert sub.shape == (1, 4096 // n_bands, n_bands)
+    y = np.asarray(pqmf_synthesis(sub, syn, n_bands))[0]
+    assert y.shape == x.shape
+    d = 31  # taps // 2 group delay
+    err = np.abs(y[d:3500 + d] - x[:3500])
+    assert err.max() < 0.01, err.max()
+
+
 def test_istft_roundtrip_with_stft():
     """spectrogram -> istft reconstructs the waveform (center region)."""
     from phoonnx_tpu.ops.istft import istft

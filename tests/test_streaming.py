@@ -54,6 +54,17 @@ def test_streaming_matches_monolithic_istft():
     _stream_vs_full(hp, chunk=8, overlap=10)
 
 
+def test_streaming_matches_monolithic_mb_istft():
+    """Multi-band iSTFT: PQMF synthesis is one stride-N transposed conv,
+    so chunked decode must still equal the monolithic decode."""
+    hp = VitsHParams.preset(
+        "micro", decoder_type="istft", upsample_rates=(4,),
+        upsample_kernel_sizes=(8,), istft_n_fft=16, istft_hop=2,
+        istft_bands=2,
+    )
+    _stream_vs_full(hp, chunk=8, overlap=12)
+
+
 def test_streaming_single_chunk_short_utterance():
     hp = VitsHParams.preset("micro")
     params = vits_model.random_params(jax.random.PRNGKey(0), hp)

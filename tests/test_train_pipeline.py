@@ -163,6 +163,75 @@ def test_trainer_loop_with_profile(preprocessed, tmp_path):
     assert any(profile_dir.rglob("*.pb")) or any(profile_dir.rglob("*"))
 
 
+def test_mb_istft_decoder_train_and_reload():
+    """Multi-band iSTFT decoder (arXiv:2210.15975): train step, flat
+    round-trip with band inference, inference length contract."""
+    import jax.numpy as jnp
+
+    from phoonnx_tpu.models.vits.load import (
+        infer_hparams_from_flat,
+        params_from_flat,
+        params_to_flat,
+    )
+    from phoonnx_tpu.models.vits.model import (
+        VitsHParams,
+        infer,
+        random_params,
+    )
+    from phoonnx_tpu.train.step import (
+        TrainConfig,
+        init_train_state,
+        train_step,
+    )
+
+    hp = VitsHParams.preset(
+        "micro", n_vocab=40, decoder_type="istft",
+        upsample_rates=(4,), upsample_kernel_sizes=(8,),
+        istft_n_fft=16, istft_hop=2, istft_bands=2,
+    )
+    assert hp.total_upsample == hp.hop_length  # 4 * 2 * 2 == 16
+
+    cfg = TrainConfig(steps_per_epoch=3, disc_periods=(2,),
+                      disc_channel_scale=4)
+    state = init_train_state(jax.random.PRNGKey(0), hp, cfg)
+    rng = np.random.default_rng(0)
+    t_x, t_y = 8, 32
+    batch = {
+        "phoneme_ids": jnp.asarray(rng.integers(1, 40, (2, t_x)), jnp.int32),
+        "phoneme_lengths": jnp.asarray([8, 6], jnp.int32),
+        "spec": jnp.asarray(
+            (rng.standard_normal((2, t_y, hp.spec_channels)) ** 2
+             ).astype(np.float32)),
+        "spec_lengths": jnp.asarray([32, 28], jnp.int32),
+        "audio": jnp.asarray(
+            (rng.standard_normal((2, t_y * hp.hop_length)) * 0.1
+             ).astype(np.float32)),
+    }
+    state, metrics = train_step(state, batch, jax.random.PRNGKey(1), hp, cfg)
+    assert np.isfinite(float(metrics["loss_gen_all"]))
+
+    flat = params_to_flat(state.params_g)
+    # mag head carries bands * (n_fft/2 + 1) output channels
+    assert flat["dec.conv_mag.weight"].shape[0] == 2 * 9
+    hp2 = infer_hparams_from_flat(flat, istft_hop=2, sample_rate=16000,
+                                  hop_length=16, filter_length=128,
+                                  win_length=128, spec_channels=65,
+                                  segment_size=16)
+    assert hp2.decoder_type == "istft"
+    assert hp2.istft_bands == 2
+    assert hp2.istft_n_fft == 16
+    rebuilt = params_from_flat(flat, hp2, strict=False)
+    audio, y_len, _ = infer(
+        rebuilt, hp2, jnp.ones((1, 8), jnp.int32), jnp.asarray([8]),
+        max_frames=32, noise_scale=jnp.float32(0.667),
+        length_scale=jnp.float32(1.0), noise_w=jnp.float32(0.8),
+        rng=jax.random.PRNGKey(2),
+    )
+    audio = np.asarray(audio)
+    assert audio.shape[1] == 32 * hp2.total_upsample
+    assert np.isfinite(audio).all()
+
+
 def test_istft_decoder_train_and_reload(tmp_path):
     """iSTFT decoder family: train step, flat round-trip, inference."""
     import jax.numpy as jnp
