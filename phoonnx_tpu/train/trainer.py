@@ -195,7 +195,8 @@ def run_training(
 @click.option("--dataset-dir", required=True)
 @click.option("--quality", default="medium",
               type=click.Choice(["micro", "x-low", "medium",
-                                 "medium-istft", "high"]))
+                                 "medium-istft", "medium-mb-istft",
+                                 "high"]))
 @click.option("--batch-size", default=16, type=int)
 @click.option("--max-epochs", default=1000, type=int)
 @click.option("--checkpoint-epochs", default=1, type=int)
