@@ -1,0 +1,78 @@
+"""Multi-host (multi-process) initialization for pod-slice training.
+
+The reference's multi-device story ends at Lightning's ``--devices``
+passthrough (phoonnx_train/train.py:85-92). On TPU pods, JAX's standard
+distributed runtime is the whole answer: every host runs the same
+program, ``jax.distributed.initialize()`` wires the processes together,
+``jax.devices()`` then spans the slice, and the same ``(data, model)``
+mesh + GSPMD shardings used single-host (parallel/mesh.py) scale across
+DCN with zero custom communication code — XLA places the gradient
+all-reduce on ICI within a slice and DCN across slices.
+
+Usage (same script on every host):
+
+    from phoonnx_tpu.parallel import multihost
+    multihost.initialize()          # no-op single-host, auto on TPU pods
+    mesh = make_mesh()              # now spans all hosts' devices
+    ...                             # feed each process its batch shard
+"""
+
+import logging
+import os
+from typing import Optional
+
+LOG = logging.getLogger(__name__)
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> bool:
+    """Join the JAX distributed runtime; returns True if multi-host.
+
+    On Cloud TPU pods all arguments are auto-detected from the metadata
+    server; elsewhere pass them explicitly (or set JAX_COORDINATOR_ADDRESS
+    / JAX_NUM_PROCESSES / JAX_PROCESS_ID). Calling this in a single-host
+    run without coordinator info is a safe no-op.
+    """
+    import jax
+
+    env_addr = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    on_pod = os.environ.get("TPU_WORKER_HOSTNAMES") or os.environ.get(
+        "MEGASCALE_COORDINATOR_ADDRESS")
+    if env_addr is None and not on_pod:
+        LOG.debug("single-host run; skipping jax.distributed.initialize")
+        return False
+    try:
+        jax.distributed.initialize(
+            coordinator_address=env_addr,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as exc:
+        if "already initialized" in str(exc).lower():
+            return jax.process_count() > 1
+        raise
+    except ValueError as exc:
+        # pod-like env vars present but no coordinator to auto-detect
+        # (e.g. single-host tunnels) — stay single-host
+        LOG.debug("distributed init unavailable (%s); single-host", exc)
+        return False
+    LOG.info("distributed runtime: process %d/%d, %d local / %d global "
+             "devices", jax.process_index(), jax.process_count(),
+             jax.local_device_count(), jax.device_count())
+    return jax.process_count() > 1
+
+
+def process_batch_slice(global_batch: int) -> slice:
+    """This process's row range of a globally-indexed batch.
+
+    Multi-host feeding is per-process: each host loads only its slice of
+    the global batch and places it on its local devices; GSPMD sees one
+    global array (jax.make_array_from_process_local_data).
+    """
+    import jax
+
+    per = global_batch // jax.process_count()
+    start = per * jax.process_index()
+    return slice(start, start + per)

@@ -92,6 +92,12 @@ def run_training(
     resume_from_single_speaker: Optional[str] = None,
     log_every: int = 50,
 ) -> None:
+    from phoonnx_tpu.parallel import multihost
+
+    if multihost.initialize():
+        LOG.info("multi-host training: this process feeds its batch "
+                 "slice; shardings are global")
+
     dataset_path = Path(dataset_dir)
     with open(dataset_path / "config.json", encoding="utf-8") as f:
         config = json.load(f)

@@ -62,6 +62,13 @@ def make_batch(batch_size=2, t_x=12, t_y=40):
     }
 
 
+def test_multihost_single_process_noop():
+    from phoonnx_tpu.parallel import multihost
+
+    assert multihost.initialize() is False
+    assert multihost.process_batch_slice(16) == slice(0, 16)
+
+
 @pytest.fixture(scope="module")
 def cfg():
     return TrainConfig(steps_per_epoch=10, disc_periods=(2, 3),
