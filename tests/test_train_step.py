@@ -62,6 +62,25 @@ def make_batch(batch_size=2, t_x=12, t_y=40):
     }
 
 
+def test_bf16_mixed_precision_step(cfg):
+    """bf16 compute against f32 master weights: finite losses, f32
+    params/optimizer state, params actually move."""
+    import jax.numpy as jnp
+
+    bf16_cfg = cfg._replace(compute_dtype="bfloat16")
+    state = init_train_state(jax.random.PRNGKey(0), TRAIN_HP, bf16_cfg)
+    batch = make_batch()
+    new_state, metrics = train_step(
+        state, batch, jax.random.PRNGKey(1), TRAIN_HP, bf16_cfg
+    )
+    for key in ("loss_gen_all", "loss_disc_all", "loss_mel", "loss_kl"):
+        assert np.isfinite(float(metrics[key])), key
+    emb_old = np.asarray(state.params_g["enc_p"]["emb"]["weight"])
+    emb_new = np.asarray(new_state.params_g["enc_p"]["emb"]["weight"])
+    assert emb_new.dtype == np.float32  # master weights stay f32
+    assert not np.allclose(emb_old, emb_new)
+
+
 def test_multihost_single_process_noop():
     from phoonnx_tpu.parallel import multihost
 
