@@ -434,6 +434,14 @@ _OPS = {
     "Sqrt": _op_unary(np.sqrt),
     "Neg": _op_unary(np.negative),
     "Abs": _op_unary(np.abs),
+    "Sin": _op_unary(np.sin),
+    "Cos": _op_unary(np.cos),
+    "Mod": lambda node, a, b: (np.fmod(a, b) if _attr(node, "fmod", 0)
+                               else np.mod(a, b)),
+    "Einsum": lambda node, *args: np.einsum(
+        _attr(node, "equation").decode("utf-8")
+        if isinstance(_attr(node, "equation"), bytes)
+        else _attr(node, "equation"), *args),
     "Floor": _op_unary(np.floor),
     "Ceil": _op_unary(np.ceil),
     "Not": _op_unary(np.logical_not),

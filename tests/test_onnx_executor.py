@@ -183,3 +183,33 @@ def test_slice_and_concat(tmp_path):
         "axes": np.asarray([1], np.int64),
     })[0]
     np.testing.assert_array_equal(out, np.concatenate([x[:, 1:3]] * 2, 1))
+
+
+def test_trig_mod_einsum_ops(tmp_path):
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal((2, 3, 4)).astype(np.float32)
+    b = rng.standard_normal((2, 4, 5)).astype(np.float32)
+    executor = build_and_load(
+        tmp_path, {},
+        nodes=[
+            ("Sin", ["a"], ["sa"]),
+            ("Cos", ["a"], ["ca"]),
+            ("Einsum", ["a", "b"], ["mm"], {"equation": "bij,bjk->bik"}),
+            ("Mod", ["ia", "ib"], ["m0"]),
+            ("Mod", ["fa", "fb"], ["m1"], {"fmod": 1}),
+        ],
+        inputs=["a", "b", "ia", "ib", "fa", "fb"],
+        outputs=["sa", "ca", "mm", "m0", "m1"],
+    )
+    ia = np.asarray([5, -5, 7], np.int64)
+    ib = np.asarray([3, 3, -4], np.int64)
+    fa = np.asarray([5.5, -5.5], np.float32)
+    fb = np.asarray([3.0, 3.0], np.float32)
+    sa, ca, mm, m0, m1 = executor.run(
+        {"a": a, "b": b, "ia": ia, "ib": ib, "fa": fa, "fb": fb})
+    np.testing.assert_allclose(sa, np.sin(a), rtol=1e-6)
+    np.testing.assert_allclose(ca, np.cos(a), rtol=1e-6)
+    np.testing.assert_allclose(mm, np.einsum("bij,bjk->bik", a, b),
+                               rtol=1e-5)
+    np.testing.assert_array_equal(m0, np.mod(ia, ib))   # sign of divisor
+    np.testing.assert_allclose(m1, np.fmod(fa, fb))     # C fmod semantics
