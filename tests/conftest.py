@@ -33,3 +33,9 @@ def has_reference() -> bool:
 requires_reference = pytest.mark.skipif(
     not has_reference(), reason="reference checkout not available"
 )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running integration test (full trainer "
+        "loop / end-to-end pipeline)")
