@@ -264,7 +264,27 @@ def test_text_encoder_matches_reference(ref):
 
 @requires_reference
 def test_full_infer_matches_reference(ref):
-    hp = TEST_HP
+    _full_infer_parity(ref, TEST_HP)
+
+
+@requires_reference
+def test_full_infer_resblock1_matches_reference(ref):
+    """The 'high' preset's decoder path (ResBlock1: three dilated convs
+    per kernel with post-convs, rates (8,8,2,2) topology shrunk)."""
+    from dataclasses import replace
+
+    hp = replace(
+        TEST_HP,
+        resblock="1",
+        resblock_kernel_sizes=(3, 7),
+        resblock_dilation_sizes=((1, 3, 5), (1, 3, 5)),
+        upsample_rates=(4, 2, 2),
+        upsample_kernel_sizes=(8, 4, 4),
+    )
+    _full_infer_parity(ref, hp)
+
+
+def _full_infer_parity(ref, hp):
     synth = make_ref_synth(ref, hp)
     params = params_from_flat(state_dict_np(synth), hp, strict=True)
 
