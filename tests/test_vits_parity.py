@@ -87,6 +87,10 @@ TEST_HP = VitsHParams(
 
 def make_ref_synth(ref, hp: VitsHParams, n_speakers=1, gin=0):
     torch.manual_seed(0)
+    return _make_ref_synth_full(ref, hp, n_speakers, gin)
+
+
+def _make_ref_synth_full(ref, hp, n_speakers, gin):
     return ref.models.SynthesizerTrn(
         n_vocab=hp.n_vocab,
         spec_channels=hp.spec_channels,
@@ -106,7 +110,7 @@ def make_ref_synth(ref, hp: VitsHParams, n_speakers=1, gin=0):
         upsample_kernel_sizes=hp.upsample_kernel_sizes,
         n_speakers=n_speakers,
         gin_channels=gin,
-        use_sdp=True,
+        use_sdp=hp.use_sdp,
     ).eval()
 
 
@@ -265,6 +269,15 @@ def test_text_encoder_matches_reference(ref):
 @requires_reference
 def test_full_infer_matches_reference(ref):
     _full_infer_parity(ref, TEST_HP)
+
+
+@requires_reference
+def test_full_infer_non_sdp_matches_reference(ref):
+    """Deterministic DurationPredictor (use_sdp=False; models.py:120-165
+    and the dp branch of infer, models.py:694-699)."""
+    from dataclasses import replace
+
+    _full_infer_parity(ref, replace(TEST_HP, use_sdp=False))
 
 
 @requires_reference
