@@ -380,11 +380,14 @@ def infer(params, hp: VitsHParams,
 
 def voice_conversion(params, hp: VitsHParams, spec: Array,
                      spec_lengths: Array, sid_src: Array, sid_tgt: Array,
-                     rng: Array):
+                     rng: Optional[Array] = None,
+                     noise: Optional[Array] = None):
     """Convert an utterance between speakers (models.py:724-732).
 
     spec [B, T, C_spec] -> waveform in the target speaker's voice; requires
     a multi-speaker training checkpoint (posterior encoder weights).
+    ``noise`` [B, T, inter_channels] can be injected for bit-exact
+    verification against other runtimes; otherwise drawn from ``rng``.
     """
     if hp.n_speakers <= 1:
         raise ValueError("voice conversion requires a multi-speaker model")
@@ -393,7 +396,10 @@ def voice_conversion(params, hp: VitsHParams, spec: Array,
     g_src = nn.embedding(params["emb_g"], sid_src)[:, None, :]
     g_tgt = nn.embedding(params["emb_g"], sid_tgt)[:, None, :]
 
-    noise = jax.random.normal(rng, (b, t_y, hp.inter_channels), spec.dtype)
+    if noise is None:
+        noise = jax.random.normal(rng, (b, t_y, hp.inter_channels),
+                                  spec.dtype)
+    noise = noise.astype(spec.dtype)
     z, _m_q, _logs_q = posterior.posterior_encoder(
         params["enc_q"], spec, y_mask, noise, g=g_src,
     )

@@ -361,6 +361,53 @@ def _full_infer_parity(ref, hp):
 
 
 @requires_reference
+def test_voice_conversion_matches_reference(ref):
+    """voice_conversion (models.py:724-732) with transferred weights and
+    injected posterior noise."""
+    from dataclasses import replace
+
+    hp = replace(TEST_HP, n_speakers=3, gin_channels=32)
+    synth = make_ref_synth(ref, hp, n_speakers=3, gin=32)
+    params = params_from_flat(state_dict_np(synth), hp, strict=True)
+
+    rng = np.random.default_rng(11)
+    t_y = 24
+    spec = (rng.standard_normal((1, hp.spec_channels, t_y)) ** 2
+            ).astype(np.float32)
+    lengths = np.array([t_y], np.int64)
+    sid_src, sid_tgt = np.array([0], np.int64), np.array([2], np.int64)
+
+    holder = {}
+
+    def fake_randn_like(t):
+        noise = np.random.default_rng(12).standard_normal(
+            tuple(t.shape)).astype(np.float32)
+        holder["noise"] = noise
+        return torch.from_numpy(noise)
+
+    with torch.no_grad(), \
+            mock.patch.object(torch, "randn_like",
+                              side_effect=fake_randn_like):
+        o_hat, _, _ = synth.voice_conversion(
+            torch.from_numpy(spec), torch.from_numpy(lengths),
+            torch.from_numpy(sid_src), torch.from_numpy(sid_tgt),
+        )
+    audio_t = to_np(o_hat)[:, 0]
+
+    from phoonnx_tpu.models.vits.model import voice_conversion
+
+    audio_j, _ = voice_conversion(
+        params, hp,
+        jnp.asarray(spec.transpose(0, 2, 1)), jnp.asarray(lengths),
+        jnp.asarray(sid_src.astype(np.int32)),
+        jnp.asarray(sid_tgt.astype(np.int32)),
+        noise=jnp.asarray(holder["noise"].transpose(0, 2, 1)),
+    )
+    mae = np.abs(np.asarray(audio_j) - audio_t).max()
+    assert mae < 1e-3, f"VC waveform max deviation {mae}"
+
+
+@requires_reference
 def test_full_infer_multispeaker(ref):
     from dataclasses import replace
 
