@@ -11,7 +11,10 @@ reference), vowel simplification, and tokenization with ``_dbl_``
 import re
 from typing import Dict, List, Tuple
 
-from phoonnx_tpu.thirdparty.mantoq.num2words import arabic_num2words
+from phoonnx_tpu.thirdparty.mantoq.num2words import (
+    arabic_num2words,
+    num2words,
+)
 from phoonnx_tpu.thirdparty.mantoq.phonetise import (
     arabic_to_buckwalter,
     buckwalter_to_arabic,
@@ -68,18 +71,6 @@ def phonemes_to_tokens(phonemes: str, append_space: bool = False
         tokens.append(SEPARATOR_TOKEN)
     tokens.append(EOS_TOKEN)
     return tokens
-
-
-def num2words(text: str) -> str:
-    r"""Replace integer digit runs with Arabic number words.
-
-    Like the reference (mantoq/num2words.py:8), only ``\d+`` runs are
-    substituted — a decimal point stays as punctuation between the two
-    parts. The wordings come from our own num2words backend (divergence:
-    pyarabic's diacritized feminine forms vs our plain forms).
-    """
-    text = re.sub("[٠-٩]", lambda m: str(ord(m.group(0)) - 0x660), text)
-    return re.sub(r"\d+", lambda m: arabic_num2words(m.group(0)), text)
 
 
 def normalize(text: str) -> str:

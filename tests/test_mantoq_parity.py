@@ -34,6 +34,46 @@ CASES = [
 ]
 
 
+# text containing digits: the full spell+vocalize number pipeline
+NUMBER_CASES = [
+    "عندي 23 كتابا",
+    "في عام 1995",
+    "خصم 50% اليوم",
+    "الساعة 12:30",
+    "قرأت 3 كتب و 145 مقالا",
+    "٧ أيام",
+    "۴۵ نفر",
+    "المجموع 1000000 دينار",
+    "من 350 بلدا",
+    "ارتفاع 2.5% فقط",
+    "0 ثم 1 ثم 2 ثم 10 ثم 11 ثم 12",
+    "سنة 2024، نعم",
+]
+
+
+def test_number_vocalization_goldens():
+    """Vocalized number spelling (golden values from the reference
+    pyarabic pipeline, mantoq/num2words.py:8)."""
+    from phoonnx_tpu.thirdparty.mantoq.num2words import num2words
+
+    assert num2words("0") == "صفر"
+    assert num2words("1") == "وَاحِد"
+    assert num2words("11") == "أَحَدَ عَشَرَ"
+    assert num2words("15") == "خَمْسَ عَشْرَةَ"
+    assert num2words("21") == "وَاحِد و عِشْرُونَ"
+    assert num2words("200") == "مِئَتَانِ"
+    assert num2words("256") == "مِئَتَانِ و سِتّ و خَمْسُونَ"
+    assert num2words("3000") == "ثَلاث آلاَف"
+    assert (num2words("12345")
+            == "إثنا عَشَرَ أَلْف و ثَلَاثمِئَة و خمس و أَرْبَعُونَ")
+    assert num2words("2000000") == "مِلْيُونَانِ"
+    assert num2words("50%") == "خَمْسُونَ بِالْمِئَة"
+    # \d+ semantics: a decimal point separates two independent numbers
+    assert num2words("3.14") == "ثَلاث. أَرْبَعَ عَشْرَةَ"
+    # plain (un-vocalized) mode
+    assert num2words("21", apply_tashkeel=False) == "واحد و عشرون"
+
+
 def test_buckwalter_roundtrip():
     text = "مرحبا"
     bw = arabic_to_buckwalter(text)
@@ -62,7 +102,32 @@ def test_parity_with_reference():
     finally:
         sys.path.remove(REFERENCE_PATH)
 
-    for case in CASES:
-        _, ref_tokens = ref_g2p(case)
-        _, our_tokens = g2p(case)
+    for case in CASES + NUMBER_CASES:
+        ref_text, ref_tokens = ref_g2p(case)
+        our_text, our_tokens = g2p(case)
         assert our_tokens == ref_tokens, case
+        assert our_text == ref_text, case
+
+
+@requires_reference
+def test_num2words_parity_with_reference():
+    sys.path.insert(0, REFERENCE_PATH)
+    try:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", SyntaxWarning)
+            from phoonnx.thirdparty.mantoq.num2words import (
+                num2words as ref_num2words,
+            )
+    finally:
+        sys.path.remove(REFERENCE_PATH)
+    from phoonnx_tpu.thirdparty.mantoq.num2words import num2words
+
+    cases = [str(n) for n in range(0, 400)]
+    cases += ["999", "1001", "2024", "54321", "123456789", "1000000007",
+              "3.14", "50%", "٢٣ درجة", "في عام 1995 ولدت"]
+    for case in cases:
+        for tashkeel in (True, False):
+            assert (num2words(case, apply_tashkeel=tashkeel)
+                    == ref_num2words(case, apply_tashkeel=tashkeel)), case
