@@ -34,6 +34,10 @@ _MONTHS = {
            "août", "septembre", "octobre", "novembre", "décembre"],
     "de": ["Januar", "Februar", "März", "April", "Mai", "Juni", "Juli",
            "August", "September", "Oktober", "November", "Dezember"],
+    "gl": ["xaneiro", "febreiro", "marzo", "abril", "maio", "xuño", "xullo",
+           "agosto", "setembro", "outubro", "novembro", "decembro"],
+    "ca": ["gener", "febrer", "març", "abril", "maig", "juny", "juliol",
+           "agost", "setembre", "octubre", "novembre", "desembre"],
 }
 
 
@@ -59,7 +63,7 @@ def nice_date(date_obj: date, lang: str = "en") -> str:
         day = pronounce_ordinal(date_obj.day, "en")
         return f"{month} {day}, {year}"
     day = pronounce_number(date_obj.day, lang_code)
-    if lang_code in ("pt", "es"):
+    if lang_code in ("pt", "es", "gl", "ca"):
         de = "de"
         return f"{day} {de} {month} {de} {year}"
     if lang_code == "fr":
@@ -97,8 +101,8 @@ def nice_time(
 
     hour_words = pronounce_number(hour, lang_code)
     minute_words = pronounce_number(minute, lang_code)
-    joiner = {"pt": "e", "es": "y", "fr": "heures", "de": "Uhr"}.get(
-        lang_code, "")
+    joiner = {"pt": "e", "es": "y", "fr": "heures", "de": "Uhr", "gl": "e",
+              "ca": "i"}.get(lang_code, "")
     if lang_code == "fr":
         return f"{hour_words} heures {minute_words}" if minute else f"{hour_words} heures"
     if lang_code == "de":

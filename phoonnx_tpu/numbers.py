@@ -4,8 +4,8 @@ The reference delegates number/fraction pronunciation to the external
 ``ovos-number-parser`` / ``unicode-rbnf`` packages (reference:
 phoonnx/util.py:7-10). This module provides the same call surface
 (:func:`pronounce_number`, :func:`pronounce_fraction`, :func:`is_numeric`)
-with built-in cardinal/ordinal realisations for en/pt/es/fr/de and a
-digit-spelling fallback for other languages. If the ovos parsers are
+with built-in cardinal/ordinal realisations for en/pt/es/fr/de/it/nl/gl/ca
+and a digit-spelling fallback for other languages. If the ovos parsers are
 installed they are preferred, keeping output identical to the reference.
 """
 
@@ -326,12 +326,88 @@ def _nl_int(n: int) -> str:
     return head + (" " + _nl_int(rest) if rest else "")
 
 
+_GL_ONES = [
+    "cero", "un", "dous", "tres", "catro", "cinco", "seis", "sete", "oito",
+    "nove", "dez", "once", "doce", "trece", "catorce", "quince", "dezaseis",
+    "dezasete", "dezaoito", "dezanove", "vinte", "vinte e un", "vinte e dous",
+    "vinte e tres", "vinte e catro", "vinte e cinco", "vinte e seis",
+    "vinte e sete", "vinte e oito", "vinte e nove",
+]
+_GL_TENS = ["", "", "", "trinta", "corenta", "cincuenta", "sesenta",
+            "setenta", "oitenta", "noventa"]
+_GL_HUNDREDS = ["", "cento", "douscentos", "trescentos", "catrocentos",
+                "cincocentos", "seiscentos", "setecentos", "oitocentos",
+                "novecentos"]
+
+
+def _gl_int(n: int) -> str:
+    """Galician cardinals (tens join units with 'e': 'corenta e dous')."""
+    if n < 0:
+        return "menos " + _gl_int(-n)
+    if n < 30:
+        return _GL_ONES[n]
+    if n < 100:
+        tens, ones = divmod(n, 10)
+        return _GL_TENS[tens] + (" e " + _GL_ONES[ones] if ones else "")
+    if n == 100:
+        return "cen"
+    if n < 1000:
+        hundreds, rest = divmod(n, 100)
+        return _GL_HUNDREDS[hundreds] + (" " + _gl_int(rest) if rest else "")
+    if n < 10 ** 6:
+        thousands, rest = divmod(n, 1000)
+        head = "mil" if thousands == 1 else _gl_int(thousands) + " mil"
+        return head + (" " + _gl_int(rest) if rest else "")
+    millions, rest = divmod(n, 10 ** 6)
+    head = "un millón" if millions == 1 else _gl_int(millions) + " millóns"
+    return head + (" " + _gl_int(rest) if rest else "")
+
+
+_CA_ONES = [
+    "zero", "un", "dos", "tres", "quatre", "cinc", "sis", "set", "vuit",
+    "nou", "deu", "onze", "dotze", "tretze", "catorze", "quinze", "setze",
+    "disset", "divuit", "dinou",
+]
+_CA_TENS = ["", "", "vint", "trenta", "quaranta", "cinquanta", "seixanta",
+            "setanta", "vuitanta", "noranta"]
+_CA_HUNDREDS = ["", "cent", "dos-cents", "tres-cents", "quatre-cents",
+                "cinc-cents", "sis-cents", "set-cents", "vuit-cents",
+                "nou-cents"]
+
+
+def _ca_int(n: int) -> str:
+    """Catalan cardinals ('vint-i-dos', 'trenta-un', 'dos-cents')."""
+    if n < 0:
+        return "menys " + _ca_int(-n)
+    if n < 20:
+        return _CA_ONES[n]
+    if n < 100:
+        tens, ones = divmod(n, 10)
+        if not ones:
+            return _CA_TENS[tens]
+        joiner = "-i-" if tens == 2 else "-"
+        return _CA_TENS[tens] + joiner + _CA_ONES[ones]
+    if n < 1000:
+        hundreds, rest = divmod(n, 100)
+        return _CA_HUNDREDS[hundreds] + (" " + _ca_int(rest) if rest else "")
+    if n < 10 ** 6:
+        thousands, rest = divmod(n, 1000)
+        head = "mil" if thousands == 1 else _ca_int(thousands) + " mil"
+        return head + (" " + _ca_int(rest) if rest else "")
+    millions, rest = divmod(n, 10 ** 6)
+    head = "un milió" if millions == 1 else _ca_int(millions) + " milions"
+    return head + (" " + _ca_int(rest) if rest else "")
+
+
 _INT_BACKENDS = {"en": _en_int, "pt": _pt_int, "es": _es_int, "fr": _fr_int,
-                 "de": _de_int, "it": _it_int, "nl": _nl_int}
+                 "de": _de_int, "it": _it_int, "nl": _nl_int, "gl": _gl_int,
+                 "ca": _ca_int}
 _DECIMAL_POINT = {"en": "point", "pt": "vírgula", "es": "coma", "fr": "virgule",
-                  "de": "Komma", "it": "virgola", "nl": "komma"}
+                  "de": "Komma", "it": "virgola", "nl": "komma", "gl": "coma",
+                  "ca": "coma"}
 _MINUS = {"en": "minus", "pt": "menos", "es": "menos", "fr": "moins",
-          "de": "minus", "it": "meno", "nl": "min"}
+          "de": "minus", "it": "meno", "nl": "min", "gl": "menos",
+          "ca": "menys"}
 
 
 def spell_digits(digits: str, lang: str) -> str:

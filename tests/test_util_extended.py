@@ -140,6 +140,31 @@ def test_hyphen_word_number():
 # ---------------------------------------------------------------------------
 
 
+def test_galician_numbers_and_dates():
+    from phoonnx_tpu.numbers import pronounce_number
+
+    assert pronounce_number(42, "gl") == "corenta e dous"
+    assert pronounce_number(100, "gl") == "cen"
+    assert (pronounce_number(1995, "gl")
+            == "mil novecentos noventa e cinco")
+    assert pronounce_number(2000000, "gl") == "dous millóns"
+    out = normalize("Teño 25 anos, desde o 08/03/1995.", "gl")
+    assert "vinte e cinco" in out
+    assert "oito de marzo de mil novecentos noventa e cinco" in out
+
+
+def test_catalan_numbers_and_dates():
+    from phoonnx_tpu.numbers import pronounce_number
+
+    assert pronounce_number(22, "ca") == "vint-i-dos"
+    assert pronounce_number(31, "ca") == "trenta-un"
+    assert pronounce_number(531, "ca") == "cinc-cents trenta-un"
+    assert pronounce_number(-3, "ca") == "menys tres"
+    out = normalize("Tinc 22 anys, nascut el 08/03/1995.", "ca")
+    assert "vint-i-dos" in out
+    assert "vuit de març de mil nou-cents noranta-cinc" in out
+
+
 def test_mantoq_alphabet_validation():
     from phoonnx_tpu.phonemizers.ar import MantoqPhonemizer
 
