@@ -22,6 +22,37 @@ try:  # pragma: no cover - exercised only when ovos deps are installed
 except ImportError:
     _HAVE_OVOS = False
 
+try:  # pragma: no cover - exercised only when unicode-rbnf is installed
+    from unicode_rbnf import FormatPurpose as _RbnfPurpose
+    from unicode_rbnf import RbnfEngine as _RbnfEngine
+
+    _HAVE_RBNF = True
+except ImportError:
+    _HAVE_RBNF = False
+
+_RBNF_ENGINES: dict = {}
+
+
+def _rbnf_pronounce(num: Union[int, float], lang_code: str):
+    """CLDR rule-based verbalization for languages without a built-in
+    backend (reference util.py:659-663 fallback chain). Returns None when
+    unicode-rbnf is missing or has no rules for the language."""
+    if not _HAVE_RBNF:
+        return None
+    engine = _RBNF_ENGINES.get(lang_code)
+    if engine is None:
+        try:
+            engine = _RbnfEngine.for_language(lang_code)
+        except Exception:
+            engine = False
+        _RBNF_ENGINES[lang_code] = engine
+    if not engine:
+        return None
+    try:
+        return engine.format_number(num, _RbnfPurpose.CARDINAL).text
+    except Exception:  # pragma: no cover
+        return None
+
 
 def is_numeric(value: str) -> bool:
     """True if the string parses as a float (mirrors ovos is_numeric)."""
@@ -428,6 +459,9 @@ def pronounce_number(num: Union[int, float], lang: str = "en") -> str:
     lang_code = lang.split("-")[0]
     backend = _INT_BACKENDS.get(lang_code)
     if backend is None:
+        rbnf = _rbnf_pronounce(num, lang_code)
+        if rbnf is not None:
+            return rbnf
         # No wordings for this language: keep the numeral unchanged.
         return str(num)
 

@@ -165,6 +165,25 @@ def test_catalan_numbers_and_dates():
     assert "vuit de març de mil nou-cents noranta-cinc" in out
 
 
+def test_rbnf_fallback_chain():
+    """Languages without a built-in backend go through unicode-rbnf when
+    installed (reference util.py:659-663), else keep the numeral."""
+    import types
+    import unittest.mock as mock
+
+    import phoonnx_tpu.numbers as nums
+
+    assert nums.pronounce_number(7, "xx") == "7"
+    fake = types.SimpleNamespace(
+        format_number=lambda n, p: types.SimpleNamespace(text="sieben"))
+    with mock.patch.object(nums, "_HAVE_RBNF", True), \
+            mock.patch.object(nums, "_RBNF_ENGINES", {"xx": fake}), \
+            mock.patch.object(nums, "_RbnfPurpose",
+                              types.SimpleNamespace(CARDINAL=1),
+                              create=True):
+        assert nums.pronounce_number(7, "xx") == "sieben"
+
+
 def test_mantoq_alphabet_validation():
     from phoonnx_tpu.phonemizers.ar import MantoqPhonemizer
 
