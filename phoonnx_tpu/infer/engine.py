@@ -217,8 +217,18 @@ class VitsEngine:
         noise_w: float = 0.8,
         speaker_id: int = 0,
         seed: Optional[int] = None,
+        lang_id: Optional[int] = None,
     ) -> np.ndarray:
-        """One utterance -> float32 waveform (trimmed to true length)."""
+        """One utterance -> float32 waveform (trimmed to true length).
+
+        ``lang_id`` is accepted for API parity but unused: the VITS family
+        has no language embedding (the reference feeds ``langid`` only to
+        graphs that declare it, voice.py:350-377 — multi-lang foreign
+        graphs run on the fallback interpreter engine, which consumes it).
+        """
+        if lang_id:
+            LOG.debug("lang_id=%s ignored: VITS graph has no language "
+                      "conditioning", lang_id)
         audio, lengths = self.synthesize_batch(
             [phoneme_ids], noise_scale=noise_scale,
             length_scale=length_scale, noise_w=noise_w,
@@ -309,21 +319,29 @@ class VitsEngine:
             # true utterance edge) on each side
             start = min(max(i * chunk - overlap, 0), t_total - window)
             offset = i * chunk - start
+            # when the final chunk's nominal span [i*chunk, i*chunk+chunk)
+            # overruns the latent buffer, keep the buffer's last `chunk`
+            # frames instead (offset capped so dynamic_slice stays
+            # in-bounds) and skip the already-emitted prefix on emission
+            skip = 0
+            if offset > window - chunk:
+                offset = window - chunk
+                skip = (i * chunk - (start + offset)) * up
             audio = decode(self.params, z, jnp.asarray(start, jnp.int32),
                            jnp.asarray(offset, jnp.int32), g)
             if self.fetch_pcm16:
                 audio = self._to_pcm16(audio)
-            in_flight.append(audio)
+            in_flight.append((audio, skip))
         emitted = 0
-        for audio in in_flight:
+        for audio, skip in in_flight:
             wav = np.asarray(audio)
             wav = (wav.astype(np.float32) / 32767.0 if self.fetch_pcm16
                    else wav.astype(np.float32))
-            take = min(wav.shape[1], total_samples - emitted)
+            take = min(wav.shape[1] - skip, total_samples - emitted)
             if take <= 0:
                 break
             emitted += take
-            yield wav[0, :take]
+            yield wav[0, skip:skip + take]
 
     def synthesize_batch(
         self,
@@ -451,8 +469,14 @@ class VitsEngine:
                 wav = wav.astype(np.float32) / 32767.0
             else:
                 wav = wav.astype(np.float32)
-            n = int(np.asarray(y_lengths)[0]) * upsample
-            outputs.append(wav[0][:n])
+            n_frames = int(np.asarray(y_lengths)[0])
+            if n_frames * upsample >= wav.shape[1]:
+                LOG.warning(
+                    "frame budget %d reached — audio may be truncated; "
+                    "raise frames_per_token or use mode='two_phase'",
+                    wav.shape[1] // upsample,
+                )
+            outputs.append(wav[0][:n_frames * upsample])
         return outputs
 
     def voice_conversion(

@@ -13,6 +13,7 @@ architecture config (layers, d_model, heads, FFN type) is inferred from
 tensor shapes.
 """
 
+import logging
 import math
 from dataclasses import dataclass
 from functools import partial
@@ -21,6 +22,8 @@ from typing import Any, Dict, List, Mapping, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+LOG = logging.getLogger(__name__)
 
 Array = jax.Array
 
@@ -248,7 +251,9 @@ def greedy_decode(params, cfg: T5Config, input_ids: Array,
     """KV-cached greedy decode; returns (tokens [B, max_length], lengths).
 
     Decoder starts from pad (0); generation stops at eos (1), matching the
-    reference's loop (mul.py:181-233).
+    reference's loop (mul.py:181-233). ``lengths[row]`` counts the
+    generated tokens before the EOS marker, so ``tokens[row, :length]``
+    is the pre-EOS sequence.
     """
     b = input_ids.shape[0]
     encoder_out = encode(params, cfg, input_ids, attention_mask)
@@ -340,7 +345,11 @@ def greedy_decode(params, cfg: T5Config, input_ids: Array,
         next_token = jnp.where(finished, cfg.pad_id, next_token)
         tokens = tokens.at[:, pos + 1].set(next_token)
         newly_finished = finished | (next_token == cfg.eos_id)
-        lengths = jnp.where(finished, lengths, pos + 1)
+        # lengths count generated tokens BEFORE the EOS marker
+        lengths = jnp.where(
+            finished, lengths,
+            jnp.where(next_token == cfg.eos_id, pos, pos + 1),
+        )
         return tokens, new_k, new_v, newly_finished, lengths, pos + 1
 
     def cond_fn(carry):
@@ -403,12 +412,19 @@ class ByT5Engine:
             (b for b in self.input_buckets if length <= b),
             self.input_buckets[-1],
         )
+        if length > bucket:
+            LOG.warning(
+                "ByT5 input of %d byte ids exceeds the largest input "
+                "bucket (%d); the tail is truncated — chunk the text "
+                "upstream for full coverage", length, bucket,
+            )
         batch = len(batch_ids)
         ids = np.zeros((batch, bucket), np.int32)
         mask = np.zeros((batch, bucket), np.int32)
         for row, utt in enumerate(batch_ids):
-            ids[row, : len(utt)] = utt[:bucket]
-            mask[row, : len(utt)] = 1
+            take = min(len(utt), bucket)
+            ids[row, :take] = utt[:take]
+            mask[row, :take] = 1
         tokens, lengths = self._decode(
             self.params, input_ids=jnp.asarray(ids),
             attention_mask=jnp.asarray(mask),

@@ -13,7 +13,7 @@ copied verbatim. Only ElementwiseAffine ([C, 1] -> [C]) is squeezed.
 """
 
 import re
-from typing import Any, Dict, Mapping, Optional, Tuple
+from typing import Any, Dict, Iterator, Mapping, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -170,6 +170,7 @@ def params_from_flat(
     """
     params = random_params(jax.random.PRNGKey(0), hp)
     unmatched = []
+    filled = set()
     for raw_name, value in named.items():
         name = raw_name
         for prefix in _STRIP_PREFIXES:
@@ -184,10 +185,31 @@ def params_from_flat(
             value = value[:, 0]  # ElementwiseAffine [C,1] -> [C]
         _check_shape(params, path, value, raw_name)
         _set_leaf(params, path, value)
-    if strict and unmatched:
-        raise ValueError(f"unrouted parameters: {unmatched[:10]}"
-                         f" (+{max(0, len(unmatched) - 10)} more)")
+        filled.add(path)
+    if strict:
+        if unmatched:
+            raise ValueError(f"unrouted parameters: {unmatched[:10]}"
+                             f" (+{max(0, len(unmatched) - 10)} more)")
+        # every leaf of the final skeleton must come from the checkpoint:
+        # a partially-saved file would otherwise run with random_params
+        # initialization in the missing slots and synthesize noise
+        unfilled = [p for p in _leaf_paths(params) if p not in filled]
+        if unfilled:
+            raise ValueError(
+                f"checkpoint leaves missing: {unfilled[:10]}"
+                f" (+{max(0, len(unfilled) - 10)} more)")
     return params
+
+
+def _leaf_paths(tree: Any, prefix: Tuple = ()) -> Iterator[Tuple]:
+    if isinstance(tree, dict):
+        for key, sub in tree.items():
+            yield from _leaf_paths(sub, prefix + (key,))
+    elif isinstance(tree, (list, tuple)):
+        for i, sub in enumerate(tree):
+            yield from _leaf_paths(sub, prefix + (i,))
+    elif hasattr(tree, "shape"):  # arrays only — skip metadata ints/strs
+        yield prefix
 
 
 def _check_shape(params, path, value, name) -> None:

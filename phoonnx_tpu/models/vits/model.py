@@ -362,7 +362,7 @@ def infer(params, hp: VitsHParams,
 
     y_mask = nn.sequence_mask(y_lengths, max_frames)[..., None].astype(dtype)
     attn_mask = y_mask * jnp.swapaxes(x_mask, 1, 2)  # [B, T_y, T_x]
-    attn = nn.generate_path(w_ceil.astype(dtype), attn_mask)
+    attn = nn.generate_path(w_ceil, attn_mask)
 
     m_p_exp = jnp.einsum("byx,bxc->byc", attn, m_p)
     logs_p_exp = jnp.einsum("byx,bxc->byc", attn, logs_p)
@@ -417,8 +417,9 @@ def infer_durations(params, hp: VitsHParams, x_ids: Array, x_lengths: Array,
                     rng: Optional[Array] = None):
     """Phase-1 of two-phase synthesis: encoder + durations only.
 
-    Returns (x, m_p, logs_p, w_ceil, g). The host picks a frame bucket from
-    sum(w_ceil) and dispatches phase 2 (:func:`infer_decode`).
+    Returns (m_p, logs_p, w_ceil, x_mask, g). The host picks a frame
+    bucket from sum(w_ceil) and dispatches phase 2 (:func:`infer_latents`
+    + the decoder).
     """
     b, t_x = x_ids.shape
     dtype = params["enc_p"]["emb"]["weight"].dtype
@@ -459,7 +460,7 @@ def infer_latents(params, hp: VitsHParams, m_p: Array, logs_p: Array,
     y_lengths = jnp.minimum(y_lengths, max_frames)
     y_mask = nn.sequence_mask(y_lengths, max_frames)[..., None].astype(dtype)
     attn_mask = y_mask * jnp.swapaxes(x_mask, 1, 2)
-    attn = nn.generate_path(w_ceil.astype(dtype), attn_mask)
+    attn = nn.generate_path(w_ceil, attn_mask)
 
     m_p_exp = jnp.einsum("byx,bxc->byc", attn, m_p)
     logs_p_exp = jnp.einsum("byx,bxc->byc", attn, logs_p)

@@ -178,11 +178,15 @@ def generate_path(duration: Array, attn_mask: Array) -> Array:
     (phoonnx_train/vits/commons.py:116-129).
     """
     t_y = attn_mask.shape[1]
+    # frame counting must be exact: bf16 durations/cumsums quantize above
+    # 256 (spacing 2) and misalign frames — always accumulate in f32,
+    # casting only the resulting one-hot path to the compute dtype
+    duration = duration.astype(jnp.float32)
     cum = jnp.cumsum(duration, axis=-1)  # [B, T_x]
-    frames = jnp.arange(t_y)[None, :, None]  # [1, T_y, 1]
-    reached = (frames < cum[:, None, :]).astype(attn_mask.dtype)
-    started = (frames < (cum - duration)[:, None, :]).astype(attn_mask.dtype)
-    return (reached - started) * attn_mask
+    frames = jnp.arange(t_y, dtype=jnp.float32)[None, :, None]  # [1,T_y,1]
+    reached = frames < cum[:, None, :]
+    started = frames < (cum - duration)[:, None, :]
+    return (reached & ~started).astype(attn_mask.dtype) * attn_mask
 
 
 # ---------------------------------------------------------------------------

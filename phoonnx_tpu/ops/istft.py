@@ -26,13 +26,6 @@ def _ola_kernel(win_size: int) -> np.ndarray:
     return kernel
 
 
-@lru_cache(maxsize=8)
-def _window_norm(win_size: int, hop: int, n_frames_hint: int = 4096):
-    """Denominator of the OLA normalisation (sum of squared windows)."""
-    window = hann_window(win_size).astype(np.float64)
-    return float(np.sum(window[::hop] ** 2)) if False else None
-
-
 def istft(magnitude: Array, phase: Array, n_fft: int, hop: int,
           win_size: int) -> Array:
     """(mag, phase) [B, T, F=n_fft//2+1] -> waveform [B, T*hop].

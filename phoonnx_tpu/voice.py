@@ -482,4 +482,5 @@ class TTSVoice:
             noise_w=float(noise_w),
             speaker_id=syn_config.speaker_id or 0,
             seed=syn_config.seed,
+            lang_id=syn_config.lang_id or 0,
         )

@@ -102,10 +102,10 @@ def test_greedy_decode_matches_hf_generate(hf_model, engine):
         )[0].numpy()
     # hf output starts with decoder_start (0); strip it and trailing pads
     hf_tokens = [int(t) for t in hf_out[1:]]
-    ours_plus_eos = generated
-    # compare up to/including EOS
-    n = min(len(hf_tokens), len(ours_plus_eos))
-    assert ours_plus_eos[:n] == hf_tokens[:n]
+    # ours is the pre-EOS sequence: no EOS marker inside it
+    assert 1 not in generated
+    n = min(len(hf_tokens), len(generated))
+    assert generated[:n] == hf_tokens[:n]
 
 
 def test_kv_cache_consistency(engine):

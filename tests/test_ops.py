@@ -209,3 +209,27 @@ def test_observability_stats():
     assert abs(summary["rtf"] - 0.6 / 15.0) < 1e-6
     assert summary["p50_latency_ms"] == 200.0
     assert summary["total_audio_s"] == 15.0
+
+
+def test_generate_path_exact_in_bfloat16():
+    """Frame counting must stay exact for bf16 engines: durations whose
+    cumsum exceeds 256 quantize in bfloat16 (spacing 2), which used to
+    drop/duplicate frames in the alignment path."""
+    import jax.numpy as jnp
+
+    from phoonnx_tpu.models.vits import nn
+
+    rng = np.random.default_rng(0)
+    durations = rng.integers(1, 9, (2, 80)).astype(np.float32)  # sums ~320
+    t_y = int(durations.sum(axis=1).max())
+    mask_bf16 = jnp.ones((2, t_y, 80), jnp.bfloat16)
+    path = np.asarray(
+        nn.generate_path(jnp.asarray(durations, jnp.bfloat16), mask_bf16)
+    ).astype(np.float32)
+    # every frame within each row's true length maps to exactly one token
+    for b in range(2):
+        n = int(durations[b].sum())
+        assert path[b, :n].sum(axis=-1).tolist() == [1.0] * n
+        # and each token gets exactly its duration in frames
+        np.testing.assert_array_equal(path[b].sum(axis=0),
+                                      durations[b])

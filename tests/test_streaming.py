@@ -65,6 +65,38 @@ def test_streaming_matches_monolithic_mb_istft():
     _stream_vs_full(hp, chunk=8, overlap=12)
 
 
+def test_streaming_final_chunk_overruns_frame_bucket():
+    """When ceil(n_frames/chunk)*chunk exceeds the frame bucket, the final
+    window's kept-span offset must be clamped WITH a matching emission
+    skip — the unclamped arithmetic used to re-emit earlier audio."""
+    hp = VitsHParams.preset("micro")
+    params = vits_model.random_params(jax.random.PRNGKey(0), hp)
+    eng = VitsEngine(params, hp, text_buckets=(16, 32),
+                     frame_buckets=(32, 64, 128, 256))
+    full = eng.synthesize_ids(IDS, seed=42)
+    up = hp.total_upsample
+    n = len(full) // up
+    bucket = next(b for b in (32, 64, 128, 256) if n <= b)
+    overlap = 8  # covers the micro decoder receptive field
+    trigger = None
+    for chunk in range(overlap + 1, bucket - 2 * overlap):
+        import math
+        n_chunks = max(1, math.ceil(n / chunk))
+        window = chunk + 2 * overlap
+        i = n_chunks - 1
+        start = min(max(i * chunk - overlap, 0), bucket - window)
+        if i * chunk - start > window - chunk:
+            trigger = chunk
+            break
+    assert trigger is not None, (
+        f"no chunk size triggers the clamp for n={n} bucket={bucket}")
+    chunks = list(eng.synthesize_ids_streaming(
+        IDS, chunk_frames=trigger, overlap_frames=overlap, seed=42))
+    stream = np.concatenate(chunks)
+    assert stream.shape == full.shape
+    np.testing.assert_allclose(stream, full, atol=2e-5)
+
+
 def test_streaming_single_chunk_short_utterance():
     hp = VitsHParams.preset("micro")
     params = vits_model.random_params(jax.random.PRNGKey(0), hp)

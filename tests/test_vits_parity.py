@@ -235,7 +235,9 @@ def test_text_encoder_matches_reference(ref):
         n_heads=2, n_layers=2, kernel_size=3, p_dropout=0.0,
     ).eval()
     named = {f"enc_p.{k}": v for k, v in state_dict_np(ref_enc).items()}
-    params = params_from_flat(named, TEST_HP, strict=True)
+    # encoder-only weights: a deliberate partial load (strict now also
+    # rejects checkpoints with unfilled leaves)
+    params = params_from_flat(named, TEST_HP, strict=False)
 
     from phoonnx_tpu.models.vits.encoder import text_encoder
     from phoonnx_tpu.models.vits.nn import sequence_mask

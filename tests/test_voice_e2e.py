@@ -275,3 +275,16 @@ def test_engine_pcm16_fetch(voice_files):
     b = quant.synthesize_ids([1, 4, 5], seed=0)
     assert len(a) == len(b)
     assert np.abs(a - b).max() <= 1.0 / 32767.0 + 1e-6
+
+
+def test_params_from_flat_strict_rejects_partial_checkpoint(voice_files):
+    """strict=True must reject checkpoints with missing leaves — they
+    would otherwise run with random init in the gaps (silent noise)."""
+    _, _, _, flat = voice_files
+    hp = infer_hparams_from_flat(flat)
+    partial = {k: v for k, v in flat.items()
+               if not k.startswith("dec.resblocks")}
+    with pytest.raises(ValueError, match="leaves missing"):
+        params_from_flat(partial, hp, strict=True)
+    # non-strict tolerates it (warm starts / surgery)
+    params_from_flat(partial, hp, strict=False)
