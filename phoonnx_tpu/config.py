@@ -225,7 +225,9 @@ class VoiceConfig:
                 config.get("language", {}).get("code")
                 or config.get("espeak", {}).get("voice")
             )
-            phoneme_type_str = config.get("phoneme_type", PhonemeType.ESPEAK.value)
+            # explicit caller override wins (the reference reassigns from
+            # the config here, silently discarding load()'s override)
+            phoneme_type_str = phoneme_type_str or PhonemeType.ESPEAK.value
             if phoneme_type_str == "text":
                 phoneme_type_str = PhonemeType.UNICODE.value
                 alphabet = Alphabet.UNICODE
@@ -244,8 +246,11 @@ class VoiceConfig:
                     "mimic3 models require an external phonemes.txt file "
                     "in addition to the config"
                 )
-            lang_code = config.get("text_language")
-            phoneme_type_str = config.get("phonemizer", PhonemeType.GRUUT.value)
+            lang_code = lang_code or config.get("text_language")
+            phoneme_type_str = (
+                phoneme_type_str
+                or config.get("phonemizer", PhonemeType.GRUUT.value)
+            )
             phoneme_cfg = config.get("phonemes", {})
             blank_type = BlankBetween(
                 phoneme_cfg.get("blank_between", "tokens_and_words")
@@ -299,12 +304,33 @@ class VoiceConfig:
 
             phoneme_id_map = {char: idx for idx, char in enumerate(vocab_list)}
 
+        elif VoiceConfig.is_phoonnx(config):
+            # Voices trained by the phoonnx/phoonnx_tpu pipeline: training
+            # ids are built with the default specials (reference
+            # preprocess.py:29-34 + phonemes_to_ids defaults at :599), but
+            # the written config.json carries no pad/blank/bos/eos keys.
+            # The reference then loads non-espeak voices with token=None —
+            # dropping bos/eos/blank at inference, a train/infer
+            # tokenization mismatch we fix rather than replicate. Explicit
+            # keys (written by our preprocess) still win.
+            config.setdefault("pad", DEFAULT_PAD_TOKEN)
+            config.setdefault("blank", DEFAULT_BLANK_TOKEN)
+            config.setdefault("bos", DEFAULT_BOS_TOKEN)
+            config.setdefault("eos", DEFAULT_EOS_TOKEN)
+
         phoneme_type = PhonemeType(phoneme_type_str)
         LOG.debug("phonemizer: %s", phoneme_type)
         inference = config.get("inference", {})
 
-        include_whitespace = " " in config.get("characters", "") or " " in config.get(
-            "phoneme_id_map", {}
+        # decided on the EFFECTIVE phoneme table (external phonemes.txt /
+        # coqui vocab included) — the reference keys this off the raw
+        # config only (config.py:334), so mimic3/coqui voices whose space
+        # symbol lives outside config["phoneme_id_map"] silently drop
+        # whitespace ids at inference
+        characters = config.get("characters")
+        include_whitespace = (
+            (isinstance(characters, str) and " " in characters)
+            or bool(phoneme_id_map and " " in phoneme_id_map)
         )
         return VoiceConfig(
             num_langs=config.get("num_langs", 1),

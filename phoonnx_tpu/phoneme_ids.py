@@ -153,7 +153,11 @@ def phonemes_to_ids(
                 if blank_tokens:
                     ids.extend(blank_id)
             elif blank_words:
-                ids.extend(norm_map[word_sep_token])
+                if word_sep_token in norm_map:
+                    ids.extend(norm_map[word_sep_token])
+                else:
+                    LOG.warning("word separator %r not in id map — "
+                                "skipped", word_sep_token)
                 if blank_tokens:
                     ids.extend(blank_id)
         else:
@@ -163,7 +167,8 @@ def phonemes_to_ids(
         i += 1
 
     if blank_token is not None and blank_at_end:
-        if not include_whitespace and word_sep_token and blank_words:
+        if (not include_whitespace and blank_words
+                and word_sep_token in norm_map):
             if blank_tokens:
                 ids.extend(blank_id)
             ids.extend(norm_map[word_sep_token])

@@ -80,6 +80,10 @@ class BasePhonemizer(metaclass=abc.ABCMeta):
             phoneme_str = self.phonemize_string(
                 self.remove_punctuation(chunk), lang
             )
+            # deliberately True (matching reference base.py:66): every
+            # clause chunk becomes its own synthesis group, so the engine
+            # sees short prosodic units — chunk_text's eos flag is kept
+            # for callers that want true sentence grouping
             results.append((phoneme_str, punct, True))
         return self._process_phones(results)
 

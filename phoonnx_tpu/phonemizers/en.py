@@ -104,7 +104,9 @@ class G2PEnPhonemizer(BasePhonemizer):
 
     def phonemize_string(self, text: str, lang: str) -> str:
         self.get_lang(lang)
-        arpa = self.g2p(text)
+        arpa = self.g2p(text)  # g2p_en returns a token list
         if self.alphabet == Alphabet.ARPA:
-            return arpa
+            # phonemize_string must return a str — the raw list crashes
+            # _process_phones' regex pass downstream
+            return " ".join(arpa)
         return "".join(arpa_to_ipa_lookup.get(p, p) for p in arpa)

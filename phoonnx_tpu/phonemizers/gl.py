@@ -94,9 +94,12 @@ class CotoviaPhonemizer(BasePhonemizer):
         out = re.sub(r"[¿¡]", r"", out)
         out = re.sub(r"\s+", r" ", out)
         out = re.sub(r"(\d+)\s*-\s*(\d+)", r"\1 \2", out)
-        out = re.sub(r"(\w+)\s+-([^-]*?)-\s+([^-]*?)", r"\1, \\2, ", out)
+        # the reference writes r"\1, \\2, " (gl.py:173,179) — a literal
+        # backslash+'2' that deletes the captured clause and injects '\2'
+        # into the phoneme stream; the intended group reference is \2
+        out = re.sub(r"(\w+)\s+-([^-]*?)-\s+([^-]*?)", r"\1, \2, ", out)
         out = re.sub(r"(\w+[!\?]?)\s+-\s*", r"\1, ", out)
-        out = re.sub(r"(\w+)\s*\(\s*([^\(\)]*?)\s*\)", r"\1, \\2,", out)
+        out = re.sub(r"(\w+)\s*\(\s*([^\(\)]*?)\s*\)", r"\1, \2,", out)
 
         if self.alphabet == Alphabet.IPA:
             return cotovia2ipa(out)

@@ -7,7 +7,10 @@ from phoonnx_tpu.phonemizers.base import BasePhonemizer
 class OpenJTaklPhonemizer(BasePhonemizer):
     """pyopenjtalk g2p (kana or romaji)."""
 
-    def __init__(self, alphabet: Alphabet = Alphabet.IPA):
+    def __init__(self, alphabet: Alphabet = Alphabet.KANA):
+        # default must satisfy the accepted set (the reference defaults to
+        # IPA and then asserts HEPBURN/KANA — its no-arg constructor
+        # always crashes)
         assert alphabet in (Alphabet.HEPBURN, Alphabet.KANA)
         import pyopenjtalk
 

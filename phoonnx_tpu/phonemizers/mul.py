@@ -432,13 +432,10 @@ class EpitranPhonemizer(BasePhonemizer):
 
     @classmethod
     def get_lang(cls, target_lang: str) -> str:
-        base = target_lang.split("-")[0].lower()
-        for code in cls.EPITRAN_LANGS:
-            if code.lower().startswith(base):
-                return code
-        return cls.match_lang(
-            target_lang, [c.split("-")[0] for c in cls.EPITRAN_LANGS]
-        )
+        # proper tag matching (ISO 639-3 + script aware): a bare string
+        # prefix scan resolves 'ja' to 'jav-Latn' (Javanese) and 'es' to
+        # 'est-Latn' (Estonian) — wrong languages, no error
+        return cls.match_lang(target_lang, cls.EPITRAN_LANGS)
 
     def phonemize_string(self, text: str, lang: str) -> str:
         import epitran

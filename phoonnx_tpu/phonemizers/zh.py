@@ -69,7 +69,13 @@ class BaseChinesePinyinPhonemizer(BasePhonemizer):
             pho_str = ""
             for syllable in p.split():
                 try:
-                    pho = self.pinyin_to_ipa(syllable.strip())[0][0]
+                    # pinyin_to_ipa returns an ordered set of candidate
+                    # pronunciations, each a tuple of IPA symbols — join
+                    # the full first candidate. (The reference takes
+                    # [0][0], keeping only the first symbol and dropping
+                    # vowel + tone contour; its own _retone tone-mark
+                    # substitutions presuppose the full syllable.)
+                    pho = "".join(self.pinyin_to_ipa(syllable.strip())[0])
                     if self.retone:
                         pho = self._retone(pho)
                     pho_str += pho

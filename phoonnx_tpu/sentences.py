@@ -13,7 +13,7 @@ from typing import List
 _ABBREVIATIONS = {
     "mr", "mrs", "ms", "dr", "prof", "sr", "sra", "srta", "jr", "st",
     "vs", "etc", "eg", "e.g", "ie", "i.e", "inc", "ltd", "co", "corp",
-    "dept", "est", "fig", "gen", "gov", "hon", "no", "num", "p", "pp",
+    "dept", "est", "fig", "gen", "gov", "hon", "num", "p", "pp",
     "rev", "sgt", "capt", "cmdr", "col", "lt", "maj", "sen", "rep",
     "approx", "appt", "apt", "ave", "blvd", "rd", "mt", "ft",
 }
@@ -28,14 +28,26 @@ _SENT_END = re.compile(
 )
 
 
-def _is_abbreviation(prefix: str) -> bool:
+def _is_abbreviation(prefix: str, following: str = "") -> bool:
     word = prefix.rsplit(" ", 1)[-1].rstrip(".").lower()
     if not word:
         return False
     if word in _ABBREVIATIONS:
         return True
-    # Single-letter initials ("J. Smith") never end a sentence.
-    return len(word) == 1 and word.isalpha()
+    # "no." is the numero abbreviation only before a number ("no. 5");
+    # as a plain word ("I said no.") it ends the sentence
+    if word == "no" and following[:1].isdigit():
+        return True
+    # Single-letter initials ("J. Smith", "John J. Smith") suppress the
+    # break only when capitalized context surrounds the letter —
+    # "plan B. Next we go." (lowercase word before) is two sentences
+    if not (len(word) == 1 and word.isalpha()
+            and following[:1].isupper() and following[1:2].islower()):
+        return False
+    words = prefix.split()
+    if len(words) < 2:
+        return True  # sentence-initial initial: "J. Smith said..."
+    return words[-2][:1].isupper()
 
 
 def sentence_tokenize(text: str) -> List[str]:
@@ -51,7 +63,8 @@ def sentence_tokenize(text: str) -> List[str]:
         terminator = match.group(1)
         prefix = text[start : match.start(1)]
 
-        if terminator == "." and _is_abbreviation(prefix):
+        if terminator == "." and _is_abbreviation(prefix,
+                                                  text[match.end():]):
             continue
         # Decimal numbers like "3. 14" never appear; "3.14" has no whitespace
         # after the dot, so the regex already skips them.

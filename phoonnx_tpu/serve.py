@@ -425,17 +425,27 @@ def _make_handler(server: TTSServer):
                 except KeyError as exc:
                     self._json(400, {"error": str(exc)})
                     return
-                sentences = voice.phonemize(str(body["text"]))
-                self._json(200, {
-                    "phonemes": sentences,
-                    "ids": [voice.phonemes_to_ids(ph)
-                            for ph in sentences],
-                })
+                try:
+                    sentences = voice.phonemize(str(body["text"]))
+                    self._json(200, {
+                        "phonemes": sentences,
+                        "ids": [voice.phonemes_to_ids(ph)
+                                for ph in sentences],
+                    })
+                except Exception as exc:
+                    LOG.exception("phonemize failed")
+                    self._json(500, {"error": str(exc)})
             else:
                 self._json(404, {"error": "not found"})
 
         def _stream(self, body: Dict[str, Any]) -> None:
             voice, _ = server._select(body)  # validate before headers
+            # run the pipeline up to the FIRST chunk before sending
+            # headers: engine errors (e.g. the fallback interpreter's
+            # NotImplementedError for streaming) surface as a clean JSON
+            # 500 via do_POST instead of corrupting a chunked body
+            chunks = server.stream_pcm_chunks(body)
+            first = next(chunks, None)
             self.send_response(200)
             self.send_header("Content-Type", "application/octet-stream")
             self.send_header("Transfer-Encoding", "chunked")
@@ -444,11 +454,21 @@ def _make_handler(server: TTSServer):
             self.send_header("X-Sample-Width", "2")
             self.send_header("X-Channels", "1")
             self.end_headers()
-            for chunk in server.stream_pcm_chunks(body):
-                self.wfile.write(f"{len(chunk):x}\r\n".encode())
-                self.wfile.write(chunk)
-                self.wfile.write(b"\r\n")
-            self.wfile.write(b"0\r\n\r\n")
+            try:
+                for chunk in ([first] if first is not None else []):
+                    self.wfile.write(f"{len(chunk):x}\r\n".encode())
+                    self.wfile.write(chunk)
+                    self.wfile.write(b"\r\n")
+                for chunk in chunks:
+                    self.wfile.write(f"{len(chunk):x}\r\n".encode())
+                    self.wfile.write(chunk)
+                    self.wfile.write(b"\r\n")
+                self.wfile.write(b"0\r\n\r\n")
+            except Exception:
+                # headers are out: a second status line would corrupt the
+                # HTTP framing — log, drop the connection, never _json()
+                LOG.exception("stream aborted mid-response")
+                self.close_connection = True
 
     return Handler
 

@@ -111,6 +111,7 @@ class BucketedLoader:
         spec_pad_multiple: int = 64,
         seed: int = 1234,
         drop_last: bool = False,
+        spec_channels: Optional[int] = None,
     ):
         self.utterances = list(utterances)
         self.batch_size = batch_size
@@ -121,6 +122,7 @@ class BucketedLoader:
         self.spec_pad = spec_pad_multiple
         self.rng = random.Random(seed)
         self.drop_last = drop_last
+        self.spec_channels = spec_channels
 
     def __len__(self) -> int:
         if self.drop_last:
@@ -146,14 +148,41 @@ class BucketedLoader:
                 indices = (indices * self.batch_size)[: self.batch_size]
             yield self.collate([self.utterances[i] for i in indices])
 
+    def _orient_spec(self, spec: np.ndarray) -> np.ndarray:
+        """Return the spectrogram as [T, C].
+
+        Native caches are stored channel-last [T, F] (train/audio.py:168);
+        reference ``.spec.pt`` caches are channel-first [F, T]
+        (norm_audio/__init__.py:82-89). Orientation is decided against the
+        known channel count — a min/max-shape heuristic would flip any
+        native clip shorter than F frames (~6 s at 22.05 kHz / hop 256).
+        """
+        channels = self.spec_channels
+        if channels is not None:
+            if spec.shape[1] == channels:
+                return spec
+            if spec.shape[0] == channels:
+                return spec.T
+            raise ValueError(
+                f"spectrogram cache shape {spec.shape} matches neither "
+                f"[T, {channels}] nor [{channels}, T]"
+            )
+        # channel count unknown: FFT bins are 2^k + 1 (513, 257, ...)
+        def _pow2p1(n: int) -> bool:
+            return n >= 3 and (n - 1) & (n - 2) == 0
+
+        if _pow2p1(spec.shape[0]) and not _pow2p1(spec.shape[1]):
+            return spec.T
+        return spec
+
     def collate(self, batch: Sequence[Utterance]) -> Dict[str, np.ndarray]:
         n = len(batch)
         specs = []
         audios = []
         for utt in batch:
             spec = _load_array(utt.audio_spec_path)
-            if spec.ndim == 2 and spec.shape[0] < spec.shape[1]:
-                spec = spec.T  # stored [C, T] (reference) -> [T, C]
+            if spec.ndim == 2:
+                spec = self._orient_spec(spec)
             audio = _load_array(utt.audio_norm_path).reshape(-1)
             specs.append(spec.astype(np.float32))
             audios.append(audio.astype(np.float32))

@@ -20,6 +20,7 @@ import json
 import logging
 import multiprocessing
 import os
+import queue as queue_mod
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Any, Callable, Dict, Iterable, List, Optional, Set
@@ -28,6 +29,7 @@ import click
 
 from phoonnx_tpu.config import Alphabet, PhonemeType, get_phonemizer
 from phoonnx_tpu.phoneme_ids import (
+    DEFAULT_BLANK_TOKEN,
     DEFAULT_BLANK_WORD_TOKEN,
     DEFAULT_BOS_TOKEN,
     DEFAULT_EOS_TOKEN,
@@ -224,8 +226,24 @@ def run_preprocess(
 
     processed: List[Utterance] = []
     all_phonemes: Set[str] = set()
-    for _ in range(len(utterances)):
-        utt, phoneme_set = result_queue.get()
+    pending = len(utterances)
+    while pending > 0:
+        try:
+            utt, phoneme_set = result_queue.get(timeout=30.0)
+        except queue_mod.Empty:
+            # per-utterance errors yield sentinels, so a long silence
+            # means a worker died without one (OOM kill, native-library
+            # segfault). Don't await its results forever.
+            dead = [w for w in workers if not w.is_alive()
+                    and w.exitcode not in (0, None)]
+            if dead:
+                raise RuntimeError(
+                    f"{len(dead)} preprocess worker(s) died "
+                    f"(exitcodes {[w.exitcode for w in dead]}) — "
+                    f"{pending} utterances unaccounted for"
+                )
+            continue
+        pending -= 1
         if utt is not None:
             processed.append(utt)
             all_phonemes.update(phoneme_set)
@@ -275,6 +293,16 @@ def run_preprocess(
         "num_speakers": len(speaker_ids) if is_multispeaker else 1,
         "speaker_id_map": speaker_ids,
         "phoonnx_version": __version__,
+        # Explicit tokenization specials: dataset.jsonl ids are built with
+        # the defaults below, and VoiceConfig.from_dict reads these keys —
+        # writing them pins inference tokenization to training even for
+        # non-espeak phonemizers (the reference omits them, which makes it
+        # load its own non-espeak voices with token=None and silently drop
+        # bos/eos/blank at inference).
+        "pad": DEFAULT_PAD_TOKEN,
+        "blank": DEFAULT_BLANK_TOKEN,
+        "bos": DEFAULT_BOS_TOKEN,
+        "eos": DEFAULT_EOS_TOKEN,
     }
     with open(output_path / "config.json", "w", encoding="utf-8") as f:
         json.dump(config_data, f, ensure_ascii=False, indent=2)

@@ -120,6 +120,7 @@ def run_training(
         hop_length=hp.hop_length,
         is_multispeaker=is_multispeaker,
         seed=seed,
+        spec_channels=hp.spec_channels,
     )
     train_loader = make_loader(train_utts)
     val_loader = make_loader(val_utts) if val_utts else None

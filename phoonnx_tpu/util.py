@@ -275,7 +275,8 @@ UNITS: Dict[str, Dict[str, str]] = {
 
 def _get_number_separators(full_lang: str) -> Tuple[str, str]:
     """(decimal, thousands) separators for the locale (util.py:362-375)."""
-    if full_lang.split("-")[0] in ("pt", "es", "fr", "de"):
+    if full_lang.split("-")[0] in ("pt", "es", "fr", "de", "it", "nl",
+                                   "gl", "ca"):
         return ",", "."
     return ".", ","
 
@@ -452,6 +453,10 @@ def _normalize_units(text: str, full_lang: str) -> str:
             number_re + r"\s*(" + unit_re + r")" + tail, re.IGNORECASE
         )
 
+        # the pattern is case-insensitive, so index case-insensitively too
+        # (the reference does unit_table[match] and crashes on '10 KM')
+        folded = {k.lower(): v for k, v in unit_table.items()}
+
         def _replace(match: "re.Match[str]") -> str:
             try:
                 num = _parse_locale_number(
@@ -461,7 +466,10 @@ def _normalize_units(text: str, full_lang: str) -> str:
             except Exception as exc:
                 LOG.error("Failed to pronounce %s (%s)", match.group(0), exc)
                 return match.group(0)
-            return f"{words} {unit_table[match.group(2)]}"
+            unit_word = unit_table.get(match.group(2))
+            if unit_word is None:
+                unit_word = folded[match.group(2).lower()]
+            return f"{words} {unit_word}"
 
         text = pattern.sub(_replace, text)
 

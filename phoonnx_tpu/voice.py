@@ -110,12 +110,13 @@ class TTSVoice:
     phonemizer: Optional["Phonemizer"] = None
 
     def __post_init__(self):
-        try:
-            self.phonetic_spellings = PhoneticSpellings.from_lang(
-                self.config.lang_code
-            )
-        except (FileNotFoundError, OSError):
-            pass
+        if self.phonetic_spellings is None:
+            try:
+                self.phonetic_spellings = PhoneticSpellings.from_lang(
+                    self.config.lang_code
+                )
+            except (FileNotFoundError, OSError):
+                pass
         if self.phonemizer is None:
             self.phonemizer = get_phonemizer(
                 self.config.phoneme_type,
@@ -228,8 +229,10 @@ class TTSVoice:
     def phonemes_to_ids(self, phonemes: List[str]) -> List[int]:
         if self.config.phoneme_id_map is None:
             raise ValueError("voice config has no phoneme_id_map")
-        from phoonnx_tpu.phoneme_ids import BlankBetween
-
+        # the parsed blank_between is honored here (mimic3 voices declare
+        # e.g. "words"); the reference parses it too but then hardcodes
+        # TOKENS_AND_WORDS at synthesis (voice.py:231), mis-tokenizing
+        # such voices — a bug, not a behavior to replicate
         return phonemes_to_ids(
             phonemes, self.config.phoneme_id_map,
             blank_token=self.config.blank_token,
@@ -239,7 +242,7 @@ class TTSVoice:
             include_whitespace=self.config.include_whitespace,
             blank_at_start=self.config.blank_at_start,
             blank_at_end=self.config.blank_at_end,
-            blank_between=BlankBetween.TOKENS_AND_WORDS,
+            blank_between=self.config.blank_between,
         )
 
     # ------------------------------------------------------------------

@@ -97,9 +97,20 @@ def test_phoonnx_parse_non_piper_type():
     config["phoneme_type"] = "byt5"
     cfg = VoiceConfig.from_dict(config)
     assert cfg.phoneme_type == PhonemeType.BYT5
-    # true phoonnx configs carry no explicit token keys
-    assert cfg.pad_token is None
-    assert cfg.bos_token is None
+    # phoonnx training ids are built with the default specials but the
+    # written config carries no token keys; the loader restores the
+    # defaults (the reference loads such voices with token=None and drops
+    # bos/eos/blank at inference — a train/infer mismatch, not replicated)
+    assert cfg.pad_token == "_"
+    assert cfg.blank_token == "_"
+    assert cfg.bos_token == "^"
+    assert cfg.eos_token == "$"
+    # explicit keys still win
+    config2 = dict(PHOONNX_CONFIG)
+    config2["phoneme_type"] = "byt5"
+    config2["bos"] = None
+    cfg2 = VoiceConfig.from_dict(config2)
+    assert cfg2.bos_token is None
 
 
 def test_mimic3_parse(tmp_path):
@@ -110,6 +121,27 @@ def test_mimic3_parse(tmp_path):
     assert cfg.blank_between == BlankBetween.WORDS
     assert cfg.phoneme_id_map[" "] == 3
     assert cfg.lang_code == "en"
+
+
+def test_mimic3_include_whitespace_from_external_table(tmp_path):
+    """include_whitespace must consider the EFFECTIVE table: mimic3 maps
+    live in phonemes.txt, not the raw config (the reference keys this off
+    the raw config only and silently drops whitespace ids)."""
+    phonemes_txt = tmp_path / "phonemes.txt"
+    phonemes_txt.write_text("0 _\n1 ^\n2 $\n3 \n4 a\n", encoding="utf-8")
+    cfg = VoiceConfig.from_dict(dict(MIMIC3_CONFIG),
+                                phonemes_txt=str(phonemes_txt))
+    assert cfg.include_whitespace
+
+
+def test_from_dict_honors_caller_overrides():
+    """load()'s lang_code/phoneme_type_str overrides must survive the
+    format branches (the reference reassigns them from the config)."""
+    cfg = VoiceConfig.from_dict(dict(PIPER_CONFIG),
+                                phoneme_type_str="gruut")
+    assert cfg.phoneme_type == PhonemeType.GRUUT
+    cfg2 = VoiceConfig.from_dict(dict(PIPER_CONFIG), lang_code="pt-BR")
+    assert cfg2.lang_code == "pt-BR"
 
 
 def test_mimic3_requires_phonemes_txt():

@@ -54,3 +54,30 @@ def test_sentences_decimal():
 def test_sentences_no_terminator():
     assert sentence_tokenize("no punctuation here") == ["no punctuation here"]
     assert sentence_tokenize("") == []
+
+
+def test_iso639_3_equivalence():
+    """3-letter (terminological AND bibliographic) codes must match their
+    2-letter equivalents — Charsiu/Epitran inventories use them."""
+    from phoonnx_tpu.langtags import tag_distance
+
+    assert tag_distance("en-US", "eng-us") == 0
+    assert tag_distance("es", "spa") == 0
+    assert tag_distance("de", "ger") == 0  # bibliographic
+    assert tag_distance("cs", "cze") == 0
+    assert tag_distance("ja", "jav") == 1000  # Javanese is NOT Japanese
+
+
+def test_charsiu_epitran_lang_resolution():
+    from phoonnx_tpu.phonemizers.mul import (
+        CharsiuPhonemizer,
+        EpitranPhonemizer,
+    )
+
+    assert CharsiuPhonemizer.get_lang("en-US") == "eng-us"
+    assert CharsiuPhonemizer.get_lang("es") == "spa"
+    assert CharsiuPhonemizer.get_lang("hy") == "arm-e"
+    assert EpitranPhonemizer.get_lang("ja") == "jpn-Hrgn"
+    assert EpitranPhonemizer.get_lang("es") == "spa-Latn"
+    assert EpitranPhonemizer.get_lang("ml") == "mal-Mlym"
+    assert EpitranPhonemizer.get_lang("mr") == "mar-Deva"

@@ -154,3 +154,19 @@ def test_compound_parity_mimic3_style():
                 blank_between=ref.BlankBetween(blank_between.value),
             )
             assert got == want
+
+
+def test_missing_word_separator_does_not_crash():
+    """include_whitespace=False + blank_between=WORDS with a word
+    separator absent from the id map: warn and skip instead of KeyError
+    (the reference crashes on every tokenization for such voices)."""
+    id_map = {"_": 0, "^": 1, "$": 2, "a": 4, "b": 5}
+    ids = phonemes_to_ids(
+        ["a", " ", "b"], id_map,
+        include_whitespace=False,
+        blank_between=BlankBetween.WORDS,
+        word_sep_token=" ",
+    )
+    # bos, blank@start, a, b (separator skipped with a warning),
+    # blank@end, eos
+    assert ids == [1, 0, 4, 5, 0, 2]

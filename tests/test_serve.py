@@ -171,6 +171,31 @@ def test_bad_requests(server):
     assert resp.status == 400
 
 
+def test_stream_engine_error_returns_json_500(server, voice,
+                                              monkeypatch):
+    """A streaming-engine failure must surface as a clean JSON 500:
+    the pipeline runs up to the first chunk BEFORE headers go out, so a
+    status line is never written into a chunked body."""
+    def boom(*a, **k):
+        raise NotImplementedError("no streaming on this engine")
+        yield  # pragma: no cover — make it a generator
+
+    monkeypatch.setattr(voice.engine, "synthesize_ids_streaming", boom)
+    resp, data = _request(server, "POST", "/synthesize",
+                          {"text": "abc def", "stream": True})
+    assert resp.status == 500
+    assert "error" in json.loads(data)
+
+
+def test_phonemize_error_returns_json_500(server, voice, monkeypatch):
+    monkeypatch.setattr(
+        voice, "phonemize",
+        lambda text: (_ for _ in ()).throw(RuntimeError("g2p down")))
+    resp, data = _request(server, "POST", "/phonemize", {"text": "abc"})
+    assert resp.status == 500
+    assert "g2p down" in json.loads(data)["error"]
+
+
 def test_multi_voice_server(voice):
     import jax as _jax
 

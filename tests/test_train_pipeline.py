@@ -295,3 +295,51 @@ def test_istft_decoder_train_and_reload(tmp_path):
         rng=jax.random.PRNGKey(2),
     )
     assert np.isfinite(np.asarray(audio)).all()
+
+
+def test_collate_spec_orientation(tmp_path):
+    """Native caches are [T, F]; reference .pt caches are [F, T]. The
+    collate must orient by channel count — a min/max heuristic flips any
+    native clip shorter than F frames (~6 s at 22.05 kHz)."""
+    import numpy as np
+
+    from phoonnx_tpu.train.dataset import BucketedLoader, Utterance
+
+    channels = 65
+    rng = np.random.default_rng(0)
+
+    def make_utt(i, spec):
+        spec_path = tmp_path / f"spec{i}.npy"
+        audio_path = tmp_path / f"audio{i}.npy"
+        np.save(spec_path, spec)
+        np.save(audio_path, rng.normal(size=spec.shape[0] * 4
+                                       if spec.shape[1] == channels
+                                       else spec.shape[1] * 4
+                                       ).astype(np.float32))
+        return Utterance(phoneme_ids=[1, 2, 3],
+                         audio_norm_path=audio_path,
+                         audio_spec_path=spec_path, text="x")
+
+    # one SHORT native [T=20, F=65] cache and one reference [F=65, T=40]
+    native = rng.normal(size=(20, channels)).astype(np.float32)
+    ref_style = rng.normal(size=(channels, 40)).astype(np.float32)
+    loader = BucketedLoader(
+        [make_utt(0, native), make_utt(1, ref_style)],
+        batch_size=2, segment_size_frames=8, hop_length=4,
+        spec_pad_multiple=8, spec_channels=channels,
+    )
+    batch = loader.collate(loader.utterances)
+    assert batch["spec"].shape[2] == channels
+    assert batch["spec_lengths"].tolist() == [20, 40]
+    np.testing.assert_allclose(batch["spec"][0, :20], native)
+    np.testing.assert_allclose(batch["spec"][1, :40], ref_style.T)
+
+    # channel count unknown: the 2^k+1 rule still orients both correctly
+    loader2 = BucketedLoader(
+        [make_utt(0, native), make_utt(1, ref_style)],
+        batch_size=2, segment_size_frames=8, hop_length=4,
+        spec_pad_multiple=8,
+    )
+    batch2 = loader2.collate(loader2.utterances)
+    assert batch2["spec"].shape[2] == channels
+    assert batch2["spec_lengths"].tolist() == [20, 40]

@@ -165,6 +165,37 @@ def test_catalan_numbers_and_dates():
     assert "vuit de març de mil nou-cents noranta-cinc" in out
 
 
+def test_units_case_insensitive_lookup():
+    """The unit pattern matches case-insensitively, so the table lookup
+    must too (the reference crashes with KeyError on '10 KM')."""
+    assert normalize("It is 10 KM away", "en") == \
+        "It is ten kilometers away"
+    assert "degrees celsius" in normalize("water boils at 100 °c", "en")
+
+
+def test_comma_decimal_locales_extended():
+    """it/nl/gl/ca are comma-decimal; the separator table must cover
+    every locale with a number backend, else '3,14' parses as 314."""
+    assert "tres coma un quatre" in normalize("són 3,14 metres", "ca")
+    assert "dous coma cinco" in normalize("custa 2,5 euros", "gl")
+    out_it = normalize("sono 3,5 metri", "it")
+    assert "trecentocinque" not in out_it.replace(" ", "")
+    assert "virgola" in out_it
+
+
+def test_sentence_tokenizer_boundaries():
+    from phoonnx_tpu.sentences import sentence_tokenize
+
+    assert sentence_tokenize("I said no. He left.") == \
+        ["I said no.", "He left."]
+    assert sentence_tokenize("This is plan B. Next we go.") == \
+        ["This is plan B.", "Next we go."]
+    assert sentence_tokenize("John J. Smith spoke.") == \
+        ["John J. Smith spoke."]
+    assert sentence_tokenize("See no. 5 for details.") == \
+        ["See no. 5 for details."]
+
+
 def test_rbnf_fallback_chain():
     """Languages without a built-in backend go through unicode-rbnf when
     installed (reference util.py:659-663), else keep the numeral."""
