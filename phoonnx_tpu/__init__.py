@@ -19,12 +19,18 @@ from phoonnx_tpu.version import __version__  # noqa: F401
 __all__ = [
     "__version__",
     "TTSVoice",
+    "AudioChunk",
+    "PhoneticSpellings",
     "SynthesisConfig",
     "VoiceConfig",
     "PhonemeType",
     "Alphabet",
     "get_phonemizer",
 ]
+
+
+def __dir__():
+    return sorted(set(globals()) | set(__all__))
 
 
 def __getattr__(name):

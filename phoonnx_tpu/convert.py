@@ -50,10 +50,26 @@ def main(model, config_path, input_wav, output, from_speaker, to_speaker,
     from phoonnx_tpu.voice import TTSVoice
 
     voice = TTSVoice.load(model, config_path)
+    n_speakers = voice.config.num_speakers
+    for name, sid in (("--from-speaker", from_speaker),
+                      ("--to-speaker", to_speaker)):
+        if not 0 <= sid < n_speakers:
+            # jnp.take clamps out-of-bounds ids under jit, which would
+            # silently convert to the wrong speaker
+            raise click.ClickException(
+                f"{name} {sid} out of range: voice has {n_speakers} "
+                f"speakers (0..{n_speakers - 1})"
+            )
     audio = _read_wav(input_wav, voice.config.sample_rate)
     converted = voice.voice_conversion(audio, from_speaker, to_speaker,
                                        seed=seed)
-    pcm = np.clip(converted * 32767.0, -32767.0, 32767.0).astype(np.int16)
+    from phoonnx_tpu.voice import AudioChunk
+
+    pcm = AudioChunk(
+        sample_rate=voice.config.sample_rate, sample_width=2,
+        sample_channels=1,
+        audio_float_array=converted.astype(np.float32),
+    ).audio_int16_array
     with wave.open(output, "wb") as f:
         f.setnchannels(1)
         f.setsampwidth(2)

@@ -61,7 +61,18 @@ class OnnxFallbackEngine:
         # the reference filters feeds to the graph's declared inputs
         # (voice.py:369-372); unknown extras would be rejected
         feeds = {k: v for k, v in feeds.items() if k in self.input_names}
-        audio = self.executor.run(feeds)[0]
+        missing = self.input_names - feeds.keys()
+        if missing:
+            # fail loudly: unfed inputs would surface as an opaque error
+            # deep in an op handler, or as silent zeros for ops that
+            # treat None as optional (LSTM/GRU initial state)
+            raise ValueError(
+                f"graph requires inputs {sorted(missing)} that this "
+                "engine does not provide (expected a piper/phoonnx-style "
+                "input/input_lengths/scales[/sid/langid] signature)"
+            )
+        outputs = ([self.output_name] if self.output_name else None)
+        audio = self.executor.run(feeds, outputs=outputs)[0]
         audio = np.asarray(audio, np.float32)
         return audio.reshape(-1)  # [1, 1, T] / [1, T] -> [T]
 
@@ -100,6 +111,12 @@ class OnnxFallbackEngine:
         ``total_upsample`` is 1 for this engine, so the returned lengths
         are already sample counts (TTSVoice multiplies by upsample).
         """
+        if seed is not None:
+            LOG.warning(
+                "seed is not supported by the ONNX fallback engine "
+                "(graph-internal RandomNormalLike nodes draw their own "
+                "noise); output will not be reproducible"
+            )
         wavs = []
         for i, ids in enumerate(batch_ids):
             sid = speaker_ids[i] if speaker_ids is not None else 0

@@ -8,6 +8,7 @@ aggregation with percentiles, and a context manager around
 
 import contextlib
 import logging
+import math
 import time
 from dataclasses import dataclass, field
 from typing import Dict, Iterator, List
@@ -27,11 +28,15 @@ class SynthesisStats:
         self.audio_seconds.append(audio_s)
 
     def _percentile(self, values: List[float], q: float) -> float:
+        """Nearest-rank percentile: smallest value with at least q of the
+        sample at or below it (int(q*n) is one rank too high whenever
+        q*n lands on an integer — p90 of 10 samples must be the 9th
+        value, not the maximum)."""
         if not values:
             return 0.0
         ordered = sorted(values)
-        idx = min(int(q * len(ordered)), len(ordered) - 1)
-        return ordered[idx]
+        rank = max(math.ceil(q * len(ordered)), 1)
+        return ordered[min(rank - 1, len(ordered) - 1)]
 
     @property
     def rtf(self) -> float:

@@ -76,12 +76,16 @@ def main(model, config_path, text, output, speaker_id, length_scale,
     start = time.perf_counter()
     with wave.open(output, "wb") as wav_file:
         if stream:
+            # header params are known upfront — setting them before the
+            # first chunk means zero-chunk inputs or pre-first-chunk
+            # engine errors don't die in Wave_write.close() with a
+            # misleading "# channels not specified"
+            wav_file.setframerate(voice.config.sample_rate)
+            wav_file.setsampwidth(2)
+            wav_file.setnchannels(1)
             first = True
             for chunk in voice.synthesize_streaming(text, syn_config):
                 if first:
-                    wav_file.setframerate(chunk.sample_rate)
-                    wav_file.setsampwidth(chunk.sample_width)
-                    wav_file.setnchannels(chunk.sample_channels)
                     LOG.info("first audio after %.3fs",
                              time.perf_counter() - start)
                     first = False

@@ -365,16 +365,18 @@ class TTSVoice:
         silence_bytes = bytes(
             int(self.config.sample_rate * sentence_silence * 2)
         )
+        if set_wav_format:
+            # upfront, not from the first chunk: zero-chunk inputs would
+            # otherwise crash Wave_write.close() with "# channels not
+            # specified" and leave a corrupt file
+            wav_file.setframerate(self.config.sample_rate)
+            wav_file.setsampwidth(2)
+            wav_file.setnchannels(1)
         first_chunk = True
         for chunk in self.synthesize(text, syn_config=syn_config):
-            if first_chunk:
-                if set_wav_format:
-                    wav_file.setframerate(chunk.sample_rate)
-                    wav_file.setsampwidth(chunk.sample_width)
-                    wav_file.setnchannels(chunk.sample_channels)
-                first_chunk = False
-            else:
+            if not first_chunk:
                 wav_file.writeframes(silence_bytes)
+            first_chunk = False
             wav_file.writeframes(chunk.audio_int16_bytes)
 
     def synthesize_batch(

@@ -143,6 +143,15 @@ def test_cli_voice_conversion(tmp_path):
     assert bad.exit_code != 0
     assert "resample" in bad.output
 
+    # out-of-range speaker ids are rejected (jnp.take would clamp them
+    # silently and convert to the wrong speaker)
+    bad = CliRunner().invoke(convert_main, [
+        "-m", str(model_path), "-i", str(src), "-o", str(out),
+        "--from-speaker", "0", "--to-speaker", "999",
+    ])
+    assert bad.exit_code != 0
+    assert "out of range" in bad.output
+
 
 def test_cli_stdin_input(voice_files, tmp_path):
     out = tmp_path / "stdin.wav"
@@ -151,3 +160,18 @@ def test_cli_stdin_input(voice_files, tmp_path):
     ], input="[[ab cd]]")
     assert result.exit_code == 0, result.output
     _check_wav(out)
+
+
+def test_cli_synthesize_empty_text_writes_valid_wav(voice_files, tmp_path):
+    """Zero-chunk input must not crash Wave_write.close() — headers are
+    set upfront from the voice config."""
+    from phoonnx_tpu.synthesize import main as synthesize_main
+
+    out = tmp_path / "empty.wav"
+    result = CliRunner().invoke(synthesize_main, [
+        "-m", str(voice_files), "-o", str(out), "-t", "   ",
+    ])
+    assert result.exit_code == 0, result.output
+    with wave.open(str(out), "rb") as f:
+        assert f.getnchannels() == 1
+        assert f.getnframes() == 0
