@@ -22,6 +22,14 @@ import numpy as np
 
 from phoonnx_tpu.onnx.builder import GraphBuilder
 
+
+def _hann(win_size: int) -> np.ndarray:
+    """Periodic Hann (same as ops/stft.hann_window, kept numpy-only here
+    so this module never pulls in jax)."""
+    n = np.arange(win_size)
+    return (0.5 - 0.5 * np.cos(2.0 * math.pi * n / win_size)).astype(
+        np.float32)
+
 F32 = 1
 I64 = 7
 
@@ -452,8 +460,112 @@ class VitsGraph:
                 acc = out if acc is None else b.add(acc, out)
             x = b.div(acc, b.f32(float(num_kernels)))
         x = b.leaky_relu(x, 0.01)
+        if hp.decoder_type != "hifigan":
+            return self.istft_heads(x)
         x = self.conv(x, "dec.conv_post", padding=3)
         return b.tanh(x)
+
+    # -- iSTFT decoder family (istft_decoder.py:72-132) -------------------
+
+    def istft_heads(self, x):
+        """Spectral heads + per-band iSTFT (+ PQMF synthesis bank)."""
+        b = self.b
+        hp = self.hp
+        n_fft, hop = hp.istft_n_fft, hp.istft_hop
+        n_bands = hp.istft_bands
+        n_freqs = n_fft // 2 + 1
+
+        mag = b.exp(b.n("Clip", [self.conv(x, "dec.conv_mag", padding=3),
+                                 b.f32(-12.0), b.f32(6.0)]))
+        phase = b.mul(
+            b.f32(math.pi),
+            b.n("Sin", [self.conv(x, "dec.conv_phase", padding=3)]),
+        )
+        # one trailing silent frame so output is exactly T*hop samples
+        mag = b.pad(mag, [0, 0, 0, 0, 0, 1])
+        phase = b.pad(phase, [0, 0, 0, 0, 0, 1])
+
+        if n_bands == 1:
+            return self.istft(mag, phase, n_fft, hop)
+
+        subbands = []
+        for k in range(n_bands):
+            mag_k = b.slice_(mag, [k * n_freqs], [(k + 1) * n_freqs], [1])
+            phase_k = b.slice_(phase, [k * n_freqs], [(k + 1) * n_freqs],
+                               [1])
+            subbands.append(self.istft(mag_k, phase_k, n_fft, hop))
+        sub = b.concat(subbands, axis=1)  # [B, bands, T*hop]
+
+        # PQMF synthesis: expand-by-N + band filters + sum as ONE
+        # transposed conv (ops/pqmf.py:81-106). lax correlation with
+        # padding (lo, hi) == ConvTranspose with the time-flipped kernel
+        # and pads (K-1-lo, K-1-hi).
+        from phoonnx_tpu.ops.pqmf import pqmf_filters
+
+        _, synthesis = pqmf_filters(n_bands)
+        length = synthesis.shape[1]
+        w = synthesis[:, ::-1][:, None, :]  # [I=bands, O=1, K] flipped
+        w_name = b.const(np.ascontiguousarray(w, np.float32), hint="pqmf")
+        pad_lo = length // 2
+        pad_hi = length + n_bands - 2 - pad_lo
+        audio = b.n(
+            "ConvTranspose", [sub, w_name], strides=[n_bands],
+            pads=[length - 1 - pad_lo, length - 1 - pad_hi],
+        )
+        return b.mul(audio, b.f32(float(n_bands)))
+
+    def istft(self, mag, phase, n_fft: int, hop: int):
+        """(mag, phase) [B, F, T] -> waveform [B, 1, (T-1)*hop].
+
+        Inverse rFFT as two fixed-matrix MatMuls, overlap-add as a
+        ConvTranspose with a diagonal window kernel, exact window-envelope
+        normalisation — the ONNX mirror of ops/istft.py:29-72.
+        """
+        b = self.b
+        n_freqs = n_fft // 2 + 1
+        # irfft bases: frames[t,n] = sum_f w_f/N (re cos - im sin)
+        f = np.arange(n_freqs)[:, None]
+        n = np.arange(n_fft)[None, :]
+        weight = np.where((f == 0) | (f == n_fft // 2), 1.0, 2.0) / n_fft
+        ang = 2.0 * np.pi * f * n / n_fft
+        cos_mat = (weight * np.cos(ang)).astype(np.float32)
+        sin_mat = (-weight * np.sin(ang)).astype(np.float32)
+
+        mag_t = b.transpose(mag, (0, 2, 1))  # [B, T, F]
+        phase_t = b.transpose(phase, (0, 2, 1))
+        real = b.mul(mag_t, b.n("Cos", [phase_t]))
+        imag = b.mul(mag_t, b.n("Sin", [phase_t]))
+        frames = b.add(
+            b.matmul(real, b.const(cos_mat, hint="idft_cos")),
+            b.matmul(imag, b.const(sin_mat, hint="idft_sin")),
+        )  # [B, T, n_fft]
+        frames = b.transpose(frames, (0, 2, 1))  # [B, n_fft, T]
+
+        window = np.asarray(_hann(n_fft), np.float32)
+        ola = np.zeros((n_fft, 1, n_fft), np.float32)
+        ola[np.arange(n_fft), 0, np.arange(n_fft)] = window
+        audio = b.n(
+            "ConvTranspose", [frames, b.const(ola, hint="ola")],
+            strides=[hop], pads=[0, 0],
+        )  # [B, 1, (T-1)*hop + n_fft]
+
+        ones = b.add(
+            b.mul(b.slice_(frames, [0], [1], [1]), b.f32(0.0)), b.f32(1.0)
+        )  # [B, 1, T]
+        env = b.n(
+            "ConvTranspose",
+            [ones, b.const((window ** 2)[None, None, :], hint="olaenv")],
+            strides=[hop], pads=[0, 0],
+        )
+        audio = b.div(audio, b.n("Max", [env, b.f32(1e-9)]))
+
+        # center crop: [pad : pad + (T-1)*hop], T dynamic
+        pad = n_fft // 2
+        t_frames = b.dim(frames, 2)  # [1] i64
+        end = b.add(
+            b.mul(b.sub(t_frames, b.i64([1])), b.i64([hop])), b.i64([pad])
+        )
+        return b.dyn_slice(audio, b.i64([pad]), end, [2])
 
     def resblock(self, x, prefix, kernel, dilations):
         b = self.b

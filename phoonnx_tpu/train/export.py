@@ -135,12 +135,6 @@ def run_export(
     if alphabet == "ipa" and phoneme_type == "espeak":
         metadata["comment"] = "piper"
 
-    if executable_graph and hp.decoder_type != "hifigan":
-        LOG.warning(
-            "executable ONNX graphs support the hifigan decoder only; "
-            "writing a weights-only container (loads in phoonnx_tpu)"
-        )
-        executable_graph = False
     if executable_graph:
         # Full opset-15 inference graph: runs under onnxruntime (piper
         # ecosystem) and under phoonnx_tpu's executor; the initializers

@@ -115,3 +115,45 @@ def test_graph_reloads_as_weights(tmp_path):
         np.asarray(rebuilt["enc_p"]["emb"]["weight"]),
         np.asarray(params["enc_p"]["emb"]["weight"]),
     )
+
+
+def _istft_hp(bands):
+    from phoonnx_tpu.models.vits.model import VitsHParams
+
+    return VitsHParams.preset(
+        "micro", n_vocab=SMALL_HP.n_vocab, decoder_type="istft",
+        upsample_rates=(4,), upsample_kernel_sizes=(8,),
+        istft_n_fft=16, istft_hop=4 // bands if bands == 1 else 2,
+        istft_bands=bands,
+    )
+
+
+@pytest.mark.parametrize("bands", [1, 2])
+def test_graph_istft_decoder_matches_jax(bands, tmp_path):
+    """iSTFT and MB-iSTFT voices export as EXECUTABLE graphs too: the
+    inverse rFFT is two fixed MatMuls, overlap-add and the PQMF synthesis
+    bank are ConvTransposes — all opset-15 ops."""
+    hp = _istft_hp(bands)
+    params = random_params(jax.random.PRNGKey(3), hp)
+    ids = np.array([[1, 5, 9, 3, 7, 2, 11, 13]], np.int64)
+    feeds = {
+        "input": ids,
+        "input_lengths": np.array([8], np.int64),
+        "scales": np.array([0.667, 1.0, 0.8], np.float32),
+    }
+    audio = _roundtrip(hp, params, feeds, tmp_path)
+    assert audio.ndim == 3 and audio.shape[1] == 1
+    assert audio.shape[-1] % hp.total_upsample == 0
+
+    frames = audio.shape[-1] // hp.total_upsample
+    jax_audio, y_len, _ = infer(
+        params, hp, jnp.asarray(ids.astype(np.int32)), jnp.asarray([8]),
+        max_frames=frames,
+        noise_scale=jnp.float32(0.667), length_scale=jnp.float32(1.0),
+        noise_w=jnp.float32(0.8),
+        dp_noise=jnp.zeros((1, 8, 2)),
+        prior_noise=jnp.zeros((1, frames, hp.inter_channels)),
+    )
+    n = int(y_len[0]) * hp.total_upsample
+    deviation = np.abs(audio[0, 0, :n] - np.asarray(jax_audio)[0, :n]).max()
+    assert deviation < 1e-4, deviation
