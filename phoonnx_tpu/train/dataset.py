@@ -129,7 +129,10 @@ class BucketedLoader:
             return len(self.utterances) // self.batch_size
         return (len(self.utterances) + self.batch_size - 1) // self.batch_size
 
-    def epoch(self) -> Iterator[Dict[str, np.ndarray]]:
+    def epoch(self, prefetch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield collated batches; ``prefetch`` > 0 runs the np.load +
+        collate work in a background thread (bounded queue) so host IO
+        overlaps the device step that JAX dispatched asynchronously."""
         order = list(range(len(self.utterances)))
         self.rng.shuffle(order)
         # sort within shuffled windows so batches have similar lengths
@@ -139,14 +142,44 @@ class BucketedLoader:
             chunk.sort(key=lambda i: len(self.utterances[i].phoneme_ids))
             order[start:start + window] = chunk
 
-        for start in range(0, len(order), self.batch_size):
-            indices = order[start:start + self.batch_size]
-            if len(indices) < self.batch_size:
-                if self.drop_last:
-                    continue
-                # repeat entries so batch shape stays static
-                indices = (indices * self.batch_size)[: self.batch_size]
-            yield self.collate([self.utterances[i] for i in indices])
+        def batches() -> Iterator[Dict[str, np.ndarray]]:
+            for start in range(0, len(order), self.batch_size):
+                indices = order[start:start + self.batch_size]
+                if len(indices) < self.batch_size:
+                    if self.drop_last:
+                        continue
+                    # repeat entries so batch shape stays static
+                    indices = (indices * self.batch_size)[: self.batch_size]
+                yield self.collate([self.utterances[i] for i in indices])
+
+        if prefetch <= 0:
+            yield from batches()
+            return
+
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        sentinel = object()
+
+        def producer() -> None:
+            try:
+                for batch in batches():
+                    q.put(batch)
+                q.put(sentinel)
+            except BaseException as exc:  # surface in the consumer
+                q.put(exc)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        thread.join()
 
     def _orient_spec(self, spec: np.ndarray) -> np.ndarray:
         """Return the spectrogram as [T, C].

@@ -158,11 +158,15 @@ def run_training(
     rng = jax.random.PRNGKey(seed + 1)
 
     profiling = False
+    # host-side step counter: int(state.step) per iteration would force a
+    # device sync every step, stalling JAX's async dispatch (the loader
+    # prefetch below would then overlap nothing). Synced once here for
+    # checkpoint resume.
+    step = int(state.step)
     for epoch in range(max_epochs):
         epoch_start = time.time()
-        for batch in train_loader.epoch():
+        for batch in train_loader.epoch(prefetch=2):
             rng, sub = jax.random.split(rng)
-            step = int(state.step)
             if profile_dir is not None and not profiling and step >= 2:
                 # trace after the compile step so the trace is pure
                 # device time (view with xprof / tensorboard)
@@ -170,7 +174,7 @@ def run_training(
                 profiling = True
                 profile_end = step + profile_steps
             state, metrics = step_fn(state, batch, sub)
-            step = int(state.step)
+            step += 1
             if profiling and step >= profile_end:
                 jax.block_until_ready(metrics)
                 jax.profiler.stop_trace()

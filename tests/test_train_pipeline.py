@@ -343,3 +343,33 @@ def test_collate_spec_orientation(tmp_path):
     batch2 = loader2.collate(loader2.utterances)
     assert batch2["spec"].shape[2] == channels
     assert batch2["spec_lengths"].tolist() == [20, 40]
+
+
+def test_loader_prefetch_equivalence(tmp_path):
+    """epoch(prefetch=N) must yield the same batches as the synchronous
+    path (same shuffle seed), just produced by a background thread."""
+    import numpy as np
+
+    from phoonnx_tpu.train.dataset import BucketedLoader, Utterance
+
+    utts = []
+    for i in range(7):
+        spec = np.random.randn(10 + i, 9).astype(np.float32)
+        sp, ap = tmp_path / f"s{i}.npy", tmp_path / f"a{i}.npy"
+        np.save(sp, spec)
+        np.save(ap, np.random.randn(spec.shape[0] * 4).astype(np.float32))
+        utts.append(Utterance(phoneme_ids=[1, 2], audio_norm_path=ap,
+                              audio_spec_path=sp))
+
+    def run(prefetch):
+        loader = BucketedLoader(
+            utts, batch_size=2, segment_size_frames=4, hop_length=4,
+            spec_pad_multiple=4, spec_channels=9,
+        )
+        return list(loader.epoch(prefetch=prefetch))
+
+    plain, threaded = run(0), run(2)
+    assert len(plain) == len(threaded)
+    for a, b in zip(plain, threaded):
+        for key in a:
+            np.testing.assert_array_equal(a[key], b[key])
