@@ -267,14 +267,16 @@ def train_forward(params, hp: VitsHParams, rng: Array,
     if hp.use_sdp:
         e_q = jax.random.normal(rng_sdp, (b, t_x, 2), spec.dtype)
         l_length = duration.sdp_nll(params["dp"], x, x_mask, w, e_q, g=g)
-        l_length = l_length / jnp.sum(x_mask)
+        # exact token count: a bf16 mask sum quantizes above 256
+        l_length = l_length / jnp.sum(x_mask.astype(jnp.float32))
     else:
         logw_ = jnp.log(w + 1e-6) * x_mask
         logw = duration.duration_predictor(
             params["dp"], x, x_mask, g=g, p_dropout=0.5, rng=rng_drop,
             deterministic=deterministic,
         )
-        l_length = jnp.sum(jnp.square(logw - logw_), axis=(1, 2)) / jnp.sum(x_mask)
+        l_length = (jnp.sum(jnp.square(logw - logw_), axis=(1, 2))
+                    / jnp.sum(x_mask.astype(jnp.float32)))
 
     # Expand prior over the alignment: [B, T_y, T_x] @ [B, T_x, C]
     m_p_exp = jnp.einsum("byx,bxc->byc", attn, m_p)
@@ -333,6 +335,10 @@ def infer(params, hp: VitsHParams,
     [B, max_frames, C]) for bit-exact verification against other runtimes;
     otherwise it is drawn from ``rng``.
     """
+    if rng is None and (dp_noise is None or prior_noise is None):
+        raise ValueError(
+            "pass rng= or inject dp_noise AND prior_noise"
+        )
     b, t_x = x_ids.shape
     dtype = params["enc_p"]["emb"]["weight"].dtype
 
@@ -391,6 +397,8 @@ def voice_conversion(params, hp: VitsHParams, spec: Array,
     """
     if hp.n_speakers <= 1:
         raise ValueError("voice conversion requires a multi-speaker model")
+    if rng is None and noise is None:
+        raise ValueError("pass rng= or inject noise")
     b, t_y = spec.shape[:2]
     y_mask = nn.sequence_mask(spec_lengths, t_y)[..., None].astype(spec.dtype)
     g_src = nn.embedding(params["emb_g"], sid_src)[:, None, :]
@@ -421,6 +429,8 @@ def infer_durations(params, hp: VitsHParams, x_ids: Array, x_lengths: Array,
     bucket from sum(w_ceil) and dispatches phase 2 (:func:`infer_latents`
     + the decoder).
     """
+    if rng is None and dp_noise is None:
+        raise ValueError("pass rng= or inject dp_noise")
     b, t_x = x_ids.shape
     dtype = params["enc_p"]["emb"]["weight"].dtype
     x_mask = nn.sequence_mask(x_lengths, t_x)[..., None].astype(dtype)
@@ -455,6 +465,8 @@ def infer_latents(params, hp: VitsHParams, m_p: Array, logs_p: Array,
     splitting here lets the decoder, which holds ~all the FLOPs after the
     256x upsampling, run incrementally.
     """
+    if rng is None and prior_noise is None:
+        raise ValueError("pass rng= or inject prior_noise")
     dtype = m_p.dtype
     y_lengths = jnp.maximum(jnp.sum(w_ceil, axis=-1), 1.0).astype(jnp.int32)
     y_lengths = jnp.minimum(y_lengths, max_frames)

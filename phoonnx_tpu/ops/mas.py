@@ -47,7 +47,11 @@ def maximum_path(neg_cent: Array, attn_mask: Array,
         sharded (see train/step.py).
     """
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "scan"
+        # pallas only for single-device TPU programs: pallas_call is
+        # opaque to the SPMD partitioner, so any multi-device process
+        # (where the step may be sharded) stays on the scan DP
+        impl = ("pallas" if jax.default_backend() == "tpu"
+                and jax.device_count() == 1 else "scan")
     if impl == "pallas":
         from phoonnx_tpu.ops.mas_pallas import maximum_path_pallas
 
@@ -58,8 +62,12 @@ def maximum_path(neg_cent: Array, attn_mask: Array,
     if impl != "scan":
         raise ValueError(f"unknown MAS impl: {impl!r}")
     b, t_y, t_x = neg_cent.shape
-    y_lens = jnp.maximum(jnp.sum(attn_mask[:, :, 0], axis=1), 1).astype(jnp.int32)
-    x_lens = jnp.maximum(jnp.sum(attn_mask[:, 0, :], axis=1), 1).astype(jnp.int32)
+    # exact counting: summing a bf16 mask quantizes above 256 ones
+    # (256+1 -> 256), shifting y_lens/x_lens for long utterances
+    y_lens = jnp.maximum(
+        jnp.sum(attn_mask[:, :, 0].astype(jnp.int32), axis=1), 1)
+    x_lens = jnp.maximum(
+        jnp.sum(attn_mask[:, 0, :].astype(jnp.int32), axis=1), 1)
 
     value = jnp.where(attn_mask > 0, neg_cent, 0.0).astype(jnp.float32)
     x_idx = jnp.arange(t_x)[None, :]  # [1, T_x]

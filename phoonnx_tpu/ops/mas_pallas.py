@@ -72,12 +72,13 @@ def maximum_path_pallas(neg_cent: Array, attn_mask: Array,
                         interpret: bool = False) -> Array:
     """Pallas MAS; neg_cent/attn_mask [B, T_spec, T_text]."""
     b, t_y, t_x = neg_cent.shape
+    # int32 sums: a bf16 mask quantizes counts above 256 (see ops/mas.py)
     y_lens = jnp.maximum(
-        jnp.sum(attn_mask[:, :, 0], axis=1), 1
-    ).astype(jnp.int32)
+        jnp.sum(attn_mask[:, :, 0].astype(jnp.int32), axis=1), 1
+    )
     x_lens = jnp.maximum(
-        jnp.sum(attn_mask[:, 0, :], axis=1), 1
-    ).astype(jnp.int32)
+        jnp.sum(attn_mask[:, 0, :].astype(jnp.int32), axis=1), 1
+    )
     value = jnp.where(attn_mask > 0, neg_cent, 0.0).astype(jnp.float32)
 
     path = pl.pallas_call(

@@ -67,9 +67,14 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     )
     chain = []
     if cfg.grad_clip is not None:
-        chain.append(optax.clip(cfg.grad_clip))
+        # global-norm clipping (Lightning gradient_clip_val semantics —
+        # element-wise optax.clip would change the update DIRECTION)
+        chain.append(optax.clip_by_global_norm(cfg.grad_clip))
     chain.append(
-        optax.adamw(schedule, b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps)
+        optax.adamw(schedule, b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps,
+                    # torch.optim.AdamW's default (lightning.py:309-321
+                    # passes none) — optax defaults to 1e-4, 100x weaker
+                    weight_decay=0.01)
     )
     return optax.chain(*chain)
 
@@ -100,12 +105,17 @@ def _mel(y: Array, hp: VitsHParams) -> Array:
 
 
 def train_step(state: TrainState, batch: Dict[str, Array], rng: Array,
-               hp: VitsHParams, cfg: TrainConfig
+               hp: VitsHParams, cfg: TrainConfig,
+               eval_mode: bool = False,
                ) -> Tuple[TrainState, Dict[str, Array]]:
     """One fused G+D update.
 
     batch: phoneme_ids [B,T_x] int32, phoneme_lengths [B], spec [B,T_y,C],
     spec_lengths [B], audio [B, N] (N >= T_y*hop), sid [B] (optional).
+
+    ``eval_mode=True`` (static) runs the losses with dropout disabled and
+    returns the state unchanged — validation semantics (the reference
+    validates under Lightning eval mode, lightning.py:282-306).
     """
     optimizer = make_optimizer(cfg)
     segment_samples = hp.segment_size * hp.hop_length
@@ -136,6 +146,7 @@ def train_step(state: TrainState, batch: Dict[str, Array], rng: Array,
             cast_batch["phoneme_ids"], cast_batch["phoneme_lengths"],
             cast_batch["spec"], cast_batch["spec_lengths"],
             sid=cast_batch.get("sid"),
+            deterministic=eval_mode,
             mas_impl=mas_impl,
         )
 
@@ -153,7 +164,17 @@ def train_step(state: TrainState, batch: Dict[str, Array], rng: Array,
 
         # losses in f32 regardless of the compute dtype
         mel_hat = _mel(y_hat.astype(jnp.float32), hp)
-        mel_real = _mel(y.astype(jnp.float32), hp)
+        # the mel TARGET comes from the full-utterance spectrogram, frame
+        # -sliced (lightning.py:216-228: slice(spec_to_mel(spec))) — mel
+        # of the sliced waveform would reflect-pad ~1.5 frames at each
+        # segment edge with mirrored instead of true context
+        mel_full = stft.spec_to_mel(
+            batch["spec"].astype(jnp.float32), hp.sample_rate,
+            hp.filter_length, hp.mel_channels,
+        )
+        mel_real = vits_model._slice_segments(
+            mel_full, out["ids_slice"], hp.segment_size
+        )
         loss_mel = jnp.mean(jnp.abs(mel_real - mel_hat)) * cfg.c_mel
 
         loss_kl = losses.kl_loss(
@@ -183,9 +204,13 @@ def train_step(state: TrainState, batch: Dict[str, Array], rng: Array,
         }
         return total, aux
 
-    (loss_g, aux), grads_g = jax.value_and_grad(
-        generator_loss_fn, has_aux=True
-    )(state.params_g, state.params_d)
+    if eval_mode:
+        _, aux = generator_loss_fn(state.params_g, state.params_d)
+        grads_g = None
+    else:
+        (_, aux), grads_g = jax.value_and_grad(
+            generator_loss_fn, has_aux=True
+        )(state.params_g, state.params_d)
 
     def discriminator_loss_fn(params_d):
         y_hat = jax.lax.stop_gradient(aux["y_hat"]).astype(compute_dtype)
@@ -197,14 +222,13 @@ def train_step(state: TrainState, batch: Dict[str, Array], rng: Array,
             _cast(y_d_rs, jnp.float32), _cast(y_d_gs, jnp.float32))
         return loss_d
 
-    loss_d, grads_d = jax.value_and_grad(discriminator_loss_fn)(
-        state.params_d
-    )
-
-    updates_g, opt_g = optimizer.update(grads_g, state.opt_g, state.params_g)
-    params_g = optax.apply_updates(state.params_g, updates_g)
-    updates_d, opt_d = optimizer.update(grads_d, state.opt_d, state.params_d)
-    params_d = optax.apply_updates(state.params_d, updates_d)
+    if eval_mode:
+        loss_d = discriminator_loss_fn(state.params_d)
+        grads_d = None
+    else:
+        loss_d, grads_d = jax.value_and_grad(discriminator_loss_fn)(
+            state.params_d
+        )
 
     metrics = {
         "loss_gen_all": aux["loss_gen_all"],
@@ -214,6 +238,14 @@ def train_step(state: TrainState, batch: Dict[str, Array], rng: Array,
         "loss_dur": aux["loss_dur"],
         "loss_fm": aux["loss_fm"],
     }
+    if eval_mode:
+        return state, metrics
+
+    updates_g, opt_g = optimizer.update(grads_g, state.opt_g, state.params_g)
+    params_g = optax.apply_updates(state.params_g, updates_g)
+    updates_d, opt_d = optimizer.update(grads_d, state.opt_d, state.params_d)
+    params_d = optax.apply_updates(state.params_d, updates_d)
+
     new_state = TrainState(
         params_g=params_g, params_d=params_d,
         opt_g=opt_g, opt_d=opt_d, step=state.step + 1,

@@ -57,7 +57,8 @@ def evaluate(state, loader: BucketedLoader, rng, hp, cfg,
     forever (~28 ms/op on the axon tunnel).
     """
     if step_fn is None:
-        step_fn = jax.jit(partial(train_step, hp=hp, cfg=cfg))
+        step_fn = jax.jit(partial(train_step, hp=hp, cfg=cfg,
+                                  eval_mode=True))
     total, count = 0.0, 0
     for i, batch in enumerate(loader.epoch()):
         if i >= max_batches:
@@ -154,7 +155,10 @@ def run_training(
     step_fn = jax.jit(partial(train_step, hp=hp, cfg=cfg),
                       donate_argnums=(0,))
     # validation step: no donation (state is reused), cached across epochs
-    eval_fn = jax.jit(partial(train_step, hp=hp, cfg=cfg))
+    # eval: dropout off, no optimizer update (Lightning eval-mode
+    # semantics), state reused across batches so no donation
+    eval_fn = jax.jit(partial(train_step, hp=hp, cfg=cfg,
+                              eval_mode=True))
     rng = jax.random.PRNGKey(seed + 1)
 
     profiling = False

@@ -233,3 +233,26 @@ def test_generate_path_exact_in_bfloat16():
         # and each token gets exactly its duration in frames
         np.testing.assert_array_equal(path[b].sum(axis=0),
                                       durations[b])
+
+
+def test_mas_exact_lengths_with_bf16_mask():
+    """attn_mask arrives in bf16 under mixed precision; length counting
+    must stay exact past 256 frames (bf16 sums quantize: 257 ones -> 256),
+    or MAS aligns/backtracks from the wrong frame."""
+    import jax.numpy as jnp
+
+    from phoonnx_tpu.ops.mas import maximum_path
+
+    rng = np.random.default_rng(0)
+    t_y, t_x = 300, 24  # > 256 frames
+    neg_cent = rng.standard_normal((1, t_y, t_x)).astype(np.float32)
+    mask_f32 = np.ones((1, t_y, t_x), np.float32)
+    path_f32 = np.asarray(maximum_path(jnp.asarray(neg_cent),
+                                       jnp.asarray(mask_f32)))
+    path_bf16 = np.asarray(maximum_path(
+        jnp.asarray(neg_cent, jnp.bfloat16).astype(jnp.float32),
+        jnp.asarray(mask_f32, jnp.bfloat16),
+    ))
+    # full-length alignment: every one of the 300 frames gets a token
+    assert path_bf16.sum() == t_y
+    np.testing.assert_array_equal(path_bf16, path_f32)

@@ -171,3 +171,26 @@ def test_tp_mesh_4x2(cfg):
     ffn_w = new_state.params_g["enc_p"]["encoder"]["layers"][0]["ffn"][
         "conv_1"]["weight"]
     assert not ffn_w.sharding.is_fully_replicated
+
+
+def test_eval_mode_no_update_no_dropout(cfg):
+    """eval_mode: metrics computed with dropout off, state unchanged, and
+    deterministic across identical calls."""
+    state = init_train_state(jax.random.PRNGKey(0), TRAIN_HP, cfg)
+    batch = make_batch()
+    eval_fn = jax.jit(
+        lambda s, b, r: train_step(s, b, r, hp=TRAIN_HP, cfg=cfg,
+                                   eval_mode=True)
+    )
+    new_state, metrics = eval_fn(state, batch, jax.random.PRNGKey(5))
+    assert np.isfinite(float(metrics["loss_gen_all"]))
+    # params unchanged, step not advanced
+    np.testing.assert_array_equal(
+        np.asarray(new_state.params_g["enc_p"]["emb"]["weight"]),
+        np.asarray(state.params_g["enc_p"]["emb"]["weight"]),
+    )
+    assert int(new_state.step) == int(state.step)
+    # dropout is off -> same rng gives bit-identical loss; a different
+    # rng only moves the stochastic model inputs (sdp/slice/posterior)
+    _, metrics2 = eval_fn(state, batch, jax.random.PRNGKey(5))
+    assert float(metrics2["loss_gen_all"]) == float(metrics["loss_gen_all"])
