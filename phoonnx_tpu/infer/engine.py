@@ -209,6 +209,32 @@ class VitsEngine:
 
     # -- public API ------------------------------------------------------
 
+    def _frame_bucket_clamped(self, frames: int) -> int:
+        """Frame bucket for a predicted length; clamps to the largest
+        bucket with a truncation warning instead of raising (fused-mode
+        semantics — length_scale is request-controlled in serving, so an
+        over-long prediction must degrade, not 500)."""
+        if frames > self.frame_buckets[-1]:
+            LOG.warning(
+                "predicted %d frames exceed the largest frame bucket %d "
+                "— audio will be truncated", frames, self.frame_buckets[-1],
+            )
+            return self.frame_buckets[-1]
+        return _bucket_for(max(frames, 1), self.frame_buckets)
+
+    def _check_speakers(self, speaker_ids) -> None:
+        """Out-of-range ids would be CLAMPED by jnp.take under jit,
+        silently synthesizing another speaker."""
+        n = self.hp.n_speakers
+        if n <= 1:
+            return  # single-speaker graphs ignore sid (reference behavior)
+        for sid in speaker_ids:
+            if not 0 <= int(sid) < n:
+                raise ValueError(
+                    f"speaker_id {sid} out of range: voice has {n} "
+                    f"speakers (0..{n - 1})"
+                )
+
     def synthesize_ids(
         self,
         phoneme_ids: Sequence[int],
@@ -268,6 +294,7 @@ class VitsEngine:
         ids = np.zeros((1, t_bucket), np.int32)
         ids[0, : len(phoneme_ids)] = phoneme_ids
         lengths = np.asarray([len(phoneme_ids)], np.int32)
+        self._check_speakers((speaker_id,))
         sid = np.asarray([speaker_id], np.int32)
         rng = jax.random.PRNGKey(seed if seed is not None else
                                  np.random.randint(0, 2 ** 31 - 1))
@@ -281,7 +308,7 @@ class VitsEngine:
             jnp.asarray(sid), rng1,
         )
         frames = int(np.max(np.asarray(jnp.sum(w_ceil, axis=-1))))
-        f_bucket = _bucket_for(max(frames, 1), self.frame_buckets)
+        f_bucket = self._frame_bucket_clamped(frames)
         latents = self._get_latents(1, t_bucket, f_bucket)
         z, y_lengths = latents(
             self.params, m_p, logs_p, w_ceil, x_mask, g,
@@ -357,6 +384,8 @@ class VitsEngine:
         Returns (waveforms [B, F_bucket*upsample] float32, frame lengths).
         """
         batch = len(batch_ids)
+        if speaker_ids is not None:
+            self._check_speakers(speaker_ids)
         max_len = max(len(ids) for ids in batch_ids)
         t_bucket = _bucket_for(max_len, self.text_buckets)
 
@@ -409,7 +438,7 @@ class VitsEngine:
 
         # Host decision: pick the frame bucket from predicted durations.
         frames = int(np.max(np.asarray(jnp.sum(w_ceil, axis=-1))))
-        f_bucket = _bucket_for(max(frames, 1), self.frame_buckets)
+        f_bucket = self._frame_bucket_clamped(frames)
 
         phase2 = self._get_phase2(batch, t_bucket, f_bucket)
         audio, y_lengths = phase2(
@@ -436,6 +465,7 @@ class VitsEngine:
         throughput approaches pure device time even when each host<->device
         round-trip is slow (remote TPU tunnels).
         """
+        self._check_speakers((speaker_id,))
         base_seed = seed if seed is not None else np.random.randint(
             0, 2 ** 31 - 1)
         in_flight = []
@@ -497,6 +527,7 @@ class VitsEngine:
         if self.hp.n_speakers <= 1:
             raise ValueError("voice conversion requires a multi-speaker "
                              "model")
+        self._check_speakers((sid_src, sid_tgt))
         from phoonnx_tpu.ops.stft import spectrogram
 
         hp = self.hp
@@ -539,5 +570,7 @@ class VitsEngine:
         """Precompile phase 1 for the given grid (phase 2 compiles lazily)."""
         for batch in batch_sizes:
             for t_bucket in (text_buckets or self.text_buckets[:3]):
-                ids = [[1] * min(8, t_bucket)] * batch
+                # full-length rows: shorter ids re-bucket to the
+                # smallest bucket and nothing else gets compiled
+                ids = [[1] * t_bucket] * batch
                 self.synthesize_batch(ids, seed=0)

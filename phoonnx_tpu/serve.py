@@ -72,6 +72,9 @@ class DynamicBatcher:
         self._queue: "queue.Queue[_Submission]" = queue.Queue()
         self._stop = threading.Event()
         self.stats = {"requests": 0, "batches": 0, "max_batch_seen": 0}
+        # '+=' on a dict entry is a non-atomic read-modify-write; submit()
+        # runs on every HTTP handler thread concurrently
+        self._stats_lock = threading.Lock()
         self._thread = None
         if autostart:
             self.start()
@@ -87,13 +90,24 @@ class DynamicBatcher:
         if self._thread is not None:
             self._thread.join(timeout=5.0)
             self._thread = None
+        # release any handler threads still parked on queued submissions
+        # (they would otherwise sleep out their full wait timeout)
+        while True:
+            try:
+                sub = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if not sub.event.is_set():
+                sub.error = RuntimeError("server shutting down")
+                sub.event.set()
 
     def submit(self, sentence_ids: List[List[int]],
                scales: Tuple[float, float, float],
                speaker_id: int = 0,
                seed: Optional[int] = None) -> _Submission:
         sub = _Submission(sentence_ids, scales, speaker_id, seed)
-        self.stats["requests"] += 1
+        with self._stats_lock:
+            self.stats["requests"] += 1
         self._queue.put(sub)
         return sub
 
@@ -157,14 +171,28 @@ class DynamicBatcher:
                     sub.audio = np.zeros(0, np.float32)
                     sub.event.set()
                 return
+            # pad lanes up to a power-of-two batch bucket: the lane count
+            # is part of the compile key, so arbitrary counts would pay a
+            # fresh multi-second XLA compile per distinct concurrency
+            # level, all on this single dispatcher thread
+            lanes = len(flat_ids)
+            target = 1
+            while target < lanes:
+                target *= 2
+            pad_rows = target - lanes
+            padded_ids = flat_ids + [[1]] * pad_rows
+            padded_sids = speaker_ids + [0] * pad_rows
             audio, frame_lengths = self.engine.synthesize_batch(
-                flat_ids,
+                padded_ids,
                 noise_scale=scales[0], length_scale=scales[1],
-                noise_w=scales[2], speaker_ids=speaker_ids, seed=seed,
+                noise_w=scales[2], speaker_ids=padded_sids, seed=seed,
             )
-            self.stats["batches"] += 1
-            self.stats["max_batch_seen"] = max(
-                self.stats["max_batch_seen"], len(flat_ids))
+            audio = audio[:lanes]
+            frame_lengths = frame_lengths[:lanes]
+            with self._stats_lock:
+                self.stats["batches"] += 1
+                self.stats["max_batch_seen"] = max(
+                    self.stats["max_batch_seen"], lanes)
             upsample = self.engine.hp.total_upsample
             cursor = 0
             for sub in group:
@@ -283,7 +311,25 @@ class TTSServer:
                 text, voice.config.lang_code)
         ids = [voice.phonemes_to_ids(ph)
                for ph in voice.phonemize(text) if ph]
-        return [i for i in ids if i]
+        ids = [i for i in ids if i]
+        # validate HERE (handler thread): an oversized sentence must 400
+        # its own request, not fail inside the dispatcher where the error
+        # would poison every request co-batched with it
+        limit = getattr(voice.engine, "text_buckets", (0,))[-1]
+        for row in ids:
+            if limit and len(row) > limit:
+                raise ValueError(
+                    f"a sentence phonemizes to {len(row)} ids, above the "
+                    f"largest text bucket {limit} — split the input text"
+                )
+        n_speakers = voice.config.num_speakers
+        if n_speakers > 1 and cfg.speaker_id is not None \
+                and not 0 <= cfg.speaker_id < n_speakers:
+            raise ValueError(
+                f"speaker_id {cfg.speaker_id} out of range: voice has "
+                f"{n_speakers} speakers (0..{n_speakers - 1})"
+            )
+        return ids
 
     @staticmethod
     def _scales(voice, body: Dict[str, Any]) -> Tuple[float, float, float]:
@@ -296,12 +342,15 @@ class TTSServer:
 
     def synthesize_wav_bytes(self, body: Dict[str, Any]) -> bytes:
         voice, batcher = self._select(body)
-        cfg = SynthesisConfig(seed=body.get("seed"))
+        seed = body.get("seed")
+        seed = int(seed) if seed is not None else None  # JSON floats
+        cfg = SynthesisConfig(seed=seed,
+                              speaker_id=int(body.get("speaker_id", 0)))
         sentence_ids = self._prepare(voice, str(body["text"]), cfg)
         sub = batcher.submit(
             sentence_ids, self._scales(voice, body),
             speaker_id=int(body.get("speaker_id", 0)),
-            seed=body.get("seed"),
+            seed=seed,
         )
         audio = sub.wait(timeout=120.0)
         if body.get("normalize", False) and len(audio):
@@ -321,22 +370,30 @@ class TTSServer:
         latency — bypasses the batcher by design: streaming optimizes
         time-to-first-audio, batching optimizes throughput)."""
         voice, _ = self._select(body)
-        cfg = SynthesisConfig(seed=body.get("seed"))
-        sentence_ids = self._prepare(voice, str(body["text"]), cfg)
+        seed = body.get("seed")
+        seed = int(seed) if seed is not None else None
         scales = self._scales(voice, body)
-        for ids in sentence_ids:
-            for chunk in voice.engine.synthesize_ids_streaming(
-                ids,
-                chunk_frames=int(body.get("chunk_frames", 128)),
-                overlap_frames=int(body.get("overlap_frames", 32)),
-                noise_scale=scales[0], length_scale=scales[1],
-                noise_w=scales[2],
-                speaker_id=int(body.get("speaker_id", 0)),
-                seed=body.get("seed"),
-            ):
-                pcm = np.clip(chunk * 32767.0, -32767.0,
-                              32767.0).astype(np.int16)
-                yield pcm.tobytes()
+        cfg = SynthesisConfig(
+            seed=seed,
+            speaker_id=int(body.get("speaker_id", 0)),
+            noise_scale=scales[0], length_scale=scales[1],
+            noise_w_scale=scales[2],
+            volume=float(body.get("volume", 1.0)),
+        )
+        n_speakers = voice.config.num_speakers
+        if n_speakers > 1 and not 0 <= cfg.speaker_id < n_speakers:
+            raise ValueError(
+                f"speaker_id {cfg.speaker_id} out of range: voice has "
+                f"{n_speakers} speakers (0..{n_speakers - 1})"
+            )
+        # delegate to the voice pipeline (one source of truth for
+        # spelling/diacritics/volume/clipping) rather than re-implement it
+        for chunk in voice.synthesize_streaming(
+            str(body["text"]), cfg,
+            chunk_frames=int(body.get("chunk_frames", 128)),
+            overlap_frames=int(body.get("overlap_frames", 32)),
+        ):
+            yield chunk.audio_int16_bytes
 
 
 def _make_handler(server: TTSServer):
@@ -412,6 +469,8 @@ def _make_handler(server: TTSServer):
                         self.end_headers()
                         self.wfile.write(wav)
                 except KeyError as exc:  # unknown voice name
+                    self._json(400, {"error": str(exc)})
+                except ValueError as exc:  # bad request parameters
                     self._json(400, {"error": str(exc)})
                 except Exception as exc:
                     LOG.exception("synthesis failed")

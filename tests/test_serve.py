@@ -258,5 +258,24 @@ def test_batcher_coalesces_submissions(voice):
     for sub in subs:
         audio = sub.wait(timeout=1.0)
         assert len(audio) > 0
-    assert calls == [3]  # ONE device batch of 3 lanes
+    # ONE device batch; 3 real lanes padded up to the power-of-two batch
+    # bucket (4) so distinct concurrency levels share compiled programs
+    assert calls == [4]
     assert batcher.stats["max_batch_seen"] == 3
+
+
+def test_oversized_sentence_returns_400_not_batched(server, voice):
+    """A sentence above the largest text bucket must 400 its own request
+    on the handler thread, never reach the dispatcher (where the error
+    would poison co-batched requests)."""
+    limit = voice.engine.text_buckets[-1]
+    resp, data = _request(server, "POST", "/synthesize",
+                          {"text": "[[" + "a " * (limit + 4) + "]]"})
+    assert resp.status == 400
+    assert "split the input text" in json.loads(data)["error"]
+
+
+def test_float_seed_coerced(server):
+    resp, data = _request(server, "POST", "/synthesize",
+                          {"text": "[[abc]]", "seed": 5.0})
+    assert resp.status == 200
