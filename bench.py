@@ -73,10 +73,9 @@ def main() -> None:
     def throughput(batch: int, dtype) -> float:
         run_params = params
         if dtype == jnp.bfloat16:
-            run_params = jax.tree.map(
-                lambda a: a.astype(jnp.bfloat16)
-                if jnp.issubdtype(a.dtype, jnp.floating) else a, params,
-            )
+            from phoonnx_tpu.infer.engine import cast_floating
+
+            run_params = cast_floating(params, jnp.bfloat16)
         fn_b = jax.jit(forward)
         ids_b = jnp.tile(ids, (batch, 1))
         lengths_b = jnp.full((batch,), t_text, jnp.int32)
@@ -122,7 +121,7 @@ def main() -> None:
         "vs_baseline": round(TARGET_RTF / rtf, 3),
         "extra": {
             "audio_sec_per_sec_per_chip": round(1.0 / rtf, 1),
-            "p50_latency_ms": round(elapsed * 1000, 2),
+            "latency_ms_best_mean": round(elapsed * 1000, 2),
             "batch16_fp32_audio_sec_per_sec": round(batch16_fp32, 1),
             "batch16_bf16_audio_sec_per_sec": round(batch16_bf16, 1),
             "streaming_ttfa_ms": round(ttfa_ms, 2),

@@ -41,25 +41,41 @@ def main() -> int:
               file=sys.stderr)
         return 1
     rate = int(resp.getheader("X-Sample-Rate", "22050"))
+    width = int(resp.getheader("X-Sample-Width", "2"))
+    channels = int(resp.getheader("X-Channels", "1"))
 
     first = None
     total = 0
+    truncated = False
     with wave.open(args.output, "wb") as wav:
-        wav.setnchannels(1)
-        wav.setsampwidth(2)
+        wav.setnchannels(channels)
+        wav.setsampwidth(width)
         wav.setframerate(rate)
         while True:
             # http.client decodes the chunked transfer encoding for us;
             # read whatever PCM has arrived so far
-            chunk = resp.read(8192)
+            try:
+                chunk = resp.read(8192)
+            except http.client.IncompleteRead as exc:
+                # the server drops the connection mid-stream when the
+                # engine errors after headers went out — keep what
+                # arrived, but say so
+                chunk = exc.partial
+                truncated = True
             if not chunk:
                 break
             if first is None:
                 first = time.perf_counter() - t0
                 print(f"first audio after {first * 1000:.0f} ms")
             wav.writeframes(chunk)
-            total += len(chunk) // 2
+            total += len(chunk) // (width * channels)
+            if truncated:
+                break
     conn.close()
+    if truncated:
+        print(f"stream aborted by server after {total / rate:.2f}s — "
+              f"partial audio saved to {args.output}", file=sys.stderr)
+        return 1
     print(f"wrote {args.output}: {total / rate:.2f}s of audio "
           f"in {time.perf_counter() - t0:.2f}s total")
     return 0

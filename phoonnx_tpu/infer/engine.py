@@ -37,6 +37,15 @@ DEFAULT_FRAME_BUCKETS = (64, 128, 256, 384, 512, 768, 1024, 1536, 2048,
                          3072, 4096)
 
 
+def cast_floating(params, dtype):
+    """Cast every floating leaf of a parameter pytree to ``dtype``."""
+    return jax.tree.map(
+        lambda a: a.astype(dtype)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a,
+        params,
+    )
+
+
 def _bucket_for(value: int, buckets: Sequence[int]) -> int:
     for bucket in buckets:
         if value <= bucket:
@@ -84,11 +93,7 @@ class VitsEngine:
         self.fetch_pcm16 = fetch_pcm16
         self.dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
         if dtype == "bfloat16":
-            params = jax.tree.map(
-                lambda a: a.astype(jnp.bfloat16)
-                if jnp.issubdtype(a.dtype, jnp.floating) else a,
-                params,
-            )
+            params = cast_floating(params, jnp.bfloat16)
         self.params = jax.device_put(params)
         self._phase1 = {}
         self._phase2 = {}
