@@ -12,23 +12,40 @@ are explicit.
 
 import logging
 import math
+
+from scipy.special import erf as _erf
 from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
 
+from phoonnx_tpu.onnx.reader import _DTYPES as _DTYPE_BY_ONNX
 from phoonnx_tpu.onnx.reader import OnnxModel, OnnxNode
 
 LOG = logging.getLogger(__name__)
 
-_DTYPE_BY_ONNX = {
-    1: np.float32, 2: np.uint8, 3: np.int8, 4: np.uint16, 5: np.int16,
-    6: np.int32, 7: np.int64, 9: np.bool_, 10: np.float16, 11: np.float64,
-    12: np.uint32, 13: np.uint64,
-}
-
-
 def _sigmoid(x):
     return 1.0 / (1.0 + np.exp(-x))
+
+
+def _check_seq_lens(seq_lens, x) -> None:
+    """Per-row sequence lengths are not implemented — running padded
+    rows to full length would silently corrupt their states, so refuse
+    unless every row uses the full time dimension."""
+    if seq_lens is None:
+        return
+    lens = np.asarray(seq_lens).reshape(-1)
+    if lens.size and not np.all(lens == x.shape[0]):
+        raise NotImplementedError(
+            "per-row sequence_lens not supported by this executor"
+        )
+
+
+def _int_div(a, b):
+    """Integer division truncating toward zero (ONNX Div semantics;
+    np.floor_divide rounds toward -inf, off by one for negatives)."""
+    q = np.floor_divide(a, b)
+    r = a - q * b
+    return q + ((r != 0) & ((a < 0) != (b < 0)))
 
 
 class OnnxExecutor:
@@ -121,14 +138,25 @@ def _op_conv(node, x, w, b=None):
     kernel = w.shape[2:]
     if pads is None:
         if auto_pad in ("SAME_UPPER", "SAME_LOWER"):
-            pads = []
-            for k, d in zip(kernel, dilations):
-                total = d * (k - 1)
-                pads.append(total // 2)
-            pads = pads + [
-                d * (k - 1) - p
-                for k, d, p in zip(kernel, dilations, pads)
-            ]
+            # total pad depends on the input size under stride:
+            # max((ceil(in/s)-1)*s + (k-1)*d + 1 - in, 0); SAME_UPPER
+            # puts the odd sample at the end, SAME_LOWER at the start
+            begins, ends = [], []
+            for i, (k, d, stride) in enumerate(
+                    zip(kernel, dilations, strides)):
+                in_size = x.shape[2 + i]
+                out_size = -(-in_size // stride)
+                total = max(
+                    (out_size - 1) * stride + (k - 1) * d + 1 - in_size, 0
+                )
+                small, big = total // 2, total - total // 2
+                if auto_pad == "SAME_UPPER":
+                    begins.append(small)
+                    ends.append(big)
+                else:
+                    begins.append(big)
+                    ends.append(small)
+            pads = begins + ends
         else:
             pads = [0] * (2 * spatial)
     pads = list(pads)
@@ -181,6 +209,9 @@ def _op_slice(node, data, starts=None, ends=None, axes=None, steps=None):
 
 def _op_lstm(node, x, w, r, b=None, seq_lens=None, h0=None, c0=None, p=None):
     """Single-direction LSTM, gates iofc (ONNX spec), layout [T, B, I]."""
+    _check_seq_lens(seq_lens, x)
+    if p is not None and np.asarray(p).size:
+        raise NotImplementedError("LSTM peephole weights not supported")
     hidden = int(_attr(node, "hidden_size"))
     direction = _attr(node, "direction", "forward")
     num_dir = w.shape[0]
@@ -222,6 +253,7 @@ def _op_lstm(node, x, w, r, b=None, seq_lens=None, h0=None, c0=None, p=None):
 
 def _op_gru(node, x, w, r, b=None, seq_lens=None, h0=None):
     """Single/bi-directional GRU, gates zrh."""
+    _check_seq_lens(seq_lens, x)
     hidden = int(_attr(node, "hidden_size"))
     direction = _attr(node, "direction", "forward")
     linear_before_reset = _attr(node, "linear_before_reset", 0)
@@ -299,7 +331,15 @@ def _op_pad(node, data, pads=None, value=None, axes=None):
     pads = [int(v) for v in np.asarray(pads).reshape(-1)]
     mode = _attr(node, "mode", "constant")
     ndim = data.ndim
-    pad_width = [(pads[i], pads[i + ndim]) for i in range(ndim)]
+    if axes is not None:
+        # opset-18 form: pads has 2*len(axes) entries paired per axis
+        axis_list = [int(a) % ndim for a in np.asarray(axes).reshape(-1)]
+        n = len(axis_list)
+        pad_width = [(0, 0)] * ndim
+        for j, axis in enumerate(axis_list):
+            pad_width[axis] = (pads[j], pads[j + n])
+    else:
+        pad_width = [(pads[i], pads[i + ndim]) for i in range(ndim)]
     if mode == "constant":
         constant = float(np.asarray(value).reshape(-1)[0]) if value is not None else 0.0
         return np.pad(data, pad_width, constant_values=constant)
@@ -403,7 +443,20 @@ def _op_tile(node, data, repeats):
 
 
 def _op_cumsum(node, x, axis):
-    return np.cumsum(x, axis=int(np.asarray(axis).item()))
+    axis = int(np.asarray(axis).item())
+    exclusive = int(_attr(node, "exclusive", 0))
+    reverse = int(_attr(node, "reverse", 0))
+    if reverse:
+        x = np.flip(x, axis=axis)
+    out = np.cumsum(x, axis=axis)
+    if exclusive:
+        out = np.roll(out, 1, axis=axis)
+        idx = [slice(None)] * out.ndim
+        idx[axis] = 0
+        out[tuple(idx)] = 0
+    if reverse:
+        out = np.flip(out, axis=axis)
+    return out
 
 
 _OPS = {
@@ -413,7 +466,7 @@ _OPS = {
     "Div": _op_binary(lambda a, b: np.divide(a, b)
                       if np.issubdtype(np.asarray(a).dtype, np.floating)
                       or np.issubdtype(np.asarray(b).dtype, np.floating)
-                      else np.floor_divide(a, b)),
+                      else _int_div(a, b)),
     "Pow": _op_binary(np.power),
     "MatMul": _op_binary(lambda a, b: (a @ b).astype(np.result_type(a, b))),
     "And": _op_binary(np.logical_and),
@@ -428,7 +481,7 @@ _OPS = {
     "Relu": _op_unary(lambda x: np.maximum(x, 0)),
     "Sigmoid": _op_unary(_sigmoid),
     "Tanh": _op_unary(np.tanh),
-    "Erf": _op_unary(lambda x: np.vectorize(math.erf)(x).astype(x.dtype)),
+    "Erf": _op_unary(lambda x: _erf(x).astype(x.dtype)),
     "Exp": _op_unary(np.exp),
     "Log": _op_unary(np.log),
     "Sqrt": _op_unary(np.sqrt),

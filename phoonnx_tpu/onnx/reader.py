@@ -110,15 +110,24 @@ def _parse_tensor(data: bytes) -> Tuple[str, np.ndarray]:
             [wire.zigzag_to_signed(v) for v in int64_data], dtype=dtype
         )
     elif int32_data:
-        array = np.asarray(
-            [wire.zigzag_to_signed(v, 32) for v in int32_data], dtype=dtype
-        )
+        if dtype == np.float16:
+            # fp16 tensors store uint16 BIT PATTERNS in int32_data —
+            # numeric conversion would turn 0x3C00 (1.0) into inf
+            array = np.asarray(
+                [v & 0xFFFF for v in int32_data], dtype=np.uint16
+            ).view(np.float16)
+        else:
+            array = np.asarray(
+                [wire.zigzag_to_signed(v, 32) for v in int32_data],
+                dtype=dtype,
+            )
     elif double_data:
         array = np.asarray(double_data, dtype=dtype)
     else:
         array = np.zeros(0, dtype=dtype)
 
-    return name, array.reshape(dims) if dims else array
+    # always reshape: dims == [] is a RANK-0 tensor, shape (), not (1,)
+    return name, array.reshape(dims)
 
 
 def _parse_value_info_name(data: bytes) -> str:

@@ -63,7 +63,14 @@ def decode_packed_varints(data: bytes) -> List[int]:
 
 
 def zigzag_to_signed(value: int, bits: int = 64) -> int:
-    """Interpret a varint as two's-complement signed (protobuf int64)."""
+    """Interpret a varint as two's-complement signed.
+
+    Despite the historical name this is two's-complement, not zigzag:
+    protobuf int32/int64 fields encode negatives as sign-EXTENDED 64-bit
+    varints, so the value must be masked to ``bits`` before the sign
+    test (a negative int32 arrives as a 10-byte varint near 2^64).
+    """
+    value &= (1 << bits) - 1
     if value >= 1 << (bits - 1):
         value -= 1 << bits
     return value

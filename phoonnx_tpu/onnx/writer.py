@@ -28,7 +28,9 @@ _NP_TO_ONNX = {
 
 
 def _encode_tensor(name: str, array: np.ndarray) -> bytes:
-    array = np.ascontiguousarray(array)
+    # NOT ascontiguousarray: that helper promotes rank-0 arrays to (1,),
+    # silently turning scalar tensors into 1-vectors on the wire
+    array = np.asarray(array, order="C")
     onnx_type = _NP_TO_ONNX.get(array.dtype)
     if onnx_type is None:
         raise ValueError(f"unsupported dtype {array.dtype} for {name}")

@@ -213,3 +213,65 @@ def test_trig_mod_einsum_ops(tmp_path):
                                rtol=1e-5)
     np.testing.assert_array_equal(m0, np.mod(ia, ib))   # sign of divisor
     np.testing.assert_allclose(m1, np.fmod(fa, fb))     # C fmod semantics
+
+
+def test_int_div_truncates_toward_zero():
+    """ONNX integer Div truncates toward zero; np.floor_divide rounds
+    toward -inf (off by one for negative quotients)."""
+    from phoonnx_tpu.onnx.executor import _int_div
+
+    assert _int_div(np.int64(-7), np.int64(2)) == -3
+    assert _int_div(np.int64(7), np.int64(-2)) == -3
+    assert _int_div(np.int64(7), np.int64(2)) == 3
+    assert _int_div(np.int64(-8), np.int64(2)) == -4
+    np.testing.assert_array_equal(
+        _int_div(np.asarray([-7, 7, -8]), np.asarray([2, -2, 4])),
+        [-3, -3, -2],
+    )
+
+
+def test_cumsum_exclusive_reverse():
+    from phoonnx_tpu.onnx.executor import _op_cumsum
+    from phoonnx_tpu.onnx.reader import OnnxNode
+
+    x = np.asarray([1.0, 2.0, 3.0])
+    node = OnnxNode(op_type="CumSum", name="c",
+                    inputs=["x", "a"], outputs=["y"],
+                    attributes={"exclusive": 1})
+    np.testing.assert_array_equal(
+        _op_cumsum(node, x, np.int64(0)), [0.0, 1.0, 3.0])
+    node2 = OnnxNode(op_type="CumSum", name="c", inputs=["x", "a"],
+                     outputs=["y"], attributes={"reverse": 1})
+    np.testing.assert_array_equal(
+        _op_cumsum(node2, x, np.int64(0)), [6.0, 5.0, 3.0])
+
+
+def test_negative_int32_initializer_roundtrip(tmp_path):
+    """Protobuf sign-extends negative int32 to 64-bit varints; the
+    decoder must mask before the sign test (raw negatives decoded to
+    values near 2^64 and overflowed numpy)."""
+    from phoonnx_tpu.onnx.reader import read_onnx
+    from phoonnx_tpu.onnx.writer import write_onnx
+
+    path = tmp_path / "neg.onnx"
+    arrays = {
+        "neg64": np.asarray([-1, -2, 3], np.int64),
+        "neg32": np.asarray([-5, 7], np.int32),
+    }
+    write_onnx(str(path), arrays, metadata={}, inputs=["input"],
+               outputs=["output"])
+    model = read_onnx(str(path))
+    for name, want in arrays.items():
+        np.testing.assert_array_equal(model.initializers[name], want)
+
+
+def test_scalar_initializer_keeps_rank_zero(tmp_path):
+    from phoonnx_tpu.onnx.reader import read_onnx
+    from phoonnx_tpu.onnx.writer import write_onnx
+
+    path = tmp_path / "scalar.onnx"
+    write_onnx(str(path), {"s": np.asarray(2.5, np.float32)},
+               metadata={}, inputs=["input"], outputs=["output"])
+    model = read_onnx(str(path))
+    assert model.initializers["s"].shape == ()
+    assert float(model.initializers["s"]) == 2.5
