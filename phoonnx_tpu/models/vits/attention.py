@@ -107,8 +107,12 @@ def multi_head_attention(params, x: Array, c: Array,
     if window_size is not None:
         assert t_s == t_t, "relative attention requires self-attention"
         rel_k = _get_relative_embeddings(params["emb_rel_k"], t_s, window_size)
-        # [B,H,L,D] x [1 or H, M, D] -> [B,H,L,M]
-        rel_logits = jnp.einsum("bhld,nmd->bhlm", q * scale, rel_k)
+        # [B,H,L,D] x [1 or H, M, D] -> [B,H,L,M]; broadcast the table to
+        # per-head before contracting — an "nmd" einsum would SUM over
+        # the table's head axis when heads_share=False
+        rel_k = jnp.broadcast_to(rel_k, (n_heads,) + rel_k.shape[1:])
+        rel_logits = jnp.einsum("bhld,hmd->bhlm", q * scale, rel_k,
+                                preferred_element_type=jnp.float32)
         scores = scores + _relative_to_absolute(rel_logits)
 
     if attn_mask is not None:
@@ -123,7 +127,9 @@ def multi_head_attention(params, x: Array, c: Array,
     if window_size is not None:
         rel_weights = _absolute_to_relative(p_attn)
         rel_v = _get_relative_embeddings(params["emb_rel_v"], t_s, window_size)
-        output = output + jnp.einsum("bhlm,nmd->bhld", rel_weights, rel_v)
+        rel_v = jnp.broadcast_to(rel_v, (n_heads,) + rel_v.shape[1:])
+        output = output + jnp.einsum("bhlm,hmd->bhld", rel_weights, rel_v,
+                                     preferred_element_type=jnp.float32)
 
     # [B, H, T, D] -> [B, T, H*D]; back to the compute dtype (attention
     # accumulates in f32 even under bf16 inference)

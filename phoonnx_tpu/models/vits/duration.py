@@ -27,7 +27,8 @@ def init_stochastic_duration_predictor(rng, in_channels: int,
     filter_channels = in_channels
     params = {"filter_channels": StaticInt(filter_channels)}
 
-    rng, *keys = jax.random.split(rng, 16)
+    # keys: n_flows CF + 4 post CF + 6 convs/projs + optional cond
+    rng, *keys = jax.random.split(rng, n_flows + 13)
     it = iter(keys)
 
     flows = [{"ea": modules.init_elementwise_affine(2)}]
@@ -56,29 +57,42 @@ def init_stochastic_duration_predictor(rng, in_channels: int,
     return params
 
 
-def _condition(params, x: Array, x_mask: Array, g: Optional[Array]) -> Array:
+def _condition(params, x: Array, x_mask: Array, g: Optional[Array],
+               p_dropout: float = 0.0, rng=None,
+               deterministic: bool = True) -> Array:
     """Shared conditioning trunk: pre -> (+cond g) -> DDSConv -> proj."""
     x = jax.lax.stop_gradient(x)
     x = nn.apply_conv(params["pre"], x)
     if g is not None:
         g = jax.lax.stop_gradient(g)
         x = x + nn.apply_conv(params["cond"], g)
-    x = modules.dds_conv(params["convs"], x, x_mask)
+    x = modules.dds_conv(params["convs"], x, x_mask,
+                         p_dropout=p_dropout, rng=rng,
+                         deterministic=deterministic)
     return nn.apply_conv(params["proj"], x) * x_mask
 
 
 def sdp_nll(params, x: Array, x_mask: Array, w: Array, e_q: Array,
-            g: Optional[Array] = None) -> Array:
+            g: Optional[Array] = None, p_dropout: float = 0.5,
+            rng=None, deterministic: bool = True) -> Array:
     """Training-mode negative log-likelihood of durations ``w`` [B, T, 1].
 
     ``e_q`` [B, T, 2] is the posterior noise sample (torch.randn in the
-    reference, models.py:80). Returns per-example nll [B].
+    reference, models.py:80). Returns per-example nll [B]. The DDSConv
+    stacks regularize with dropout 0.5 in training, as in the reference
+    (models.py:25 passes p_dropout=0.5; DDSConv applies it per layer).
     """
-    x = _condition(params, x, x_mask, g)
+    rng_c = rng_p = None
+    if rng is not None:
+        rng_c, rng_p = jax.random.split(rng)
+    x = _condition(params, x, x_mask, g, p_dropout=p_dropout,
+                   rng=rng_c, deterministic=deterministic)
 
     # Variational posterior over (u, nu): flow from e_q conditioned on x+h_w
     h_w = nn.apply_conv(params["post_pre"], w)
-    h_w = modules.dds_conv(params["post_convs"], h_w, x_mask)
+    h_w = modules.dds_conv(params["post_convs"], h_w, x_mask,
+                           p_dropout=p_dropout, rng=rng_p,
+                           deterministic=deterministic)
     h_w = nn.apply_conv(params["post_proj"], h_w) * x_mask
 
     e_q = e_q * x_mask
@@ -179,13 +193,16 @@ def duration_predictor(params, x: Array, x_mask: Array,
     if g is not None:
         g = jax.lax.stop_gradient(g)
         x = x + nn.apply_conv(params["cond"], g)
+    rng1 = rng2 = None
+    if rng is not None:
+        rng1, rng2 = jax.random.split(rng)  # independent dropout masks
     x = nn.apply_conv(params["conv_1"], x * x_mask, padding=pad)
     x = jax.nn.relu(x)
     x = nn.layer_norm(params["norm_1"], x)
-    x = nn.dropout(x, p_dropout, rng, deterministic)
+    x = nn.dropout(x, p_dropout, rng1, deterministic)
     x = nn.apply_conv(params["conv_2"], x * x_mask, padding=pad)
     x = jax.nn.relu(x)
     x = nn.layer_norm(params["norm_2"], x)
-    x = nn.dropout(x, p_dropout, rng, deterministic)
+    x = nn.dropout(x, p_dropout, rng2, deterministic)
     x = nn.apply_conv(params["proj"], x * x_mask)
     return x * x_mask

@@ -266,7 +266,10 @@ def train_forward(params, hp: VitsHParams, rng: Array,
     w = jnp.sum(attn, axis=1)[..., None]  # [B, T_x, 1] durations
     if hp.use_sdp:
         e_q = jax.random.normal(rng_sdp, (b, t_x, 2), spec.dtype)
-        l_length = duration.sdp_nll(params["dp"], x, x_mask, w, e_q, g=g)
+        l_length = duration.sdp_nll(
+            params["dp"], x, x_mask, w, e_q, g=g,
+            p_dropout=0.5, rng=rng_drop, deterministic=deterministic,
+        )
         # exact token count: a bf16 mask sum quantizes above 256
         l_length = l_length / jnp.sum(x_mask.astype(jnp.float32))
     else:

@@ -100,7 +100,14 @@ def wn(params, x: Array, x_mask: Array, g: Optional[Array] = None,
     dilation_rate = params["dilation_rate"]
 
     output = jnp.zeros_like(x)
-    if g is not None and "cond_layer" in params:
+    if g is not None:
+        if "cond_layer" not in params:
+            # silently dropping g would synthesize speaker-unconditioned
+            # audio on an hparams/checkpoint mismatch
+            raise ValueError(
+                "WN received speaker conditioning but was initialized "
+                "without gin_channels (hparams/checkpoint mismatch)"
+            )
         g_all = nn.apply_wn_conv(params["cond_layer"], g)
     else:
         g_all = None

@@ -463,3 +463,40 @@ def test_full_infer_multispeaker(ref):
     )
     mae = np.abs(np.asarray(audio_j) - audio_t).max()
     assert mae < 1e-3, f"waveform max deviation {mae}"
+
+
+def test_relative_attention_heads_not_summed():
+    """heads_share=False keeps per-head relative tables separate — a
+    contraction over the table's head axis would silently SUM them."""
+    import jax
+    import jax.numpy as jnp
+
+    from phoonnx_tpu.models.vits import attention
+
+    rng = jax.random.PRNGKey(0)
+    params = attention.init_multi_head_attention(
+        rng, channels=16, out_channels=16, n_heads=2, window_size=4,
+        heads_share=False,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 6, 16))
+    base = attention.multi_head_attention(
+        params, x, x, attn_mask=None, deterministic=True)
+    # zero one head's relative tables: output must CHANGE (tables used)
+    # but by a head-local amount, not the sum-of-heads amount
+    p2 = jax.tree.map(lambda a: a, params)
+    p2["emb_rel_k"] = params["emb_rel_k"].at[0].set(0.0)
+    p2["emb_rel_v"] = params["emb_rel_v"].at[0].set(0.0)
+    out2 = attention.multi_head_attention(
+        p2, x, x, attn_mask=None, deterministic=True)
+    assert not jnp.allclose(base, out2)
+    # and zeroing BOTH heads' tables equals zeroing them one at a time
+    # sequentially (per-head independence)
+    p3 = jax.tree.map(lambda a: a, params)
+    p3["emb_rel_k"] = jnp.zeros_like(params["emb_rel_k"])
+    p3["emb_rel_v"] = jnp.zeros_like(params["emb_rel_v"])
+    out3 = attention.multi_head_attention(
+        p3, x, x, attn_mask=None, deterministic=True)
+    # with the summed-einsum bug, zeroing head 0 already removed BOTH
+    # heads' contributions, making out2 == out3 even though head 1's
+    # tables are nonzero in p2
+    assert not jnp.allclose(out2, out3)
