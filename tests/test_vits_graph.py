@@ -157,3 +157,34 @@ def test_graph_istft_decoder_matches_jax(bands, tmp_path):
     n = int(y_len[0]) * hp.total_upsample
     deviation = np.abs(audio[0, 0, :n] - np.asarray(jax_audio)[0, :n]).max()
     assert deviation < 1e-4, deviation
+
+
+def test_graph_istft_multispeaker(tmp_path):
+    """Speaker conditioning flows through the iSTFT trunk in the
+    executable graph too."""
+    from dataclasses import replace as _replace
+
+    hp = _replace(_istft_hp(2), n_speakers=3, gin_channels=16)
+    params = random_params(jax.random.PRNGKey(5), hp)
+    ids = np.array([[2, 4, 6, 8, 10, 12]], np.int64)
+    feeds = {
+        "input": ids,
+        "input_lengths": np.array([6], np.int64),
+        "scales": np.array([0.5, 1.2, 0.6], np.float32),
+        "sid": np.array([2], np.int64),
+    }
+    audio = _roundtrip(hp, params, feeds, tmp_path)
+    assert audio.shape[1] == 1 and audio.shape[-1] > 0
+
+    frames = audio.shape[-1] // hp.total_upsample
+    jax_audio, y_len, _ = infer(
+        params, hp, jnp.asarray(ids.astype(np.int32)), jnp.asarray([6]),
+        max_frames=frames,
+        noise_scale=jnp.float32(0.5), length_scale=jnp.float32(1.2),
+        noise_w=jnp.float32(0.6), sid=jnp.asarray([2]),
+        dp_noise=jnp.zeros((1, 6, 2)),
+        prior_noise=jnp.zeros((1, frames, hp.inter_channels)),
+    )
+    n = int(y_len[0]) * hp.total_upsample
+    deviation = np.abs(audio[0, 0, :n] - np.asarray(jax_audio)[0, :n]).max()
+    assert deviation < 1e-4, deviation
