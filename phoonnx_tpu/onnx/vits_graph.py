@@ -24,11 +24,12 @@ from phoonnx_tpu.onnx.builder import GraphBuilder
 
 
 def _hann(win_size: int) -> np.ndarray:
-    """Periodic Hann (same as ops/stft.hann_window, kept numpy-only here
-    so this module never pulls in jax)."""
-    n = np.arange(win_size)
-    return (0.5 - 0.5 * np.cos(2.0 * math.pi * n / win_size)).astype(
-        np.float32)
+    """Periodic Hann — single source of truth in ops/stft (this module
+    already pulls jax transitively through the PQMF import for
+    multi-band exports, so the lazy import costs nothing new)."""
+    from phoonnx_tpu.ops.stft import hann_window
+
+    return hann_window(win_size)
 
 F32 = 1
 I64 = 7

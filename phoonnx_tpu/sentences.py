@@ -41,8 +41,12 @@ def _is_abbreviation(prefix: str, following: str = "") -> bool:
     # Single-letter initials ("J. Smith", "John J. Smith") suppress the
     # break only when capitalized context surrounds the letter —
     # "plan B. Next we go." (lowercase word before) is two sentences
-    if not (len(word) == 1 and word.isalpha()
-            and following[:1].isupper() and following[1:2].islower()):
+    # name context after the initial: a capitalized word ("Smith")
+    # or another initial ("R." in "J. R. Smith")
+    name_follows = following[:1].isupper() and (
+        following[1:2].islower() or following[1:2] == "."
+    )
+    if not (len(word) == 1 and word.isalpha() and name_follows):
         return False
     words = prefix.split()
     if len(words) < 2:

@@ -514,11 +514,12 @@ def _make_handler(server: TTSServer):
             self.send_header("X-Channels", "1")
             self.end_headers()
             try:
-                for chunk in ([first] if first is not None else []):
-                    self.wfile.write(f"{len(chunk):x}\r\n".encode())
-                    self.wfile.write(chunk)
-                    self.wfile.write(b"\r\n")
-                for chunk in chunks:
+                import itertools
+
+                head = [first] if first is not None else []
+                for chunk in itertools.chain(head, chunks):
+                    if not chunk:
+                        continue  # a zero-length chunk would terminate
                     self.wfile.write(f"{len(chunk):x}\r\n".encode())
                     self.wfile.write(chunk)
                     self.wfile.write(b"\r\n")

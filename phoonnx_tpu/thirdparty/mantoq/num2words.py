@@ -273,7 +273,14 @@ def _fix_spaces(text: str) -> str:
 
 
 def _spell_match(m: "re.Match", apply_tashkeel: bool) -> str:
-    words = number2text(m.group(0))
+    digits = m.group(0)
+    if len(digits) > 12:
+        # beyond milliards the scale table ends (the reference raises
+        # KeyError here, mantoq/pyarabic/number.py:141-152); IDs and
+        # phone numbers this long are read digit-by-digit anyway
+        words = " ".join(_spell_block(int(d)) for d in digits)
+    else:
+        words = number2text(digits)
     if apply_tashkeel:
         return " ".join(pre_tashkeel_number(words.split(" ")))
     return words

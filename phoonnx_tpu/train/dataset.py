@@ -161,25 +161,42 @@ class BucketedLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         sentinel = object()
+        abandoned = threading.Event()
+
+        def _put(item) -> bool:
+            # bounded put that notices an abandoned consumer — otherwise
+            # the producer would sleep on a full queue forever (pinning a
+            # collated batch) when the training loop raises mid-epoch
+            while not abandoned.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer() -> None:
             try:
                 for batch in batches():
-                    q.put(batch)
-                q.put(sentinel)
+                    if not _put(batch):
+                        return
+                _put(sentinel)
             except BaseException as exc:  # surface in the consumer
-                q.put(exc)
+                _put(exc)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-        thread.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+            thread.join()
+        finally:
+            abandoned.set()
 
     def _orient_spec(self, spec: np.ndarray) -> np.ndarray:
         """Return the spectrogram as [T, C].

@@ -131,3 +131,17 @@ def test_num2words_parity_with_reference():
         for tashkeel in (True, False):
             assert (num2words(case, apply_tashkeel=tashkeel)
                     == ref_num2words(case, apply_tashkeel=tashkeel)), case
+
+
+def test_number_beyond_scale_table_reads_digits():
+    """Digit runs past milliards (13+ digits) are read digit-by-digit —
+    the reference raises KeyError there (pyarabic number.py:141-152)."""
+    from phoonnx_tpu.thirdparty.mantoq.num2words import num2words
+
+    from phoonnx_tpu.thirdparty.mantoq.num2words import strip_tashkeel
+
+    out = num2words("1234567890123")
+    assert out  # no crash
+    assert "واحد" in strip_tashkeel(out)  # starts with 'one'
+    # 12-digit runs still use the full spelling path
+    assert "مليار" in strip_tashkeel(num2words("999999999999"))

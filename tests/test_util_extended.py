@@ -249,3 +249,12 @@ def test_mantoq_phonemize_buckwalter_vs_ipa():
     assert bw != ipa
     assert "ħ" in ipa  # Haa' mapped to IPA
     assert "H" in bw   # stays Buckwalter
+
+
+def test_consecutive_initials_stay_one_sentence():
+    from phoonnx_tpu.sentences import sentence_tokenize
+
+    assert sentence_tokenize("J. R. Smith said hi. Then left.") == \
+        ["J. R. Smith said hi.", "Then left."]
+    assert sentence_tokenize("J. R. R. Tolkien wrote it.") == \
+        ["J. R. R. Tolkien wrote it."]
