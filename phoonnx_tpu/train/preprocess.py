@@ -107,6 +107,20 @@ def phonemize_worker(task_queue, result_queue,
                      cache_dir: str, sample_rate: int,
                      n_fft: int = 1024, hop_length: int = 256,
                      win_length: int = 1024) -> None:
+    # preprocessing is offline host work: pin the workers' jax (used for
+    # the spectrogram cache, and by TPU-backed phonemizers like ByT5) to
+    # CPU so N spawned processes don't contend for the training chip.
+    # Override with PHOONNX_PREPROCESS_JAX_PLATFORM=tpu if desired.
+    platform = os.environ.get("PHOONNX_PREPROCESS_JAX_PLATFORM", "cpu")
+    os.environ["JAX_PLATFORMS"] = platform
+    try:
+        # env alone is not enough if site hooks pre-imported jax in this
+        # child (config captured the old env); harmless otherwise
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+    except Exception:  # backend already initialized — keep going
+        pass
     from phoonnx_tpu.train.audio import (
         SileroVoiceActivityDetector,
         cache_norm_audio,
