@@ -117,6 +117,15 @@ class ByT5Phonemizer(BasePhonemizer):
                     "added_tokens_decoder", {}
                 )
 
+    # model name -> checkpoint URL (reference mul.py:25-29); downloads go
+    # to ~/.local/share/phoonnx like the reference
+    MODEL2URL = {
+        "OpenVoiceOS/g2p-mbyt5-12l-ipa-childes-espeak-onnx":
+            "https://huggingface.co/OpenVoiceOS/"
+            "g2p-mbyt5-12l-ipa-childes-espeak-onnx/resolve/main/"
+            "fdemelo_g2p-mbyt5-12l-ipa-childes-espeak.onnx",
+    }
+
     @staticmethod
     def _resolve_model(model: Optional[str]) -> Optional[str]:
         model = model or ByT5Phonemizer.DEFAULT_MODEL
@@ -132,12 +141,50 @@ class ByT5Phonemizer(BasePhonemizer):
             return candidate
         return model  # resolved lazily; engine load reports a clear error
 
+    @classmethod
+    def _download_model(cls, model: str) -> str:
+        """Fetch a known checkpoint to the local data dir (the reference
+        auto-downloads on first use, mul.py:69-81)."""
+        url = cls.MODEL2URL[model]
+        base = os.path.join(os.path.expanduser("~/.local/share/phoonnx"),
+                            model)
+        os.makedirs(base, exist_ok=True)
+        target = os.path.join(base, url.rsplit("/", 1)[-1])
+        if os.path.exists(target):
+            return target
+        import urllib.request
+
+        LOG.info("downloading ByT5 G2P model from %s", url)
+        tmp = target + ".part"
+        try:
+            with urllib.request.urlopen(url, timeout=60) as resp, \
+                    open(tmp, "wb") as f:
+                while True:
+                    chunk = resp.read(1 << 20)
+                    if not chunk:
+                        break
+                    f.write(chunk)
+            os.replace(tmp, target)
+        except Exception as exc:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+            raise IOError(
+                f"failed to download ByT5 G2P model from {url}: {exc} — "
+                f"download it manually and pass model=<path>"
+            ) from exc
+        return target
+
     @property
     def engine(self):
         if self._engine is None:
             from phoonnx_tpu.models.byt5 import ByT5Engine
 
-            self._engine = ByT5Engine.from_onnx(self.model_path)
+            model_path = self.model_path
+            if (model_path is not None and not os.path.exists(model_path)
+                    and model_path in self.MODEL2URL):
+                model_path = self._download_model(model_path)
+                self.model_path = model_path
+            self._engine = ByT5Engine.from_onnx(model_path)
         return self._engine
 
     @classmethod

@@ -130,3 +130,31 @@ def test_greedy_decode_batch_matches_single(engine):
     batched = engine.greedy_decode_batch(seqs)
     singles = [engine.greedy_decode(s) for s in seqs]
     assert batched == singles
+
+
+def test_model_auto_download(tmp_path, monkeypatch):
+    """Known model names download to ~/.local/share/phoonnx on first use
+    (reference mul.py:69-81); failures raise a clean IOError."""
+    from phoonnx_tpu.phonemizers.mul import ByT5Phonemizer
+
+    src = tmp_path / "fake_model.onnx"
+    src.write_bytes(b"onnx-bytes")
+    home = tmp_path / "home"
+    monkeypatch.setenv("HOME", str(home))
+    monkeypatch.setattr(
+        ByT5Phonemizer, "MODEL2URL",
+        {"org/fake-model": src.as_uri()},
+    )
+    target = ByT5Phonemizer._download_model("org/fake-model")
+    assert open(target, "rb").read() == b"onnx-bytes"
+    assert str(home) in target
+    # second call reuses the cached file
+    assert ByT5Phonemizer._download_model("org/fake-model") == target
+
+    # a dead URL surfaces as IOError with guidance, no partial file left
+    monkeypatch.setattr(
+        ByT5Phonemizer, "MODEL2URL",
+        {"org/dead": (tmp_path / "missing.onnx").as_uri()},
+    )
+    with pytest.raises(IOError, match="manually"):
+        ByT5Phonemizer._download_model("org/dead")
