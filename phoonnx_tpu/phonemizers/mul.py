@@ -126,9 +126,9 @@ class ByT5Phonemizer(BasePhonemizer):
             "fdemelo_g2p-mbyt5-12l-ipa-childes-espeak.onnx",
     }
 
-    @staticmethod
-    def _resolve_model(model: Optional[str]) -> Optional[str]:
-        model = model or ByT5Phonemizer.DEFAULT_MODEL
+    @classmethod
+    def _resolve_model(cls, model: Optional[str]) -> Optional[str]:
+        model = model or cls.DEFAULT_MODEL  # subclass defaults apply
         if os.path.exists(model):
             return model
         data_path = os.path.expanduser("~/.local/share/phoonnx")
@@ -137,7 +137,9 @@ class ByT5Phonemizer(BasePhonemizer):
             for name in os.listdir(candidate):
                 if name.endswith(".onnx"):
                     return os.path.join(candidate, name)
-        if os.path.exists(candidate):
+            # empty cache dir (e.g. an interrupted download): fall through
+            # to the model NAME so the engine property can re-download
+        elif os.path.exists(candidate):
             return candidate
         return model  # resolved lazily; engine load reports a clear error
 
@@ -218,6 +220,17 @@ class ByT5Phonemizer(BasePhonemizer):
 class CharsiuPhonemizer(ByT5Phonemizer):
     """CharsiuG2P variant of ByT5; decodes word-by-word because the model
     cannot handle whitespace (mul.py:239-288)."""
+
+    DEFAULT_MODEL = (
+        "Jarbas/charsiu_g2p_multilingual_byT5_tiny_16_layers_100_onnx"
+    )
+    MODEL2URL = {
+        DEFAULT_MODEL:
+            "https://huggingface.co/Jarbas/"
+            "charsiu_g2p_multilingual_byT5_tiny_16_layers_100_onnx/"
+            "resolve/main/"
+            "charsiu_g2p_multilingual_byT5_tiny_16_layers_100.onnx",
+    }
 
     CHARSIU_LANGS = [
         'ady', 'afr', 'sqi', 'amh', 'ara', 'arg', 'arm-e', 'arm-w', 'aze',
