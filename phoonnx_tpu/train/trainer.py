@@ -71,6 +71,78 @@ def evaluate(state, loader: BucketedLoader, rng, hp, cfg,
     return total / max(count, 1)
 
 
+_TEST_INFER_CACHE: dict = {}
+
+
+def _test_infer_jit(hp, max_frames: int, multispeaker: bool):
+    import jax.numpy as jnp
+
+    from phoonnx_tpu.models.vits import model as vits_model
+
+    key = (id(hp), max_frames, multispeaker)
+    if key not in _TEST_INFER_CACHE:
+        @jax.jit
+        def infer_fn(params_g, ids, lengths, sid, rng):
+            return vits_model.infer(
+                params_g, hp, ids, lengths, max_frames=max_frames,
+                noise_scale=jnp.float32(0.667),
+                length_scale=jnp.float32(1.0),
+                noise_w=jnp.float32(0.8),
+                sid=sid, rng=rng,
+            )
+
+        _TEST_INFER_CACHE[key] = infer_fn
+    return _TEST_INFER_CACHE[key]
+
+
+def write_test_audio(params_g, hp, test_utts, out_dir) -> None:
+    """Synthesize the held-out test utterances with the current weights
+    (reference validation_step, lightning.py:286-304) and write WAVs.
+
+    Uses the same fixed scales as the reference (0.667/1.0/0.8) and a
+    fixed seed so successive epochs are comparable. Failures are logged,
+    never fatal — progress audio must not kill a training run.
+    """
+    import wave
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from phoonnx_tpu.models.vits import model as vits_model
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    try:
+        for idx, utt in enumerate(test_utts):
+            ids = np.asarray([utt.phoneme_ids], np.int32)
+            n_frames = max(len(utt.phoneme_ids) * 12, hp.segment_size)
+            sid = (jnp.asarray([utt.speaker_id])
+                   if utt.speaker_id is not None and hp.n_speakers > 1
+                   else None)
+            # jitted (never run infer op-by-op over a remote link); the
+            # cache is keyed by (text length, frame budget), and the test
+            # utterances are fixed across epochs, so compiles happen once
+            infer_fn = _test_infer_jit(hp, n_frames, sid is not None)
+            audio, y_lengths, _ = infer_fn(
+                params_g, jnp.asarray(ids),
+                jnp.asarray([ids.shape[1]], jnp.int32),
+                sid, jax.random.PRNGKey(idx),
+            )
+            n = int(np.asarray(y_lengths)[0]) * hp.total_upsample
+            wav = np.asarray(audio, np.float32)[0, :n]
+            # scale to make louder in [-1, 1] (lightning.py:299-300)
+            wav = wav * (1.0 / max(0.01, float(np.abs(wav).max())))
+            pcm = np.clip(wav * 32767.0, -32767.0, 32767.0).astype(np.int16)
+            with wave.open(str(out_dir / f"test_{idx}.wav"), "wb") as f:
+                f.setnchannels(1)
+                f.setsampwidth(2)
+                f.setframerate(hp.sample_rate)
+                f.writeframes(pcm.tobytes())
+        LOG.info("wrote %d test utterances to %s", len(test_utts), out_dir)
+    except Exception:
+        LOG.exception("test-audio generation failed (continuing)")
+
+
 def run_training(
     dataset_dir: str,
     quality: str = "medium",
@@ -203,9 +275,24 @@ def run_training(
                                 hp, cfg, step_fn=eval_fn)
             LOG.info("epoch %d val_loss=%.3f", epoch, val_loss)
 
+        if _test_utts:
+            # progress audio from the held-out test utterances after each
+            # validation (the reference's validation_step generates these,
+            # lightning.py:286-304 — its tensorboard write is commented
+            # out; we write WAVs under <dataset>/test_audio/epoch_N/)
+            write_test_audio(state.params_g, hp, _test_utts,
+                             dataset_path / "test_audio" / f"epoch_{epoch}")
+
         if (epoch + 1) % checkpoint_epochs == 0:
             path = ckpt.save(str(ckpt_dir), state, hp, config)
             LOG.info("saved checkpoint: %s", path)
+
+    if profiling:
+        # the run ended before profile_steps completed — close the trace
+        # so the files are written rather than silently dropped
+        jax.block_until_ready(metrics)
+        jax.profiler.stop_trace()
+        LOG.info("device trace written (run ended mid-profile)")
 
 
 @click.command(context_settings={"help_option_names": ["-h", "--help"]})

@@ -152,13 +152,17 @@ def test_trainer_loop_with_profile(preprocessed, tmp_path):
     profile_dir = tmp_path / "trace"
     run_training(
         dataset_dir=str(preprocessed), quality="micro", batch_size=2,
-        max_epochs=1, checkpoint_epochs=1, validation_split=0.3,
-        num_test_examples=0, log_every=1,
+        max_epochs=2, checkpoint_epochs=1, validation_split=0.3,
+        num_test_examples=1, log_every=1,
         disc_periods=(2,), disc_channel_scale=4,
         profile_dir=str(profile_dir), profile_steps=1,
     )
     ckpts = list((preprocessed / "checkpoints").glob("*.npz"))
     assert ckpts, "trainer should have written a checkpoint"
+    # held-out test utterances produce progress audio each validation
+    # (reference validation_step, lightning.py:286-304)
+    wavs = list((preprocessed / "test_audio").rglob("*.wav"))
+    assert wavs, "trainer should have written test-utterance audio"
     # the profiler trace directory must contain at least one trace file
     assert any(profile_dir.rglob("*.pb")) or any(profile_dir.rglob("*"))
 
