@@ -14,11 +14,14 @@ all-reduce over ICI; host->device feeding is per-process in multi-host
 runs (standard JAX distributed runtime, no custom backend).
 """
 
+import logging
 from typing import Any, Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+LOG = logging.getLogger(__name__)
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
@@ -30,8 +33,16 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_model
-    if n_data * n_model != len(devices):
-        devices = devices[: n_data * n_model]
+    need = n_data * n_model
+    if need > len(devices):
+        raise ValueError(
+            f"mesh wants {n_data}x{n_model} = {need} devices, "
+            f"have {len(devices)}"
+        )
+    if need < len(devices):
+        LOG.warning("mesh uses %d of %d devices (%d idle)", need,
+                    len(devices), len(devices) - need)
+        devices = devices[:need]
     grid = np.array(devices).reshape(n_data, n_model)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
@@ -69,16 +80,33 @@ def shard_train_state(mesh: Mesh, state: Any) -> Any:
 _TP_MIN_DIM = 64  # only shard matrices with a large enough channel dim
 
 
+def _path_mentions(path_keys, token: str) -> bool:
+    for key in path_keys:
+        name = getattr(key, "key", None)
+        if isinstance(name, str) and token in name:
+            return True
+    return False
+
+
 def _tp_spec_for(path_keys, array, n_model: int) -> P:
     """Partition rule for one parameter.
 
-    Large conv/linear kernels shard their output-channel dim (dim 0 for
-    [O, I, K] conv weights) over `model` when divisible; everything else
-    replicates. With GSPMD this yields 1D tensor parallelism: each shard
+    Large conv/linear kernels shard their OUTPUT-channel dim over
+    `model` when divisible; everything else replicates. Output channels
+    live on dim 0 for standard [O, I, K] conv weights, but on dim 1 for
+    the upsampler's ConvTranspose kernels ([I, O/g, K] torch layout,
+    models/vits/nn.py) — sharding those on dim 0 would partition the
+    CONTRACTING dim and force partial-sum all-reduces instead of sliced
+    outputs. With GSPMD this yields 1D tensor parallelism: each shard
     computes its slice of the output channels and XLA inserts the
     all-gathers where a replicated activation is required.
     """
     if not hasattr(array, "shape") or array.ndim < 2:
+        return P()
+    if _path_mentions(path_keys, "ups") and array.ndim == 3:
+        out_ch = array.shape[1]
+        if out_ch >= _TP_MIN_DIM and out_ch % n_model == 0:
+            return P(None, MODEL_AXIS, *([None] * (array.ndim - 2)))
         return P()
     leading = array.shape[0]
     if leading >= _TP_MIN_DIM and leading % n_model == 0:

@@ -38,8 +38,16 @@ def initialize(coordinator_address: Optional[str] = None,
 
     env_addr = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS")
-    on_pod = os.environ.get("TPU_WORKER_HOSTNAMES") or os.environ.get(
-        "MEGASCALE_COORDINATOR_ADDRESS")
+    # an EXPLICIT multi-host request must fail loudly, never silently
+    # degrade to N independent single-host trainers
+    explicit = env_addr is not None
+    # pod hints: GKE (TPU_WORKER_HOSTNAMES), megascale, plain GCE pod VMs
+    # (TPU_WORKER_ID / CLOUD_TPU_TASK_ID — jax's own GCE detection then
+    # fills the coordinator from the metadata server), or a manual force
+    on_pod = any(os.environ.get(v) for v in (
+        "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
+        "TPU_WORKER_ID", "CLOUD_TPU_TASK_ID", "PHOONNX_MULTIHOST",
+    ))
     if env_addr is None and not on_pod:
         LOG.debug("single-host run; skipping jax.distributed.initialize")
         return False
@@ -51,9 +59,10 @@ def initialize(coordinator_address: Optional[str] = None,
         )
     except RuntimeError as exc:
         msg = str(exc).lower()
-        if "already initialized" in msg:
+        if "already initialized" in msg or "only be called once" in msg:
+            # idempotent re-entry (second run in one process)
             return jax.process_count() > 1
-        if "before any jax calls" in msg and coordinator_address is None:
+        if "before any jax" in msg and not explicit:
             # backend already up in this process and multihost was not
             # explicitly requested — stay single-host
             LOG.warning("XLA backend already initialized; running "
@@ -62,6 +71,8 @@ def initialize(coordinator_address: Optional[str] = None,
             return False
         raise
     except ValueError as exc:
+        if explicit:
+            raise  # incomplete explicit config (e.g. missing num_processes)
         # pod-like env vars present but no coordinator to auto-detect
         # (e.g. single-host tunnels) — stay single-host
         LOG.debug("distributed init unavailable (%s); single-host", exc)
@@ -81,6 +92,12 @@ def process_batch_slice(global_batch: int) -> slice:
     """
     import jax
 
-    per = global_batch // jax.process_count()
+    n = jax.process_count()
+    if global_batch % n:
+        raise ValueError(
+            f"global batch {global_batch} must divide evenly across "
+            f"{n} processes (trailing rows would silently never train)"
+        )
+    per = global_batch // n
     start = per * jax.process_index()
     return slice(start, start + per)

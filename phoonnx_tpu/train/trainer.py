@@ -47,7 +47,8 @@ def build_hparams(config: dict, quality: str) -> VitsHParams:
 
 
 def evaluate(state, loader: BucketedLoader, rng, hp, cfg,
-             max_batches: int = 8, step_fn=None) -> float:
+             max_batches: int = 8, step_fn=None,
+             device_batch=None) -> float:
     """Mean generator loss over validation batches (no updates).
 
     ``step_fn`` must be a jitted train step WITHOUT donation (the state
@@ -63,6 +64,8 @@ def evaluate(state, loader: BucketedLoader, rng, hp, cfg,
     for i, batch in enumerate(loader.epoch()):
         if i >= max_batches:
             break
+        if device_batch is not None:
+            batch = device_batch(batch)
         _, metrics = step_fn(state, batch, jax.random.fold_in(rng, i))
         total += float(metrics["loss_gen_all"]) + float(
             metrics["loss_disc_all"]
@@ -168,7 +171,8 @@ def run_training(
 ) -> None:
     from phoonnx_tpu.parallel import multihost
 
-    if multihost.initialize():
+    multi_host = multihost.initialize()
+    if multi_host:
         LOG.info("multi-host training: this process feeds its batch "
                  "slice; shardings are global")
 
@@ -224,6 +228,55 @@ def run_training(
         ))
         LOG.info("Warm-started generator from %s", resume_from_single_speaker)
 
+    # data-parallel mesh over every available device (all hosts in a
+    # multi-host run): params replicated, batches sharded on the leading
+    # dim, gradient all-reduce inserted by GSPMD. Falls back to
+    # single-device execution when the batch cannot split.
+    import math as _math
+
+    from phoonnx_tpu.parallel import (
+        batch_sharding,
+        make_mesh,
+        shard_train_state,
+    )
+
+    n_data = _math.gcd(batch_size, jax.device_count())
+    use_mesh = n_data > 1 or jax.process_count() > 1
+    mesh = None
+    if use_mesh:
+        mesh = make_mesh(n_data=n_data, n_model=1)
+        state = shard_train_state(mesh, state)
+        # the MAS auto-dispatch keys off this (pallas_call is opaque to
+        # the SPMD partitioner — sharded steps must use the scan DP)
+        cfg = cfg._replace(data_axis_size=n_data)
+        LOG.info("data-parallel mesh: %d-way batch sharding over %d "
+                 "devices (%d processes)", n_data, jax.device_count(),
+                 jax.process_count())
+
+    def device_batch(batch):
+        """Host batch -> global device batch (sharded when meshed).
+
+        Multi-host: every process collates the same global batch (same
+        shuffle seed), keeps only its row slice, and the slices assemble
+        into one global array (make_array_from_process_local_data).
+        """
+        if not use_mesh:
+            return batch
+        import numpy as _np
+
+        sharding = batch_sharding(mesh)
+        rows = (multihost.process_batch_slice(
+                    next(iter(batch.values())).shape[0])
+                if multi_host else slice(None))
+        return {
+            key: jax.make_array_from_process_local_data(
+                sharding, _np.asarray(value[rows])
+            )
+            for key, value in batch.items()
+        }
+
+    is_main_process = jax.process_index() == 0
+
     step_fn = jax.jit(partial(train_step, hp=hp, cfg=cfg),
                       donate_argnums=(0,))
     # validation step: no donation (state is reused), cached across epochs
@@ -249,7 +302,7 @@ def run_training(
                 jax.profiler.start_trace(profile_dir)
                 profiling = True
                 profile_end = step + profile_steps
-            state, metrics = step_fn(state, batch, sub)
+            state, metrics = step_fn(state, device_batch(batch), sub)
             step += 1
             if profiling and step >= profile_end:
                 jax.block_until_ready(metrics)
@@ -272,10 +325,11 @@ def run_training(
 
         if val_loader is not None:
             val_loss = evaluate(state, val_loader, jax.random.PRNGKey(0),
-                                hp, cfg, step_fn=eval_fn)
+                                hp, cfg, step_fn=eval_fn,
+                                device_batch=device_batch)
             LOG.info("epoch %d val_loss=%.3f", epoch, val_loss)
 
-        if _test_utts:
+        if _test_utts and is_main_process:
             # progress audio from the held-out test utterances after each
             # validation (the reference's validation_step generates these,
             # lightning.py:286-304 — its tensorboard write is commented
@@ -283,7 +337,9 @@ def run_training(
             write_test_audio(state.params_g, hp, _test_utts,
                              dataset_path / "test_audio" / f"epoch_{epoch}")
 
-        if (epoch + 1) % checkpoint_epochs == 0:
+        if (epoch + 1) % checkpoint_epochs == 0 and is_main_process:
+            # params/opt state are replicated, so process 0's copy is the
+            # global state; other hosts must not race the same files
             path = ckpt.save(str(ckpt_dir), state, hp, config)
             LOG.info("saved checkpoint: %s", path)
 
