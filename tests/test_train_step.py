@@ -194,3 +194,35 @@ def test_eval_mode_no_update_no_dropout(cfg):
     # rng only moves the stochastic model inputs (sdp/slice/posterior)
     _, metrics2 = eval_fn(state, batch, jax.random.PRNGKey(5))
     assert float(metrics2["loss_gen_all"]) == float(metrics["loss_gen_all"])
+
+
+@pytest.mark.slow
+def test_two_process_distributed_smoke(tmp_path):
+    """REAL multi-process validation: two processes join the distributed
+    runtime, build one global mesh (4 devices), assemble a global batch
+    from per-process slices, and agree on replicated state."""
+    import os
+    import subprocess
+    import sys
+
+    import socket
+
+    worker = os.path.join(os.path.dirname(__file__),
+                          "_multihost_worker.py")
+    with socket.socket() as sock:
+        sock.bind(("127.0.0.1", 0))
+        port = sock.getsockname()[1]
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-u", worker, str(pid), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=150)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+        assert "MULTIHOST SMOKE OK" in out, out
