@@ -2,12 +2,21 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Measures the full bucketed synthesis path (text encoder + SDP + alignment +
+Measures the full synthesis graph (text encoder + SDP + alignment +
 inverse flow + HiFi-GAN) on the "medium" voice preset at a realistic
-workload: one ~6s utterance per call (frame bucket 512 @ 86.1 fps,
+workload: one ~6s utterance per program (frame bucket 512 @ 86.1 fps,
 22.05 kHz). RTF = device_time / audio_seconds_decoded. The reference
 publishes no numbers (BASELINE.md); vs_baseline compares against the
 north-star target RTF 0.02 (>1.0 means better than target).
+
+Timing methodology: N synthesis steps are CHAINED inside one jitted
+program (per-step rng via fold_in, a scalar checksum threads the data
+dependency), and the wall clock runs until the checksum's *bytes* are
+fetched. This is robust on remote-tunnel TPU backends where
+``block_until_ready`` can return before device execution finishes
+(observed on the axon relay: 30 dispatched programs "completed" in less
+time than one program's FLOPs allow). The trivial-program round-trip
+time is measured separately and subtracted.
 """
 
 import json
@@ -15,6 +24,33 @@ import sys
 import time
 
 TARGET_RTF = 0.02
+N_CHAIN = 20
+
+
+def _fetch(x):
+    """Barrier that provably waits: pull the result's bytes to host."""
+    import numpy as np
+
+    return np.asarray(x)
+
+
+def _measure_rtt() -> float:
+    """Median dispatch+fetch round-trip of a trivial program."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    @jax.jit
+    def triv(x):
+        return x + 1.0
+
+    _fetch(triv(jnp.float32(0.0)))
+    ts = []
+    for i in range(8):
+        t0 = time.perf_counter()
+        _fetch(triv(jnp.float32(i)))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
 
 
 def main() -> None:
@@ -43,59 +79,70 @@ def main() -> None:
         )
         return audio, y_lengths
 
-    fn = jax.jit(forward, donate_argnums=())
     ids = jnp.asarray(
         np.random.default_rng(0).integers(4, 160, (1, t_text)), jnp.int32
     )
     lengths = jnp.asarray([t_text], jnp.int32)
 
-    # compile + warmup
-    audio, _ = fn(params, ids, lengths, jax.random.PRNGKey(0))
-    audio.block_until_ready()
-    for i in range(3):
-        audio, _ = fn(params, ids, lengths, jax.random.PRNGKey(i))
-        audio.block_until_ready()
+    rtt = _measure_rtt()
 
-    # best-of-3 timed blocks: the bench chip is shared, and transient
-    # contention otherwise dominates the recorded number (observed 3x
-    # run-to-run swings); the minimum is the honest device capability
-    iters = 20
-    elapsed = float("inf")
-    for _rep in range(3):
-        start = time.perf_counter()
-        for i in range(iters):
-            audio, _ = fn(params, ids, lengths, jax.random.PRNGKey(100 + i))
-        audio.block_until_ready()
-        elapsed = min(elapsed, (time.perf_counter() - start) / iters)
-    rtf = elapsed / audio_seconds
+    def chained_seconds(run_params, ids_c, lengths_c) -> float:
+        """Best-of-3 device seconds per synthesis step (RTT-corrected)."""
 
-    # Secondary configs: batched serving throughput (fp32 and bf16)
+        @jax.jit
+        def chain(params, ids, lengths, base_rng):
+            def body(i, acc):
+                rng = jax.random.fold_in(base_rng, i)
+                audio, _ = forward(params, ids, lengths, rng)
+                # checksum threads the dependency so no step can be
+                # elided or overlapped out of the measurement
+                return acc + audio[:, :: 1997].astype(jnp.float32).sum()
+
+            return jax.lax.fori_loop(0, N_CHAIN, body, jnp.float32(0.0))
+
+        _fetch(chain(run_params, ids_c, lengths_c, jax.random.PRNGKey(0)))
+        best = float("inf")
+        # best-of-3: the bench chip is shared; transient contention
+        # otherwise dominates (observed 3x run-to-run swings)
+        for rep in range(3):
+            t0 = time.perf_counter()
+            _fetch(chain(run_params, ids_c, lengths_c,
+                         jax.random.PRNGKey(rep + 1)))
+            best = min(best, time.perf_counter() - t0)
+        return max(best - rtt, 1e-9) / N_CHAIN
+
+    # Headline: single-utterance fp32 RTF (device compute per audio second)
+    step_s = chained_seconds(params, ids, lengths)
+    rtf = step_s / audio_seconds
+
+    # Secondary: batched serving throughput (fp32 and bf16)
     def throughput(batch: int, dtype) -> float:
         run_params = params
         if dtype == jnp.bfloat16:
             from phoonnx_tpu.infer.engine import cast_floating
 
             run_params = cast_floating(params, jnp.bfloat16)
-        fn_b = jax.jit(forward)
         ids_b = jnp.tile(ids, (batch, 1))
         lengths_b = jnp.full((batch,), t_text, jnp.int32)
-        out, _ = fn_b(run_params, ids_b, lengths_b, jax.random.PRNGKey(0))
-        out.block_until_ready()
-        dt = float("inf")
-        for _rep in range(3):
-            start = time.perf_counter()
-            for i in range(10):
-                out, _ = fn_b(run_params, ids_b, lengths_b,
-                              jax.random.PRNGKey(i))
-            out.block_until_ready()
-            dt = min(dt, (time.perf_counter() - start) / 10)
-        return batch * audio_seconds / dt
+        per_step = chained_seconds(run_params, ids_b, lengths_b)
+        return batch * audio_seconds / per_step
 
     batch16_fp32 = throughput(16, jnp.float32)
     batch16_bf16 = throughput(16, jnp.bfloat16)
 
+    # Client-visible single-call latency (dispatch + compute + full audio
+    # fetch; on a remote-tunnel TPU the round-trip dominates)
+    fn = jax.jit(forward)
+    _fetch(fn(params, ids, lengths, jax.random.PRNGKey(0))[0])
+    lat = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        _fetch(fn(params, ids, lengths, jax.random.PRNGKey(100 + i))[0])
+        lat.append(time.perf_counter() - t0)
+    latency_ms = float(np.median(lat) * 1000)
+
     # Streaming: time-to-first-audio via the chunked vocoder decode
-    # (includes host round-trips; on a remote-tunnel TPU those dominate)
+    # (wall clock to the first fetched chunk — already an honest barrier)
     from phoonnx_tpu.infer.engine import VitsEngine
 
     engine = VitsEngine(params, hp, text_buckets=(128,),
@@ -121,7 +168,9 @@ def main() -> None:
         "vs_baseline": round(TARGET_RTF / rtf, 3),
         "extra": {
             "audio_sec_per_sec_per_chip": round(1.0 / rtf, 1),
-            "latency_ms_best_mean": round(elapsed * 1000, 2),
+            "device_ms_per_utterance": round(step_s * 1000, 3),
+            "client_latency_ms_incl_fetch": round(latency_ms, 2),
+            "rtt_ms": round(rtt * 1000, 2),
             "batch16_fp32_audio_sec_per_sec": round(batch16_fp32, 1),
             "batch16_bf16_audio_sec_per_sec": round(batch16_bf16, 1),
             "streaming_ttfa_ms": round(ttfa_ms, 2),
