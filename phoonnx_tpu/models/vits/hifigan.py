@@ -71,8 +71,18 @@ def init_generator(rng, initial_channel: int, resblock: str,
     return params
 
 
-def generator(params, x: Array, g: Optional[Array] = None) -> Array:
-    """Latent frames [B, T, C] -> waveform [B, T * prod(rates)]."""
+def generator(params, x: Array, g: Optional[Array] = None,
+              pack_channels: Optional[bool] = None) -> Array:
+    """Latent frames [B, T, C] -> waveform [B, T * prod(rates)].
+
+    pack_channels: run the low-channel late stages with channel-packed
+    kernels ([T, C] viewed as [T/r, r*C], see nn.conv1d_packed) so the
+    128-wide TPU lanes stay occupied — same math, different summation
+    grouping. None = auto: on for TPU backends, off elsewhere (on CPU
+    the packed form costs strictly more FLOPs).
+    """
+    if pack_channels is None:
+        pack_channels = jax.default_backend() == "tpu"
     num_kernels = params["num_kernels"]
     resblock_fn = (modules.resblock1 if params["resblock_type"] == "1"
                    else modules.resblock2)
@@ -89,15 +99,23 @@ def generator(params, x: Array, g: Optional[Array] = None) -> Array:
             x, nn.resolve_weight(up), up.get("bias"),
             stride=rate, padding=(kernel - rate) // 2,
         )
+        pack_r = (nn.pack_ratio(x.shape[-1], x.shape[1])
+                  if pack_channels else 1)
         acc = None
         for j in range(num_kernels):
             block = params["resblocks"][i * num_kernels + j]
-            out = resblock_fn(block, x)
+            out = resblock_fn(block, x, pack_r=pack_r)
             acc = out if acc is None else acc + out
         x = acc / num_kernels
 
     # Final activation uses torch's default leaky slope 0.01 (models.py:364).
     x = nn.leaky_relu(x, 0.01)
-    x = nn.apply_conv(params["conv_post"], x, padding=3)
+    final_r = nn.pack_ratio(x.shape[-1], x.shape[1]) if pack_channels else 1
+    if final_r > 1 and nn.packed_conv_taps(7, final_r, 1, 3) < 7 * final_r:
+        x = nn.conv1d_packed(x, params["conv_post"]["weight"],
+                             params["conv_post"].get("bias"),
+                             dilation=1, padding=3, r=final_r)
+    else:
+        x = nn.apply_conv(params["conv_post"], x, padding=3)
     x = jnp.tanh(x)
     return x[..., 0]

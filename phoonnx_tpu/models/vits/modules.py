@@ -154,8 +154,58 @@ def init_resblock1(rng, channels: int, kernel_size: int, dilations):
             "dilations": StaticTuple(dilations)}
 
 
-def resblock1(params, x: Array, x_mask: Optional[Array] = None) -> Array:
+def _wn_conv_packed(conv, x_p, k: int, dilation: int, pack_r: int) -> Array:
+    """Weight-normed conv applied in channel-packed space
+    ([B, T/r, r*C] in, same out; see nn.conv1d_packed)."""
+    padding = (k * dilation - dilation) // 2
+    weight = nn.resolve_weight(conv)
+    wp, pad_l, pad_r = nn.build_packed_kernel(weight, pack_r, dilation,
+                                              padding)
+    y = jax.lax.conv_general_dilated(
+        x_p, wp, window_strides=(1,), padding=[(pad_l, pad_r)],
+        dimension_numbers=("NTC", "OIT", "NTC"),
+        preferred_element_type=x_p.dtype,
+    )
+    bias = conv.get("bias")
+    if bias is not None:
+        y = y + jnp.tile(bias, pack_r)
+    return y
+
+
+def _pack_mask(x_mask: Optional[Array], pack_r: int, channels: int):
+    """[B, T, 1] mask -> [B, T/r, r*C] (phi-major packed lanes)."""
+    if x_mask is None:
+        return None
+    b, t, _ = x_mask.shape
+    return jnp.repeat(x_mask.reshape(b, t // pack_r, pack_r), channels,
+                      axis=-1)
+
+
+def resblock1(params, x: Array, x_mask: Optional[Array] = None,
+              pack_r: int = 1) -> Array:
     k = params["kernel_size"]
+    if pack_r > 1:
+        # Channel-packed stage: every tensor (residuals included) lives as
+        # [B, T/r, r*C] so the whole stage reads/writes full 128-lane
+        # tiles instead of 1/r-occupied ones. Same math, grouped sums.
+        b, t, c = x.shape
+        x_p = x.reshape(b, t // pack_r, pack_r * c)
+        m_p = _pack_mask(x_mask, pack_r, c)
+        for conv1, conv2, dilation in zip(
+            params["convs1"], params["convs2"], params["dilations"]
+        ):
+            xt = nn.leaky_relu(x_p, LRELU_SLOPE)
+            if m_p is not None:
+                xt = xt * m_p
+            xt = _wn_conv_packed(conv1, xt, k, dilation, pack_r)
+            xt = nn.leaky_relu(xt, LRELU_SLOPE)
+            if m_p is not None:
+                xt = xt * m_p
+            xt = _wn_conv_packed(conv2, xt, k, 1, pack_r)
+            x_p = xt + x_p
+        if m_p is not None:
+            x_p = x_p * m_p
+        return x_p.reshape(b, t, c)
     for conv1, conv2, dilation in zip(
         params["convs1"], params["convs2"], params["dilations"]
     ):
@@ -184,8 +234,22 @@ def init_resblock2(rng, channels: int, kernel_size: int, dilations):
             "dilations": StaticTuple(dilations)}
 
 
-def resblock2(params, x: Array, x_mask: Optional[Array] = None) -> Array:
+def resblock2(params, x: Array, x_mask: Optional[Array] = None,
+              pack_r: int = 1) -> Array:
     k = params["kernel_size"]
+    if pack_r > 1:
+        b, t, c = x.shape
+        x_p = x.reshape(b, t // pack_r, pack_r * c)
+        m_p = _pack_mask(x_mask, pack_r, c)
+        for conv, dilation in zip(params["convs"], params["dilations"]):
+            xt = nn.leaky_relu(x_p, LRELU_SLOPE)
+            if m_p is not None:
+                xt = xt * m_p
+            xt = _wn_conv_packed(conv, xt, k, dilation, pack_r)
+            x_p = xt + x_p
+        if m_p is not None:
+            x_p = x_p * m_p
+        return x_p.reshape(b, t, c)
     for conv, dilation in zip(params["convs"], params["dilations"]):
         xt = nn.leaky_relu(x, LRELU_SLOPE)
         if x_mask is not None:

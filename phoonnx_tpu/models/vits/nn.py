@@ -88,6 +88,101 @@ def apply_conv(params, x, **kw) -> Array:
 
 
 # ---------------------------------------------------------------------------
+# Channel-packed convolutions (TPU lane-occupancy optimisation)
+# ---------------------------------------------------------------------------
+#
+# The TPU vector registers and MXU tiles are 128 lanes wide in the minor
+# (channel) dimension; a conv at C=32 leaves 3/4 of every lane unused (and
+# XLA pads the operands, so the waste is both FLOPs and HBM bytes). The
+# HiFi-GAN vocoder's last stages run at C = 64/32 over very long time
+# axes — ~95% of synthesis device time (ARCHITECTURE.md "Measured
+# reality").
+#
+# Fix: view [B, T, C] as [B, T/r, r*C] — for row-major channels-last data
+# this reshape is a free bitcast (x[t, c] == xp[t//r, (t%r)*C + c]) — and
+# run the conv over the packed view with an equivalent block-structured
+# kernel. Derivation: with t = r*t' + phi and tap offset m = phi + j*d - p,
+#
+#   y[t, o]             = sum_j  W[o, i, j] . x[t + j*d - p, i]
+#   y_p[t', phi*O + o]  = sum_q  Wp[phi*O+o, psi*C+i, q - q_min]
+#                                . x_p[t' + q, psi*C+i]
+#   where q = floor(m / r), psi = m mod r
+#
+# Each (phi, j) lands on exactly one (q, psi), so Wp ([r*O, r*C, K'] with
+# K' = q_max - q_min + 1) holds the k*r*O*C original weights among zeros.
+# The packed conv computes K'/r * (rC)^2 MACs per original position versus
+# the lane-padded k * pad(C)^2 of the direct form — a win whenever
+# K' < k * r (always true for small dilations; false e.g. for k7 d12 at
+# r=2, which is why callers decide per conv via packed_conv_taps).
+
+
+def packed_conv_taps(kernel: int, r: int, dilation: int,
+                     padding: int) -> int:
+    """K' — packed-kernel tap count for the cost heuristic (static)."""
+    lo = (0 - padding) // r
+    hi = ((r - 1) + (kernel - 1) * dilation - padding) // r
+    return hi - lo + 1
+
+
+def build_packed_kernel(weight: Array, r: int, dilation: int, padding: int):
+    """[O, I, K] torch-layout weight -> (Wp [r*O, r*I, K'], pad_l, pad_r).
+
+    Pure jnp scatter of static slices — traces to a handful of pad/concat
+    ops, negligible beside the conv itself.
+    """
+    out_ch, in_ch, kernel = weight.shape
+    q_min = (0 - padding) // r
+    n_taps = packed_conv_taps(kernel, r, dilation, padding)
+    wp = jnp.zeros((r * out_ch, r * in_ch, n_taps), weight.dtype)
+    for phi in range(r):
+        for j in range(kernel):
+            m = phi + j * dilation - padding
+            q = m // r
+            psi = m - q * r
+            wp = wp.at[phi * out_ch:(phi + 1) * out_ch,
+                       psi * in_ch:(psi + 1) * in_ch,
+                       q - q_min].set(weight[:, :, j])
+    return wp, -q_min, n_taps - 1 + q_min
+
+
+def conv1d_packed(
+    x: Array,
+    weight: Array,
+    bias: Optional[Array] = None,
+    dilation: int = 1,
+    padding: int = 0,
+    r: int = 4,
+) -> Array:
+    """Channel-packed "same"-family conv1d (stride 1, groups 1).
+
+    Bit-identical contract to ``conv1d(x, weight, bias, padding=padding,
+    dilation=dilation)`` up to float summation order. T must be divisible
+    by ``r`` (vocoder time axes are multiples of the upsample rates).
+    """
+    batch, t_len, in_ch = x.shape
+    out_ch = weight.shape[0]
+    xp = x.reshape(batch, t_len // r, r * in_ch)
+    wp, pad_l, pad_r = build_packed_kernel(weight, r, dilation, padding)
+    yp = jax.lax.conv_general_dilated(
+        xp, wp, window_strides=(1,), padding=[(pad_l, pad_r)],
+        dimension_numbers=_CONV_DN,
+        preferred_element_type=x.dtype,
+    )
+    y = yp.reshape(batch, t_len, out_ch)
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def pack_ratio(channels: int, t_len: int, lanes: int = 128) -> int:
+    """Largest r with r*channels <= lanes, r | t_len (1 = don't pack)."""
+    r = 1
+    while (channels * r * 2 <= lanes and t_len % (r * 2) == 0):
+        r *= 2
+    return r
+
+
+# ---------------------------------------------------------------------------
 # Weight normalization
 # ---------------------------------------------------------------------------
 

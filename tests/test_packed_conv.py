@@ -1,0 +1,102 @@
+"""Channel-packed conv equivalence (nn.conv1d_packed and the packed
+resblock/generator stages).
+
+The packed form computes the same sums as the direct conv with a
+different grouping — results must match to fp32 reassociation noise.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from phoonnx_tpu.models.vits import hifigan, modules, nn
+from phoonnx_tpu.models.vits import model as vits_model
+
+
+@pytest.mark.parametrize("k,d,r", [
+    (3, 1, 4), (3, 2, 4), (5, 2, 4), (5, 6, 4), (7, 3, 4), (7, 12, 4),
+    (3, 1, 2), (5, 6, 2), (7, 12, 8), (1, 1, 4),
+])
+def test_conv1d_packed_matches_direct(k, d, r):
+    rng = np.random.default_rng(k * 100 + d * 10 + r)
+    c_in, c_out, t = 16, 24, 64
+    x = jnp.asarray(rng.standard_normal((2, t, c_in)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((c_out, c_in, k)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((c_out,)) * 0.1, jnp.float32)
+    p = (k * d - d) // 2
+    ref = nn.conv1d(x, w, b, padding=p, dilation=d)
+    out = nn.conv1d_packed(x, w, b, dilation=d, padding=p, r=r)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_packed_conv_taps_matches_kernel():
+    w = jnp.ones((4, 4, 7), jnp.float32)
+    wp, pad_l, pad_r = nn.build_packed_kernel(w, 4, 12, 36)
+    assert wp.shape == (16, 16, nn.packed_conv_taps(7, 4, 12, 36))
+    # every original weight appears exactly once
+    assert float(wp.sum()) == pytest.approx(4 * 4 * 7 * 4)  # x r phases
+
+
+def test_pack_ratio():
+    assert nn.pack_ratio(32, 1024) == 4
+    assert nn.pack_ratio(64, 1024) == 2
+    assert nn.pack_ratio(128, 1024) == 1
+    assert nn.pack_ratio(192, 1024) == 1
+    assert nn.pack_ratio(32, 6) == 2  # T divisibility caps r
+    assert nn.pack_ratio(32, 7) == 1
+
+
+@pytest.mark.parametrize("which", ["resblock1", "resblock2"])
+def test_packed_resblock_matches_with_mask(which):
+    rng_np = np.random.default_rng(0)
+    x = jnp.asarray(rng_np.standard_normal((2, 64, 32)) * 0.3, jnp.float32)
+    mask = jnp.asarray(
+        (np.arange(64)[None, :, None]
+         < np.asarray([40, 64])[:, None, None]).astype(np.float32))
+    if which == "resblock1":
+        params = modules.init_resblock1(jax.random.PRNGKey(3), 32, 3,
+                                        (1, 3, 5))
+        fn = modules.resblock1
+    else:
+        params = modules.init_resblock2(jax.random.PRNGKey(4), 32, 5,
+                                        (2, 6))
+        fn = modules.resblock2
+    ref = fn(params, x, mask, pack_r=1)
+    out = fn(params, x, mask, pack_r=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_generator_packed_matches_unpacked():
+    hp = vits_model.VitsHParams.preset("medium", n_vocab=161)
+    params = vits_model.random_params(jax.random.PRNGKey(0), hp)
+    z = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 8, hp.inter_channels)) * 0.3, jnp.float32)
+    ref = hifigan.generator(params["dec"], z, pack_channels=False)
+    out = hifigan.generator(params["dec"], z, pack_channels=True)
+    assert ref.shape == out.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_generator_packed_grads_match():
+    """Training goes through the same code path — check autodiff."""
+    hp = vits_model.VitsHParams.preset("x-low", n_vocab=161)
+    params = vits_model.random_params(jax.random.PRNGKey(0), hp)
+    z = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (1, 8, hp.inter_channels)) * 0.3, jnp.float32)
+
+    def loss(dec_params, pack):
+        y = hifigan.generator(dec_params, z, pack_channels=pack)
+        return jnp.sum(y * y)
+
+    g_ref = jax.grad(lambda p: loss(p, False))(params["dec"])
+    g_pack = jax.grad(lambda p: loss(p, True))(params["dec"])
+    flat_ref = jax.tree.leaves(g_ref)
+    flat_pack = jax.tree.leaves(g_pack)
+    assert len(flat_ref) == len(flat_pack)
+    for a, b in zip(flat_ref, flat_pack):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-4, rtol=5e-3)
