@@ -156,20 +156,11 @@ def init_resblock1(rng, channels: int, kernel_size: int, dilations):
 
 def _wn_conv_packed(conv, x_p, k: int, dilation: int, pack_r: int) -> Array:
     """Weight-normed conv applied in channel-packed space
-    ([B, T/r, r*C] in, same out; see nn.conv1d_packed)."""
+    ([B, T/r, r*C] in, same out; see nn.conv1d_packed_io)."""
     padding = (k * dilation - dilation) // 2
-    weight = nn.resolve_weight(conv)
-    wp, pad_l, pad_r = nn.build_packed_kernel(weight, pack_r, dilation,
-                                              padding)
-    y = jax.lax.conv_general_dilated(
-        x_p, wp, window_strides=(1,), padding=[(pad_l, pad_r)],
-        dimension_numbers=("NTC", "OIT", "NTC"),
-        preferred_element_type=x_p.dtype,
-    )
-    bias = conv.get("bias")
-    if bias is not None:
-        y = y + jnp.tile(bias, pack_r)
-    return y
+    return nn.conv1d_packed_io(x_p, nn.resolve_weight(conv),
+                               conv.get("bias"), dilation=dilation,
+                               padding=padding, r=pack_r)
 
 
 def _pack_mask(x_mask: Optional[Array], pack_r: int, channels: int):
