@@ -91,6 +91,7 @@ def generator(params, x: Array, g: Optional[Array] = None,
     if g is not None:
         x = x + nn.apply_conv(params["cond"], g)
 
+    pack_r = 1
     for i, up in enumerate(params["ups"]):
         rate = params["upsample_rates"][i]
         kernel = params["upsample_kernel_sizes"][i]
@@ -99,23 +100,32 @@ def generator(params, x: Array, g: Optional[Array] = None,
             x, nn.resolve_weight(up), up.get("bias"),
             stride=rate, padding=(kernel - rate) // 2,
         )
-        pack_r = (nn.pack_ratio(x.shape[-1], x.shape[1])
-                  if pack_channels else 1)
+        batch, t_len, ch = x.shape
+        pack_r = nn.pack_ratio(ch, t_len) if pack_channels else 1
+        if pack_r > 1:
+            # pack ONCE per stage: the [T, C] <-> [T/r, r*C] boundary is a
+            # physical re-layout on TPU, so the branch sum stays packed
+            x = x.reshape(batch, t_len // pack_r, pack_r * ch)
         acc = None
         for j in range(num_kernels):
             block = params["resblocks"][i * num_kernels + j]
-            out = resblock_fn(block, x, pack_r=pack_r)
+            out = resblock_fn(block, x, pack_r=pack_r,
+                              packed_io=pack_r > 1)
             acc = out if acc is None else acc + out
         x = acc / num_kernels
+        if pack_r > 1 and i < len(params["ups"]) - 1:
+            x = x.reshape(batch, t_len, ch)
 
     # Final activation uses torch's default leaky slope 0.01 (models.py:364).
+    # The last stage's packed view feeds conv_post directly (same r).
     x = nn.leaky_relu(x, 0.01)
-    final_r = nn.pack_ratio(x.shape[-1], x.shape[1]) if pack_channels else 1
-    if final_r > 1 and nn.packed_conv_taps(7, final_r, 1, 3) < 7 * final_r:
-        x = nn.conv1d_packed(x, params["conv_post"]["weight"],
-                             params["conv_post"].get("bias"),
-                             dilation=1, padding=3, r=final_r)
+    w_post = params["conv_post"]["weight"]
+    b_post = params["conv_post"].get("bias")
+    if pack_r > 1:
+        x = nn.conv1d_packed_io(x, w_post, b_post, dilation=1,
+                                padding=3, r=pack_r)
+        x = x.reshape(x.shape[0], x.shape[1] * pack_r, w_post.shape[0])
     else:
-        x = nn.apply_conv(params["conv_post"], x, padding=3)
+        x = nn.conv1d(x, w_post, b_post, padding=3)
     x = jnp.tanh(x)
     return x[..., 0]

@@ -69,8 +69,15 @@ def init_istft_generator(rng, initial_channel: int, resblock: str,
     return params
 
 
-def istft_generator(params, x: Array, g: Optional[Array] = None) -> Array:
-    """Latent frames [B, T, C] -> waveform [B, T * prod(rates) * hop]."""
+def istft_generator(params, x: Array, g: Optional[Array] = None,
+                    pack_channels: Optional[bool] = None) -> Array:
+    """Latent frames [B, T, C] -> waveform [B, T * prod(rates) * hop].
+
+    pack_channels: channel-pack the low-channel stages (see
+    hifigan.generator / nn.conv1d_packed_io); None = auto (TPU only).
+    """
+    if pack_channels is None:
+        pack_channels = jax.default_backend() == "tpu"
     num_kernels = params["num_kernels"]
     resblock_fn = (modules.resblock1 if params["resblock_type"] == "1"
                    else modules.resblock2)
@@ -89,12 +96,19 @@ def istft_generator(params, x: Array, g: Optional[Array] = None) -> Array:
             x, nn.resolve_weight(up), up.get("bias"),
             stride=rate, padding=(kernel - rate) // 2,
         )
+        batch, t_len, ch = x.shape
+        pack_r = nn.pack_ratio(ch, t_len) if pack_channels else 1
+        if pack_r > 1:
+            x = x.reshape(batch, t_len // pack_r, pack_r * ch)
         acc = None
         for j in range(num_kernels):
             block = params["resblocks"][i * num_kernels + j]
-            out = resblock_fn(block, x)
+            out = resblock_fn(block, x, pack_r=pack_r,
+                              packed_io=pack_r > 1)
             acc = out if acc is None else acc + out
         x = acc / num_kernels
+        if pack_r > 1:
+            x = x.reshape(batch, t_len, ch)
 
     x = nn.leaky_relu(x, 0.01)
     magnitude = jnp.exp(

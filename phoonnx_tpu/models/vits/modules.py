@@ -173,15 +173,22 @@ def _pack_mask(x_mask: Optional[Array], pack_r: int, channels: int):
 
 
 def resblock1(params, x: Array, x_mask: Optional[Array] = None,
-              pack_r: int = 1) -> Array:
+              pack_r: int = 1, packed_io: bool = False) -> Array:
     k = params["kernel_size"]
     if pack_r > 1:
         # Channel-packed stage: every tensor (residuals included) lives as
         # [B, T/r, r*C] so the whole stage reads/writes full 128-lane
         # tiles instead of 1/r-occupied ones. Same math, grouped sums.
-        b, t, c = x.shape
-        x_p = x.reshape(b, t // pack_r, pack_r * c)
-        m_p = _pack_mask(x_mask, pack_r, c)
+        # packed_io: caller already holds the packed view (and the packed
+        # mask) — the [T, C] <-> [T/r, r*C] boundary is NOT free on TPU
+        # (the layouts differ physically), so stages that chain packed
+        # blocks should pack once outside.
+        if packed_io:
+            x_p, m_p = x, x_mask
+        else:
+            b, t, c = x.shape
+            x_p = x.reshape(b, t // pack_r, pack_r * c)
+            m_p = _pack_mask(x_mask, pack_r, c)
         for conv1, conv2, dilation in zip(
             params["convs1"], params["convs2"], params["dilations"]
         ):
@@ -196,6 +203,8 @@ def resblock1(params, x: Array, x_mask: Optional[Array] = None,
             x_p = xt + x_p
         if m_p is not None:
             x_p = x_p * m_p
+        if packed_io:
+            return x_p
         return x_p.reshape(b, t, c)
     for conv1, conv2, dilation in zip(
         params["convs1"], params["convs2"], params["dilations"]
@@ -226,12 +235,15 @@ def init_resblock2(rng, channels: int, kernel_size: int, dilations):
 
 
 def resblock2(params, x: Array, x_mask: Optional[Array] = None,
-              pack_r: int = 1) -> Array:
+              pack_r: int = 1, packed_io: bool = False) -> Array:
     k = params["kernel_size"]
     if pack_r > 1:
-        b, t, c = x.shape
-        x_p = x.reshape(b, t // pack_r, pack_r * c)
-        m_p = _pack_mask(x_mask, pack_r, c)
+        if packed_io:
+            x_p, m_p = x, x_mask
+        else:
+            b, t, c = x.shape
+            x_p = x.reshape(b, t // pack_r, pack_r * c)
+            m_p = _pack_mask(x_mask, pack_r, c)
         for conv, dilation in zip(params["convs"], params["dilations"]):
             xt = nn.leaky_relu(x_p, LRELU_SLOPE)
             if m_p is not None:
@@ -240,6 +252,8 @@ def resblock2(params, x: Array, x_mask: Optional[Array] = None,
             x_p = xt + x_p
         if m_p is not None:
             x_p = x_p * m_p
+        if packed_io:
+            return x_p
         return x_p.reshape(b, t, c)
     for conv, dilation in zip(params["convs"], params["dilations"]):
         xt = nn.leaky_relu(x, LRELU_SLOPE)

@@ -81,6 +81,21 @@ def test_generator_packed_matches_unpacked():
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("preset", ["medium-istft", "medium-mb-istft"])
+def test_istft_generator_packed_matches_unpacked(preset):
+    from phoonnx_tpu.models.vits.istft_decoder import istft_generator
+
+    hp = vits_model.VitsHParams.preset(preset, n_vocab=161)
+    params = vits_model.random_params(jax.random.PRNGKey(0), hp)
+    z = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 8, hp.inter_channels)) * 0.3, jnp.float32)
+    ref = istft_generator(params["dec"], z, pack_channels=False)
+    out = istft_generator(params["dec"], z, pack_channels=True)
+    assert ref.shape == out.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_generator_packed_grads_match():
     """Training goes through the same code path — check autodiff."""
     hp = vits_model.VitsHParams.preset("x-low", n_vocab=161)
