@@ -594,3 +594,167 @@ _OPS.update({
     "ConvTranspose": _op_conv_transpose,
     "RandomNormalLike": _op_random_normal_like,
 })
+
+
+# ---------------------------------------------------------------------------
+# Quantized ops (int8 exports: onnxruntime dynamic/static quantization)
+# ---------------------------------------------------------------------------
+#
+# Integer accumulations are computed exactly in int64 (the f32 conv path
+# above is NOT exact once partial sums pass 2^24), rounding is
+# round-half-to-even per the ONNX spec (np.rint).
+
+
+def _per_axis(arr, ndim: int, axis: int):
+    """Scale/zero-point broadcast: scalar stays scalar; 1-D maps to axis."""
+    a = np.asarray(arr)
+    if a.ndim == 0 or a.size == 1:
+        return a.reshape(())
+    shape = [1] * ndim
+    shape[axis] = a.size
+    return a.reshape(shape)
+
+
+def _saturate(values, dtype):
+    info = np.iinfo(dtype)
+    return np.clip(values, info.min, info.max).astype(dtype)
+
+
+def _op_quantize_linear(node, x, scale, zp=None):
+    axis = _attr(node, "axis", 1)
+    s = _per_axis(scale, x.ndim, axis)
+    dtype = zp.dtype if zp is not None else np.uint8
+    z = _per_axis(zp, x.ndim, axis).astype(np.int32) if zp is not None else 0
+    return _saturate(np.rint(x / s).astype(np.int32) + z, dtype)
+
+
+def _op_dequantize_linear(node, x, scale, zp=None):
+    axis = _attr(node, "axis", 1)
+    s = _per_axis(scale, x.ndim, axis).astype(np.float32)
+    z = _per_axis(zp, x.ndim, axis).astype(np.int32) if zp is not None else 0
+    return ((x.astype(np.int32) - z) * s).astype(np.float32)
+
+
+def _op_dynamic_quantize_linear(node, x):
+    x = np.asarray(x, np.float32)
+    rmin = min(float(x.min()) if x.size else 0.0, 0.0)
+    rmax = max(float(x.max()) if x.size else 0.0, 0.0)
+    scale = (rmax - rmin) / 255.0
+    if scale == 0.0:
+        scale = 1.0
+    zp = np.uint8(np.clip(np.rint(0 - rmin / scale), 0, 255))
+    y = _saturate(np.rint(x / scale).astype(np.int32) + np.int32(zp),
+                  np.uint8)
+    return y, np.float32(scale), zp
+
+
+def _int_matmul(a, b, a_zp=None, b_zp=None):
+    """Exact (A - a_zp) @ (B - b_zp) in int64, returned as int32."""
+    a64 = np.asarray(a).astype(np.int64)
+    b64 = np.asarray(b).astype(np.int64)
+    if a_zp is not None:
+        z = np.asarray(a_zp, np.int64)
+        a64 = a64 - (z.reshape(-1, 1) if z.ndim == 1 and z.size > 1 else z)
+    if b_zp is not None:
+        z = np.asarray(b_zp, np.int64)
+        b64 = b64 - (z.reshape(1, -1) if z.ndim == 1 and z.size > 1 else z)
+    return (a64 @ b64).astype(np.int32)
+
+
+def _op_matmul_integer(node, a, b, a_zp=None, b_zp=None):
+    return _int_matmul(a, b, a_zp, b_zp)
+
+
+def _op_qlinear_matmul(node, a, a_scale, a_zp, b, b_scale, b_zp,
+                       y_scale, y_zp):
+    acc = _int_matmul(a, b, a_zp, b_zp).astype(np.float64)
+    scale = (np.asarray(a_scale, np.float64)
+             * np.asarray(b_scale, np.float64)
+             / np.asarray(y_scale, np.float64))
+    y = np.rint(acc * scale).astype(np.int64) + np.asarray(y_zp, np.int64)
+    return _saturate(y, np.asarray(y_zp).dtype)
+
+
+def _int_conv_exact(node, x, w, x_zp=None, w_zp=None):
+    """Exact integer conv via im2col + int64 matmul (1D/2D, groups)."""
+    spatial = x.ndim - 2
+    group = _attr(node, "group", 1)
+    strides = tuple(_attr(node, "strides", [1] * spatial))
+    dilations = tuple(_attr(node, "dilations", [1] * spatial))
+    pads = list(_attr(node, "pads", [0] * (2 * spatial)))
+    if _attr(node, "auto_pad", "NOTSET") not in ("NOTSET", b"NOTSET"):
+        raise NotImplementedError("auto_pad in integer conv")
+    x64 = np.asarray(x).astype(np.int64)
+    w64 = np.asarray(w).astype(np.int64)
+    if x_zp is not None:
+        x64 = x64 - np.asarray(x_zp, np.int64)  # scalar per spec
+    if w_zp is not None:
+        z = np.asarray(w_zp, np.int64)
+        if z.ndim == 1 and z.size > 1:  # per output channel
+            w64 = w64 - z.reshape((-1,) + (1,) * (w64.ndim - 1))
+        else:
+            w64 = w64 - z
+    if spatial == 1:
+        x64 = x64[..., None]
+        w64 = w64[..., None]
+        strides = strides + (1,)
+        dilations = dilations + (1,)
+        pads = [pads[0], 0, pads[1], 0]
+    n, c_in, h, wd = x64.shape
+    c_out, c_in_g, kh, kw = w64.shape
+    xp = np.pad(x64, ((0, 0), (0, 0), (pads[0], pads[2]),
+                      (pads[1], pads[3])))
+    oh = (xp.shape[2] - (kh - 1) * dilations[0] - 1) // strides[0] + 1
+    ow = (xp.shape[3] - (kw - 1) * dilations[1] - 1) // strides[1] + 1
+    cols = np.empty((n, c_in, kh, kw, oh, ow), np.int64)
+    for i in range(kh):
+        for j in range(kw):
+            hi = i * dilations[0]
+            wj = j * dilations[1]
+            cols[:, :, i, j] = xp[
+                :, :,
+                hi:hi + oh * strides[0]:strides[0],
+                wj:wj + ow * strides[1]:strides[1],
+            ]
+    out = np.empty((n, c_out, oh, ow), np.int64)
+    og = c_out // group
+    for g in range(group):
+        col_g = cols[:, g * c_in_g:(g + 1) * c_in_g]
+        col2 = col_g.reshape(n, c_in_g * kh * kw, oh * ow)
+        w2 = w64[g * og:(g + 1) * og].reshape(og, c_in_g * kh * kw)
+        out[:, g * og:(g + 1) * og] = (
+            np.einsum("ok,nkp->nop", w2, col2).reshape(n, og, oh, ow)
+        )
+    if spatial == 1:
+        out = out[..., 0]
+    return out
+
+
+def _op_conv_integer(node, x, w, x_zp=None, w_zp=None):
+    return _int_conv_exact(node, x, w, x_zp, w_zp).astype(np.int32)
+
+
+def _op_qlinear_conv(node, x, x_scale, x_zp, w, w_scale, w_zp,
+                     y_scale, y_zp, b=None):
+    acc = _int_conv_exact(node, x, w, x_zp, w_zp)
+    if b is not None:  # int32 bias at scale x_scale*w_scale
+        acc = acc + np.asarray(b, np.int64).reshape(
+            (1, -1) + (1,) * (acc.ndim - 2))
+    scale = (np.asarray(x_scale, np.float64)
+             * np.asarray(w_scale, np.float64)
+             / np.asarray(y_scale, np.float64))
+    s = _per_axis(scale, acc.ndim, 1)
+    y = (np.rint(acc.astype(np.float64) * s).astype(np.int64)
+         + np.asarray(y_zp, np.int64))
+    return _saturate(y, np.asarray(y_zp).dtype)
+
+
+_OPS.update({
+    "QuantizeLinear": _op_quantize_linear,
+    "DequantizeLinear": _op_dequantize_linear,
+    "DynamicQuantizeLinear": _op_dynamic_quantize_linear,
+    "MatMulInteger": _op_matmul_integer,
+    "QLinearMatMul": _op_qlinear_matmul,
+    "ConvInteger": _op_conv_integer,
+    "QLinearConv": _op_qlinear_conv,
+})
