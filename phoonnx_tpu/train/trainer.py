@@ -292,6 +292,7 @@ def run_training(
     # prefetch below would then overlap nothing). Synced once here for
     # checkpoint resume.
     step = int(state.step)
+    metrics = None
     for epoch in range(max_epochs):
         epoch_start = time.time()
         for batch in train_loader.epoch(prefetch=2):
@@ -321,6 +322,12 @@ def run_training(
                     float(metrics["loss_kl"]),
                     float(metrics["loss_dur"]),
                 )
+        # fetch one metric's BYTES before reading the clock: async dispatch
+        # means the steps above may still be executing, and on remote-tunnel
+        # backends even block_until_ready can return early — only a data
+        # fetch provably waits for the epoch's in-order work to finish
+        if metrics is not None:
+            _ = float(metrics["loss_gen_all"])
         LOG.info("epoch %d done in %.1fs", epoch, time.time() - epoch_start)
 
         if val_loader is not None:
