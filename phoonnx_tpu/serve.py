@@ -55,7 +55,11 @@ class _Submission:
 
     def wait(self, timeout: Optional[float] = None) -> np.ndarray:
         if not self.event.wait(timeout):
-            raise TimeoutError("synthesis timed out")
+            raise TimeoutError(
+                "synthesis timed out — if the server just booted this is "
+                "usually a cold XLA compile on the dispatcher (start with "
+                "--warmup, keep the compilation cache enabled, or raise "
+                "--request-timeout)")
         if self.error is not None:
             raise self.error
         return self.audio
@@ -231,15 +235,22 @@ class TTSServer:
     """
 
     def __init__(self, voice, host: str = "127.0.0.1", port: int = 0,
-                 max_batch: int = 16, max_wait_ms: float = 10.0):
+                 max_batch: int = 16, max_wait_ms: float = 10.0,
+                 request_timeout: float = 120.0):
         """``voice``: a TTSVoice, or a dict name -> TTSVoice to serve
         several voices from one process (each gets its own batcher;
-        requests pick one with ``"voice": "<name>"``)."""
+        requests pick one with ``"voice": "<name>"``).
+
+        request_timeout: per-request wait bound in seconds. A COLD boot
+        without ``warmup()`` pays multi-second (remote tunnels:
+        multi-minute) XLA compiles on the dispatcher thread; raise this
+        or warm up when first-request latency matters."""
         if not isinstance(voice, dict):
             voice = {"default": voice}
         if not voice:
             raise ValueError("at least one voice is required")
         self.voices = voice
+        self.request_timeout = float(request_timeout)
         self.default_voice = next(iter(voice))
         self.batchers = {
             name: DynamicBatcher(v.engine, max_batch=max_batch,
@@ -352,7 +363,7 @@ class TTSServer:
             speaker_id=int(body.get("speaker_id", 0)),
             seed=seed,
         )
-        audio = sub.wait(timeout=120.0)
+        audio = sub.wait(timeout=self.request_timeout)
         if body.get("normalize", False) and len(audio):
             peak = np.max(np.abs(audio))
             audio = audio / peak if peak > 1e-8 else audio
@@ -557,6 +568,11 @@ def main(argv: Optional[List[str]] = None) -> None:
     ap.add_argument("--warmup", action="store_true",
                     help="precompile the common bucket grid before "
                          "accepting traffic")
+    ap.add_argument("--request-timeout", type=float, default=120.0,
+                    help="per-request synthesis wait in seconds; cold "
+                         "boots without --warmup can exceed the default "
+                         "while XLA compiles (minutes on remote-tunnel "
+                         "TPUs)")
     ap.add_argument("--no-compile-cache", action="store_true",
                     help="disable the persistent XLA compilation cache")
     args = ap.parse_args(argv)
@@ -582,7 +598,8 @@ def main(argv: Optional[List[str]] = None) -> None:
                 name = _Path(spec).stem if i else "default"
             voices[name] = TTSVoice.load(path, dtype=dtype)
     srv = TTSServer(voices, host=args.host, port=args.port,
-                    max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+                    max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+                    request_timeout=args.request_timeout)
     if args.warmup:
         srv.warmup()
     LOG.info("serving on %s:%d", *srv.address)

@@ -279,3 +279,20 @@ def test_float_seed_coerced(server):
     resp, data = _request(server, "POST", "/synthesize",
                           {"text": "[[abc]]", "seed": 5.0})
     assert resp.status == 200
+
+
+def test_request_timeout_returns_clear_json_error(voice):
+    """A too-small request_timeout must fail as a clean JSON error that
+    points at warmup/cold compiles, not hang or corrupt HTTP framing."""
+    srv = TTSServer(voice, port=0, max_batch=8, max_wait_ms=500.0,
+                    request_timeout=1e-4)
+    srv.start()
+    try:
+        resp, data = _request(srv, "POST", "/synthesize",
+                              {"text": "[[abc]]"})
+        assert resp.status == 500
+        payload = json.loads(data)
+        assert "timed out" in payload["error"]
+        assert "--warmup" in payload["error"]
+    finally:
+        srv.stop()
