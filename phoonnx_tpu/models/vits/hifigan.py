@@ -91,21 +91,40 @@ def generator(params, x: Array, g: Optional[Array] = None,
     if g is not None:
         x = x + nn.apply_conv(params["cond"], g)
 
+    # Running packing factor of x's current view ([B, T/r, r*C]); the
+    # whole tail — upsample convs included — chains packed views so no
+    # tensor ever materializes in a partially-occupied lane layout.
     pack_r = 1
     for i, up in enumerate(params["ups"]):
         rate = params["upsample_rates"][i]
         kernel = params["upsample_kernel_sizes"][i]
+        padding = (kernel - rate) // 2
         x = nn.leaky_relu(x, modules.LRELU_SLOPE)
-        x = nn.conv_transpose1d(
-            x, nn.resolve_weight(up), up.get("bias"),
-            stride=rate, padding=(kernel - rate) // 2,
-        )
-        batch, t_len, ch = x.shape
-        pack_r = nn.pack_ratio(ch, t_len) if pack_channels else 1
-        if pack_r > 1:
-            # pack ONCE per stage: the [T, C] <-> [T/r, r*C] boundary is a
-            # physical re-layout on TPU, so the branch sum stays packed
-            x = x.reshape(batch, t_len // pack_r, pack_r * ch)
+        weight = nn.resolve_weight(up)
+        out_ch = weight.shape[1]
+        batch, rows, packed_ch = x.shape
+        t_out = rows * pack_r * rate
+        stage_r = nn.pack_ratio(out_ch, t_out) if pack_channels else 1
+        r_up = rate * pack_r
+        if (pack_channels and kernel == 2 * padding + rate
+                and stage_r > 1 and r_up % stage_r == 0):
+            x = nn.conv_transpose1d_packed_io(
+                x, weight, up.get("bias"), stride=rate, padding=padding,
+                r_in=pack_r,
+            )  # [B, rows, r_up * out_ch]
+            if r_up != stage_r:  # free reshape: both views are row-major
+                x = x.reshape(batch, rows * (r_up // stage_r),
+                              stage_r * out_ch)
+            pack_r = stage_r
+        else:
+            if pack_r > 1:
+                x = x.reshape(batch, rows * pack_r, packed_ch // pack_r)
+            x = nn.conv_transpose1d(
+                x, weight, up.get("bias"), stride=rate, padding=padding,
+            )
+            pack_r = stage_r
+            if pack_r > 1:
+                x = x.reshape(batch, t_out // pack_r, pack_r * out_ch)
         acc = None
         for j in range(num_kernels):
             block = params["resblocks"][i * num_kernels + j]
@@ -113,8 +132,6 @@ def generator(params, x: Array, g: Optional[Array] = None,
                               packed_io=pack_r > 1)
             acc = out if acc is None else acc + out
         x = acc / num_kernels
-        if pack_r > 1 and i < len(params["ups"]) - 1:
-            x = x.reshape(batch, t_len, ch)
 
     # Final activation uses torch's default leaky slope 0.01 (models.py:364).
     # The last stage's packed view feeds conv_post directly (same r).

@@ -217,6 +217,67 @@ def pack_ratio(channels: int, t_len: int, lanes: int = 128) -> int:
     return r
 
 
+def conv_transpose1d_packed_io(
+    x_p: Array,
+    weight: Array,
+    bias: Optional[Array] = None,
+    stride: int = 1,
+    padding: int = 0,
+    r_in: int = 1,
+) -> Array:
+    """Transposed conv from a packed view to a packed view.
+
+    x_p: [B, T', r_in * I] (r_in = 1 means unpacked input). Returns
+    [B, T', r_out * O] with r_out = stride * r_in — the SAME row count:
+    the upsampling happens entirely inside the lane dimension, so no
+    tensor in the chain ever materializes in a partially-occupied
+    layout. Requires K == 2 * padding + stride (true for every VITS
+    upsample conv: K = 2s, p = s/2), which makes T_out == T_in * s
+    exactly.
+
+    Derivation: out[n] = sum_{t,k : s*t + k - p = n} x[t] . W[i, o, k].
+    With n = r_out * t' + phi and t = r_in * u + psi and delta = t' - u:
+    k = r_out * delta + phi + p - s * psi. Each (phi, psi, k) triple with
+    (phi + p - s*psi - k) divisible by r_out lands on exactly one tap.
+    Out-of-range input rows are zero rows of x_p == zero x: plain zero
+    padding is exact.
+    """
+    in_ch, out_ch, kernel = weight.shape  # torch ConvTranspose1d [I, O, K]
+    if kernel != 2 * padding + stride:
+        raise ValueError(
+            f"conv_transpose1d_packed_io requires K == 2p + s "
+            f"(got K={kernel}, p={padding}, s={stride})"
+        )
+    r_out = stride * r_in
+    entries = []
+    deltas = []
+    for phi in range(r_out):
+        for psi in range(r_in):
+            for k in range(kernel):
+                num = k - phi - padding + stride * psi
+                if num % r_out == 0:
+                    entries.append((phi, psi, k, num // r_out))
+                    deltas.append(num // r_out)
+    d_min, d_max = min(deltas), max(deltas)
+    n_taps = d_max - d_min + 1
+    wt = jnp.zeros((r_out * out_ch, r_in * in_ch, n_taps), weight.dtype)
+    for phi, psi, k, delta in entries:
+        wt = wt.at[phi * out_ch:(phi + 1) * out_ch,
+                   psi * in_ch:(psi + 1) * in_ch,
+                   delta - d_min].set(weight[:, :, k].T)
+    # y[t'] = sum_delta x[t' - delta] . Wt[delta]  ==  cross-correlation
+    # with the tap axis flipped and left pad d_max / right pad -d_min
+    wt = jnp.flip(wt, axis=-1)
+    y = jax.lax.conv_general_dilated(
+        x_p, wt, window_strides=(1,), padding=[(d_max, -d_min)],
+        dimension_numbers=_CONV_DN,
+        preferred_element_type=x_p.dtype,
+    )
+    if bias is not None:
+        y = y + jnp.tile(bias, r_out)
+    return y
+
+
 # ---------------------------------------------------------------------------
 # Weight normalization
 # ---------------------------------------------------------------------------

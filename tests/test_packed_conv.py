@@ -48,6 +48,32 @@ def test_pack_ratio():
     assert nn.pack_ratio(32, 7) == 1
 
 
+@pytest.mark.parametrize("T,I,O,K,s,r_in", [
+    (8, 4, 6, 8, 4, 1), (8, 4, 6, 8, 4, 2), (16, 4, 6, 16, 8, 1),
+    (16, 4, 6, 16, 8, 2), (12, 6, 4, 4, 2, 2), (16, 3, 5, 4, 2, 4),
+])
+def test_conv_transpose_packed_io_matches(T, I, O, K, s, r_in):
+    p = (K - s) // 2
+    rng = np.random.default_rng(T * 7 + r_in)
+    x = jnp.asarray(rng.standard_normal((2, T, I)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((I, O, K)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((O,)) * 0.1, jnp.float32)
+    ref = nn.conv_transpose1d(x, w, b, stride=s, padding=p)
+    xp = x.reshape(2, T // r_in, r_in * I)
+    yp = nn.conv_transpose1d_packed_io(x_p=xp, weight=w, bias=b,
+                                       stride=s, padding=p, r_in=r_in)
+    y = yp.reshape(2, (T // r_in) * s * r_in, O)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               atol=2e-6, rtol=1e-5)
+
+
+def test_conv_transpose_packed_io_rejects_bad_geometry():
+    w = jnp.ones((4, 4, 7), jnp.float32)  # K != 2p + s
+    x = jnp.ones((1, 8, 4), jnp.float32)
+    with pytest.raises(ValueError):
+        nn.conv_transpose1d_packed_io(x, w, stride=4, padding=1)
+
+
 @pytest.mark.parametrize("which", ["resblock1", "resblock2"])
 def test_packed_resblock_matches_with_mask(which):
     rng_np = np.random.default_rng(0)
