@@ -367,6 +367,12 @@ class TTSServer:
         if body.get("normalize", False) and len(audio):
             peak = np.max(np.abs(audio))
             audio = audio / peak if peak > 1e-8 else audio
+        volume = float(body.get("volume", 1.0))
+        if volume != 1.0:
+            # same knob the streaming route honors (stream_pcm_chunks
+            # feeds it through SynthesisConfig.volume) — the two routes
+            # must not disagree on loudness for the same request
+            audio = audio * volume
         pcm = np.clip(audio * 32767.0, -32767.0, 32767.0).astype(np.int16)
         buf = io.BytesIO()
         with wave.open(buf, "wb") as w:
@@ -483,6 +489,8 @@ def _make_handler(server: TTSServer):
                     self._json(400, {"error": str(exc)})
                 except ValueError as exc:  # bad request parameters
                     self._json(400, {"error": str(exc)})
+                except TimeoutError as exc:
+                    self._json(504, {"error": str(exc)})
                 except Exception as exc:
                     LOG.exception("synthesis failed")
                     self._json(500, {"error": str(exc)})

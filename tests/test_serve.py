@@ -125,6 +125,27 @@ def test_synthesize_stream_pcm(server):
     np.testing.assert_allclose(pcm_stream, pcm_full, atol=2)
 
 
+def test_volume_consistent_between_routes(server):
+    """Same request with/without stream must agree on loudness."""
+    base = {"text": "[[abc def]]", "seed": 9}
+    _, wav_half = _request(server, "POST", "/synthesize",
+                           dict(base, volume=0.5))
+    _, wav_full = _request(server, "POST", "/synthesize", base)
+    with wave.open(io.BytesIO(wav_half), "rb") as w:
+        pcm_half = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+    with wave.open(io.BytesIO(wav_full), "rb") as w:
+        pcm_full = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+    np.testing.assert_allclose(pcm_half, (pcm_full * 0.5), atol=2)
+
+    resp, data = _request(server, "POST", "/synthesize",
+                          dict(base, volume=0.5, stream=True,
+                               chunk_frames=8, overlap_frames=8))
+    assert resp.status == 200
+    pcm_stream = np.frombuffer(data, np.int16)
+    assert len(pcm_stream) == len(pcm_half)
+    np.testing.assert_allclose(pcm_stream, pcm_half, atol=2)
+
+
 def test_concurrent_requests_batch(server):
     results = {}
 
@@ -290,7 +311,7 @@ def test_request_timeout_returns_clear_json_error(voice):
     try:
         resp, data = _request(srv, "POST", "/synthesize",
                               {"text": "[[abc]]"})
-        assert resp.status == 500
+        assert resp.status == 504  # gateway-timeout, not a generic 500
         payload = json.loads(data)
         assert "timed out" in payload["error"]
         assert "--warmup" in payload["error"]
