@@ -2,7 +2,7 @@
 
 The reference has no serving layer (phoonnx is a library; one
 onnxruntime call per sentence). On TPU, serving throughput comes from
-batching: the engine decodes a batch-16 program at >100k audio-sec/sec
+batching: the engine decodes a batch-16 bf16 program at ~7.8k audio-sec/sec
 (bench.py), so the server's job is to coalesce concurrent requests into
 full device batches without adding latency for the single-stream case.
 

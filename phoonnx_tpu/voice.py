@@ -388,7 +388,7 @@ class TTSVoice:
 
         All sentences across all texts are phonemized, padded into shape
         buckets, and decoded together — the high-throughput serving path
-        (see bench.py: batch-16 decodes >100k audio-sec/sec/chip).
+        (see bench.py: batch-16 bf16 decodes ~7.8k audio-sec/sec/chip).
         """
         if syn_config is None:
             syn_config = SynthesisConfig()
