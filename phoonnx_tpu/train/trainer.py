@@ -74,6 +74,32 @@ def evaluate(state, loader: BucketedLoader, rng, hp, cfg,
     return total / max(count, 1)
 
 
+def _batch_key(batch) -> tuple:
+    return tuple(sorted(
+        (k, tuple(v.shape), str(getattr(v, "dtype", "")))
+        for k, v in batch.items()
+    ))
+
+
+def _compile_auto_layout_step(step_partial, state, example_batch, rng):
+    """Compile the train step with XLA-chosen (AUTO) state layouts.
+
+    Returns (state re-placed into the chosen layouts, the concrete
+    format pytree to pin on other compiles, the compiled executable for
+    the example batch's shape, that shape's key).
+    """
+    from jax.experimental.layout import Format, Layout
+
+    auto = jax.tree.map(lambda _: Format(Layout.AUTO), state)
+    jf = jax.jit(step_partial, donate_argnums=(0,),
+                 in_shardings=(auto, None, None),
+                 out_shardings=(auto, None))
+    compiled = jf.lower(state, example_batch, rng).compile()
+    state_formats = compiled.input_formats[0][0]
+    state = jax.tree.map(jax.device_put, state, state_formats)
+    return state, state_formats, compiled, _batch_key(example_batch)
+
+
 _TEST_INFER_CACHE: dict = {}
 
 
@@ -168,6 +194,7 @@ def run_training(
     resume_from_checkpoint: Optional[str] = None,
     resume_from_single_speaker: Optional[str] = None,
     log_every: int = 50,
+    auto_layouts: bool = True,
 ) -> None:
     from phoonnx_tpu.parallel import multihost
 
@@ -277,14 +304,59 @@ def run_training(
 
     is_main_process = jax.process_index() == 0
 
-    step_fn = jax.jit(partial(train_step, hp=hp, cfg=cfg),
-                      donate_argnums=(0,))
-    # validation step: no donation (state is reused), cached across epochs
-    # eval: dropout off, no optimizer update (Lightning eval-mode
-    # semantics), state reused across batches so no donation
-    eval_fn = jax.jit(partial(train_step, hp=hp, cfg=cfg,
-                              eval_mode=True))
+    step_partial = partial(train_step, hp=hp, cfg=cfg)
+    eval_partial = partial(train_step, hp=hp, cfg=cfg, eval_mode=True)
     rng = jax.random.PRNGKey(seed + 1)
+
+    state_formats = None
+    step_compiled = None
+    compiled_key = None
+    if auto_layouts and not use_mesh:
+        # Let XLA choose the train state's device layouts: with default
+        # (row-major) parameter layouts every step pays relayout copies at
+        # the jit boundary before the MXU convolutions can consume the
+        # kernels (profiled at ~3 ms/step on medium/batch-8: the
+        # discriminator's [1024,1024,5,1] kernels alone are ~2 ms). The
+        # first bucket compiles with AUTO in/out layouts; the learned
+        # formats are then pinned for every other bucket shape so the
+        # donated state never ping-pongs between layouts. (Sharded meshes
+        # keep default layouts: Format+NamedSharding AUTO interplay is
+        # not worth the complexity while DP is the only strategy.)
+        try:
+            # peek a batch from a throwaway loader: epoch() advances the
+            # loader's shuffle rng, and batch order must not depend on
+            # whether auto-layouts is enabled
+            example_batch = next(iter(make_loader(train_utts).epoch()))
+            state, state_formats, step_compiled, compiled_key = (
+                _compile_auto_layout_step(step_partial, state,
+                                          example_batch, rng))
+            LOG.info("XLA-chosen train-state layouts pinned "
+                     "(--no-auto-layouts to disable)")
+        except Exception:
+            LOG.exception("auto-layout compile failed — continuing with "
+                          "default layouts")
+            state_formats = None
+
+    if state_formats is not None:
+        step_fn_jit = jax.jit(step_partial, donate_argnums=(0,),
+                              in_shardings=(state_formats, None, None),
+                              out_shardings=(state_formats, None))
+
+        def step_fn(state, batch, sub):
+            # reuse the AUTO-compiled executable for its bucket shape;
+            # other buckets jit-compile against the same pinned formats
+            if _batch_key(batch) == compiled_key:
+                return step_compiled(state, batch, sub)
+            return step_fn_jit(state, batch, sub)
+
+        eval_fn = jax.jit(eval_partial,
+                          in_shardings=(state_formats, None, None))
+    else:
+        step_fn = jax.jit(step_partial, donate_argnums=(0,))
+        # validation step: no donation (state is reused), cached across
+        # epochs; dropout off, no optimizer update (Lightning eval-mode
+        # semantics)
+        eval_fn = jax.jit(eval_partial)
 
     profiling = False
     # host-side step counter: int(state.step) per iteration would force a
@@ -385,6 +457,9 @@ def run_training(
               help="Write a jax.profiler device trace of a few "
                    "post-compile steps here (xprof/tensorboard)")
 @click.option("--profile-steps", default=5, type=int)
+@click.option("--auto-layouts/--no-auto-layouts", default=True,
+              help="Let XLA choose train-state device layouts (removes "
+                   "per-step weight relayout copies; single-device runs)")
 @click.option("--seed", default=1234, type=int)
 @click.option("--resume-from-checkpoint", default=None)
 @click.option("--resume-from-single-speaker-checkpoint",

@@ -167,6 +167,29 @@ def test_trainer_loop_with_profile(preprocessed, tmp_path):
     assert any(profile_dir.rglob("*.pb")) or any(profile_dir.rglob("*"))
 
 
+@pytest.mark.slow
+def test_trainer_loop_auto_layouts(preprocessed, tmp_path, caplog):
+    """Unmeshed trainer run (batch 1 -> gcd(1, devices) = 1) exercises
+    the XLA-chosen (AUTO) train-state layout path: the first bucket's
+    executable is reused, other buckets pin the learned formats, and
+    checkpoints still save."""
+    import logging
+
+    from phoonnx_tpu.train.trainer import run_training
+
+    with caplog.at_level(logging.INFO, logger="trainer"):
+        run_training(
+            dataset_dir=str(preprocessed), quality="micro", batch_size=1,
+            max_epochs=1, checkpoint_epochs=1, validation_split=0.3,
+            num_test_examples=0, log_every=1,
+            disc_periods=(2,), disc_channel_scale=4,
+        )
+    assert any("layouts pinned" in r.message for r in caplog.records), \
+        "AUTO-layout path must engage (not fall back) on unmeshed runs"
+    ckpts = list((preprocessed / "checkpoints").glob("*.npz"))
+    assert ckpts, "trainer should have written a checkpoint"
+
+
 def test_mb_istft_decoder_train_and_reload():
     """Multi-band iSTFT decoder (arXiv:2210.15975): train step, flat
     round-trip with band inference, inference length contract."""
