@@ -66,6 +66,10 @@ def main() -> None:
     params = jax.device_put(params)
 
     t_text, max_frames = 128, 512
+    # what the engine dispatches in production: decoder packed kernels
+    # precomputed at init (placement-only, bit-identical; engine.py
+    # _params_for_frames)
+    packed = vits_model.pack_decoder_params(params, hp, max_frames)
     sample_rate = hp.sample_rate
     audio_seconds = max_frames * hp.hop_length / sample_rate
 
@@ -112,16 +116,17 @@ def main() -> None:
         return max(best - rtt, 1e-9) / N_CHAIN
 
     # Headline: single-utterance fp32 RTF (device compute per audio second)
-    step_s = chained_seconds(params, ids, lengths)
+    step_s = chained_seconds(packed, ids, lengths)
     rtf = step_s / audio_seconds
 
     # Secondary: batched serving throughput (fp32 and bf16)
     def throughput(batch: int, dtype) -> float:
-        run_params = params
+        run_params = packed
         if dtype == jnp.bfloat16:
             from phoonnx_tpu.infer.engine import cast_floating
 
-            run_params = cast_floating(params, jnp.bfloat16)
+            run_params = vits_model.pack_decoder_params(
+                cast_floating(params, jnp.bfloat16), hp, max_frames)
         ids_b = jnp.tile(ids, (batch, 1))
         lengths_b = jnp.full((batch,), t_text, jnp.int32)
         per_step = chained_seconds(run_params, ids_b, lengths_b)
@@ -133,11 +138,11 @@ def main() -> None:
     # Client-visible single-call latency (dispatch + compute + full audio
     # fetch; on a remote-tunnel TPU the round-trip dominates)
     fn = jax.jit(forward)
-    _fetch(fn(params, ids, lengths, jax.random.PRNGKey(0))[0])
+    _fetch(fn(packed, ids, lengths, jax.random.PRNGKey(0))[0])
     lat = []
     for i in range(5):
         t0 = time.perf_counter()
-        _fetch(fn(params, ids, lengths, jax.random.PRNGKey(100 + i))[0])
+        _fetch(fn(packed, ids, lengths, jax.random.PRNGKey(100 + i))[0])
         lat.append(time.perf_counter() - t0)
     latency_ms = float(np.median(lat) * 1000)
 

@@ -95,11 +95,40 @@ class VitsEngine:
         if dtype == "bfloat16":
             params = cast_floating(params, jnp.bfloat16)
         self.params = jax.device_put(params)
+        self._packed_by_sig = {}
+        self._packed_by_frames = {}
         self._phase1 = {}
         self._phase2 = {}
         self._fused = {}
         self._latents = {}
         self._decode_chunk = {}
+
+    def _params_for_frames(self, t_frames: int):
+        """Params view with the decoder's packed kernels precomputed for a
+        ``t_frames``-frame decode (vits_model.pack_decoder_params).
+
+        The channel-packed vocoder stages otherwise rebuild their
+        block-diagonal kernels inside EVERY compiled call — XLA cannot
+        hoist the construction because weights are runtime inputs
+        (profiled at ~40% of single-utterance decode device time on v5e).
+        Packing is placement-only (bit-identical output), and the decoder
+        falls back to the in-graph build wherever a schedule mismatches,
+        so this is purely a speedup. Copies are deduped by pack schedule:
+        most frame buckets share one schedule, so HBM holds one packed
+        copy. Phase-1/latents programs (no decoder) keep ``self.params``.
+        """
+        hit = self._packed_by_frames.get(t_frames)
+        if hit is not None:
+            return hit
+        sig = vits_model.decoder_pack_schedule(self.params, self.hp,
+                                               t_frames)
+        packed = self._packed_by_sig.get(sig)
+        if packed is None:
+            packed = jax.device_put(vits_model.pack_decoder_params(
+                self.params, self.hp, t_frames))
+            self._packed_by_sig[sig] = packed
+        self._packed_by_frames[t_frames] = packed
+        return packed
 
     # -- compiled phases -------------------------------------------------
 
@@ -329,7 +358,8 @@ class VitsEngine:
         if chunk + 2 * overlap >= t_total:
             # window would cover the whole buffer — monolithic decode
             audio = self._get_decode_chunk(1, t_total, t_total, 0)(
-                self.params, z, jnp.asarray(0, jnp.int32),
+                self._params_for_frames(t_total), z,
+                jnp.asarray(0, jnp.int32),
                 jnp.asarray(0, jnp.int32), g,
             )
             if self.fetch_pcm16:
@@ -343,6 +373,7 @@ class VitsEngine:
         window = chunk + 2 * overlap
         n_chunks = max(1, math.ceil(n_frames / chunk))
         decode = self._get_decode_chunk(1, t_total, chunk, overlap)
+        dec_params = self._params_for_frames(window)
 
         in_flight = []
         for i in range(n_chunks):
@@ -359,7 +390,7 @@ class VitsEngine:
             if offset > window - chunk:
                 offset = window - chunk
                 skip = (i * chunk - (start + offset)) * up
-            audio = decode(self.params, z, jnp.asarray(start, jnp.int32),
+            audio = decode(dec_params, z, jnp.asarray(start, jnp.int32),
                            jnp.asarray(offset, jnp.int32), g)
             if self.fetch_pcm16:
                 audio = self._to_pcm16(audio)
@@ -417,7 +448,8 @@ class VitsEngine:
             )
             fused = self._get_fused(batch, t_bucket, f_bucket)
             audio, y_lengths = fused(
-                self.params, jnp.asarray(ids), jnp.asarray(lengths),
+                self._params_for_frames(f_bucket),
+                jnp.asarray(ids), jnp.asarray(lengths),
                 jnp.asarray(noise_scale, self.dtype),
                 jnp.asarray(length_scale, self.dtype),
                 jnp.asarray(noise_w, self.dtype),
@@ -447,7 +479,8 @@ class VitsEngine:
 
         phase2 = self._get_phase2(batch, t_bucket, f_bucket)
         audio, y_lengths = phase2(
-            self.params, m_p, logs_p, w_ceil, x_mask, g,
+            self._params_for_frames(f_bucket), m_p, logs_p, w_ceil,
+            x_mask, g,
             jnp.asarray(noise_scale, self.dtype), rng2,
         )
         audio_np = self._fetch_audio(audio)
@@ -484,7 +517,7 @@ class VitsEngine:
             ids = np.zeros((1, t_bucket), np.int32)
             ids[0, : len(utt)] = utt
             audio, y_lengths = fused(
-                self.params, jnp.asarray(ids),
+                self._params_for_frames(f_bucket), jnp.asarray(ids),
                 jnp.asarray([len(utt)], jnp.int32),
                 jnp.asarray(noise_scale, self.dtype),
                 jnp.asarray(length_scale, self.dtype),
@@ -562,7 +595,7 @@ class VitsEngine:
         rng = jax.random.PRNGKey(seed if seed is not None else
                                  np.random.randint(0, 2 ** 31 - 1))
         out = self._fused[key](
-            self.params, spec.astype(self.dtype),
+            self._params_for_frames(f_bucket), spec.astype(self.dtype),
             jnp.asarray([n_frames], jnp.int32),
             jnp.asarray([sid_src], jnp.int32),
             jnp.asarray([sid_tgt], jnp.int32), rng,

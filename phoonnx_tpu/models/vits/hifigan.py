@@ -100,8 +100,12 @@ def generator(params, x: Array, g: Optional[Array] = None,
         kernel = params["upsample_kernel_sizes"][i]
         padding = (kernel - rate) // 2
         x = nn.leaky_relu(x, modules.LRELU_SLOPE)
-        weight = nn.resolve_weight(up)
-        out_ch = weight.shape[1]
+        pb = up.get("packed")
+        if (pb is None or int(pb["r_in"]) != pack_r
+                or int(pb["stride"]) != rate):
+            pb = None
+        weight = None if pb is not None else nn.resolve_weight(up)
+        out_ch = int(pb["out_ch"]) if pb is not None else weight.shape[1]
         batch, rows, packed_ch = x.shape
         t_out = rows * pack_r * rate
         stage_r = nn.pack_ratio(out_ch, t_out) if pack_channels else 1
@@ -110,7 +114,7 @@ def generator(params, x: Array, g: Optional[Array] = None,
                 and stage_r > 1 and r_up % stage_r == 0):
             x = nn.conv_transpose1d_packed_io(
                 x, weight, up.get("bias"), stride=rate, padding=padding,
-                r_in=pack_r,
+                r_in=pack_r, prebuilt=pb,
             )  # [B, rows, r_up * out_ch]
             if r_up != stage_r:  # free reshape: both views are row-major
                 x = x.reshape(batch, rows * (r_up // stage_r),
@@ -120,7 +124,8 @@ def generator(params, x: Array, g: Optional[Array] = None,
             if pack_r > 1:
                 x = x.reshape(batch, rows * pack_r, packed_ch // pack_r)
             x = nn.conv_transpose1d(
-                x, weight, up.get("bias"), stride=rate, padding=padding,
+                x, weight if weight is not None else nn.resolve_weight(up),
+                up.get("bias"), stride=rate, padding=padding,
             )
             pack_r = stage_r
             if pack_r > 1:
@@ -139,10 +144,92 @@ def generator(params, x: Array, g: Optional[Array] = None,
     w_post = params["conv_post"]["weight"]
     b_post = params["conv_post"].get("bias")
     if pack_r > 1:
-        x = nn.conv1d_packed_io(x, w_post, b_post, dilation=1,
-                                padding=3, r=pack_r)
+        pb = params["conv_post"].get("packed")
+        if pb is not None and int(pb["r"]) == pack_r:
+            x = nn.conv1d_packed_io(x, None, prebuilt=pb)
+        else:
+            x = nn.conv1d_packed_io(x, w_post, b_post, dilation=1,
+                                    padding=3, r=pack_r)
         x = x.reshape(x.shape[0], x.shape[1] * pack_r, w_post.shape[0])
     else:
         x = nn.conv1d(x, w_post, b_post, padding=3)
     x = jnp.tanh(x)
     return x[..., 0]
+
+
+def pack_schedule(params, t_frames: int) -> tuple:
+    """Hashable pack plan for a ``t_frames`` decode — one entry
+    ``(r_in_used, stage_r)`` per upsample stage (``r_in_used`` 0 when the
+    stage falls back to unpacked transposed conv) plus the final
+    ``conv_post`` ratio. Two t_frames with equal schedules get
+    content-identical :func:`pack_generator_params` results, so callers
+    can dedupe the packed copies (the engine keys its cache on this)."""
+    sched = []
+    pack_r = 1
+    t = t_frames
+    for i, up in enumerate(params["ups"]):
+        rate = params["upsample_rates"][i]
+        kernel = params["upsample_kernel_sizes"][i]
+        padding = (kernel - rate) // 2
+        out_ch = up.get("weight", up.get("weight_v")).shape[1]
+        t_out = t * rate
+        stage_r = nn.pack_ratio(out_ch, t_out)
+        r_up = rate * pack_r
+        uses_packed_t = (kernel == 2 * padding + rate and stage_r > 1
+                         and r_up % stage_r == 0)
+        sched.append((pack_r if uses_packed_t else 0, stage_r))
+        pack_r = stage_r
+        t = t_out
+    sched.append((pack_r,))
+    return tuple(sched)
+
+
+def pack_generator_params(params, t_frames: int) -> dict:
+    """Copy of the generator params with packed kernels precomputed for a
+    ``t_frames``-frame decode (what the inference engine dispatches).
+
+    Mirrors :func:`generator`'s per-stage pack-ratio schedule; at call
+    time the generator uses a prebuilt kernel only when its (r, stride /
+    dilation) matches, so a bucket with a different schedule silently
+    falls back to in-graph construction — precomputation is a pure
+    speedup, never a correctness dependency. The packed entries are
+    placement-only transforms of the stored weights (bit-identical
+    output; tests/test_packed_conv.py pins it).
+    """
+    packed = dict(params)
+    num_kernels = params["num_kernels"]
+    ups = [dict(u) for u in params["ups"]]
+    resblocks = list(params["resblocks"])
+
+    pack_r = 1
+    t = t_frames
+    for i, up in enumerate(ups):
+        rate = params["upsample_rates"][i]
+        kernel = params["upsample_kernel_sizes"][i]
+        padding = (kernel - rate) // 2
+        weight = nn.resolve_weight(up)
+        out_ch = weight.shape[1]
+        t_out = t * rate
+        stage_r = nn.pack_ratio(out_ch, t_out)
+        r_up = rate * pack_r
+        if (kernel == 2 * padding + rate and stage_r > 1
+                and r_up % stage_r == 0):
+            up["packed"] = nn.packed_convt_prebuilt(
+                weight, up.get("bias"), stride=rate, padding=padding,
+                r_in=pack_r,
+            )
+        pack_r = stage_r
+        if pack_r > 1:
+            for j in range(num_kernels):
+                idx = i * num_kernels + j
+                resblocks[idx] = modules.pack_resblock(resblocks[idx],
+                                                       pack_r)
+        t = t_out
+    packed["ups"] = ups
+    packed["resblocks"] = resblocks
+    if pack_r > 1:
+        post = dict(params["conv_post"])
+        post["packed"] = nn.packed_conv_prebuilt(
+            post["weight"], post.get("bias"), pack_r, 1, 3)
+        packed["conv_post"] = post
+    return packed

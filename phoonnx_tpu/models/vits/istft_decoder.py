@@ -144,3 +144,38 @@ def istft_generator(params, x: Array, g: Optional[Array] = None,
     _, synthesis = pqmf_filters(n_bands)
     audio = pqmf_synthesis(jnp.swapaxes(sub, 1, 2), synthesis, n_bands)
     return audio.astype(x.dtype)
+
+
+def pack_schedule(params, t_frames: int) -> tuple:
+    """Hashable pack plan for a ``t_frames`` decode (one per-stage
+    resblock ratio; see hifigan.pack_schedule for the dedupe contract)."""
+    sched = []
+    t = t_frames
+    for i, up in enumerate(params["ups"]):
+        t *= params["upsample_rates"][i]
+        ch = up.get("weight", up.get("weight_v")).shape[1]
+        sched.append(nn.pack_ratio(ch, t))
+    return tuple(sched)
+
+
+def pack_istft_params(params, t_frames: int) -> dict:
+    """Copy of the iSTFT decoder params with the resblock packed kernels
+    precomputed for a ``t_frames``-frame decode (engine init; mirrors
+    :func:`istft_generator`'s pack-ratio schedule — see
+    hifigan.pack_generator_params for the contract)."""
+    packed = dict(params)
+    num_kernels = params["num_kernels"]
+    resblocks = list(params["resblocks"])
+    t = t_frames
+    for i, up in enumerate(params["ups"]):
+        rate = params["upsample_rates"][i]
+        t *= rate
+        ch = nn.resolve_weight(up).shape[1]
+        pack_r = nn.pack_ratio(ch, t)
+        if pack_r > 1:
+            for j in range(num_kernels):
+                idx = i * num_kernels + j
+                resblocks[idx] = modules.pack_resblock(resblocks[idx],
+                                                       pack_r)
+    packed["resblocks"] = resblocks
+    return packed

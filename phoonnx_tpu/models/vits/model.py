@@ -201,6 +201,42 @@ def decode_audio(params, hp: VitsHParams, z: Array,
     return hifigan.generator(params["dec"], z, g=g)
 
 
+def pack_decoder_params(params, hp: VitsHParams, t_frames: int):
+    """Params copy with the decoder's packed kernels precomputed.
+
+    Inference-engine init step: the channel-packed vocoder stages
+    (hifigan.generator / istft_generator) otherwise rebuild their packed
+    kernels from the stored weights inside EVERY compiled call — XLA
+    cannot hoist the construction because weights are runtime inputs
+    (profiled at ~0.7 ms of the 1.9 ms single-utterance synthesis on
+    v5e). The packed entries are placement-only transforms, bit-identical
+    to in-graph construction, and call-time code falls back to the
+    in-graph build whenever a bucket's pack schedule differs.
+    """
+    if hp.decoder_type == "istft":
+        from phoonnx_tpu.models.vits.istft_decoder import pack_istft_params
+
+        packed_dec = pack_istft_params(params["dec"], t_frames)
+    else:
+        packed_dec = hifigan.pack_generator_params(params["dec"], t_frames)
+    out = dict(params)
+    out["dec"] = packed_dec
+    return out
+
+
+def decoder_pack_schedule(params, hp: VitsHParams, t_frames: int) -> tuple:
+    """Hashable pack plan :func:`pack_decoder_params` would build for a
+    ``t_frames`` decode. Equal schedules -> content-identical packed
+    params; the engine dedupes its per-frame-bucket packed copies on it
+    (most large buckets share one schedule, so HBM holds one copy)."""
+    if hp.decoder_type == "istft":
+        from phoonnx_tpu.models.vits import istft_decoder
+
+        return ("istft",) + istft_decoder.pack_schedule(params["dec"],
+                                                        t_frames)
+    return ("hifigan",) + hifigan.pack_schedule(params["dec"], t_frames)
+
+
 def _speaker_embedding(params, hp: VitsHParams, sid: Optional[Array],
                        batch: int) -> Optional[Array]:
     if hp.n_speakers <= 1:

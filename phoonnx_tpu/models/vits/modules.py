@@ -158,9 +158,43 @@ def _wn_conv_packed(conv, x_p, k: int, dilation: int, pack_r: int) -> Array:
     """Weight-normed conv applied in channel-packed space
     ([B, T/r, r*C] in, same out; see nn.conv1d_packed_io)."""
     padding = (k * dilation - dilation) // 2
+    pb = conv.get("packed")
+    if (pb is not None and int(pb["r"]) == pack_r
+            and int(pb["dilation"]) == dilation):
+        return nn.conv1d_packed_io(x_p, None, prebuilt=pb)
     return nn.conv1d_packed_io(x_p, nn.resolve_weight(conv),
                                conv.get("bias"), dilation=dilation,
                                padding=padding, r=pack_r)
+
+
+def pack_resblock(block: dict, pack_r: int) -> dict:
+    """Copy of a resblock param subtree with precomputed packed kernels
+    for ``pack_r`` (engine init; see nn.packed_conv_prebuilt)."""
+    if pack_r <= 1:
+        return block
+    k = block["kernel_size"]
+
+    def _with_packed(conv, dilation):
+        conv = dict(conv)
+        conv["packed"] = nn.packed_conv_prebuilt(
+            nn.resolve_weight(conv), conv.get("bias"), pack_r, dilation,
+            (k * dilation - dilation) // 2,
+        )
+        return conv
+
+    packed = dict(block)
+    if "convs1" in block:  # resblock1: convs1 at their dilation, convs2 at 1
+        packed["convs1"] = [
+            _with_packed(c, d)
+            for c, d in zip(block["convs1"], block["dilations"])
+        ]
+        packed["convs2"] = [_with_packed(c, 1) for c in block["convs2"]]
+    else:  # resblock2
+        packed["convs"] = [
+            _with_packed(c, d)
+            for c, d in zip(block["convs"], block["dilations"])
+        ]
+    return packed
 
 
 def _pack_mask(x_mask: Optional[Array], pack_r: int, channels: int):

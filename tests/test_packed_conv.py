@@ -141,3 +141,84 @@ def test_generator_packed_grads_match():
     for a, b in zip(flat_ref, flat_pack):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=5e-4, rtol=5e-3)
+
+# -- prebuilt packed kernels (engine-init precompute) -----------------------
+
+@pytest.mark.parametrize("preset", ["medium", "medium-istft",
+                                    "medium-mb-istft"])
+def test_prebuilt_packed_decoder_bit_identical(preset):
+    """pack_decoder_params moves kernel construction to init time; the
+    decode must be BIT-identical (placement-only transform)."""
+    hp = vits_model.VitsHParams.preset(preset, n_vocab=161)
+    params = vits_model.random_params(jax.random.PRNGKey(0), hp)
+    z = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 8, hp.inter_channels)) * 0.3, jnp.float32)
+    ref = vits_model.decode_audio(params, hp, z)
+    packed = vits_model.pack_decoder_params(params, hp, t_frames=8)
+    out = vits_model.decode_audio(packed, hp, z)
+    assert ref.shape == out.shape
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_prebuilt_schedule_mismatch_falls_back():
+    """Packed params built for one t_frames used at another length:
+    guards must reject mismatched prebuilts and rebuild in-graph, so the
+    output still matches to float noise."""
+    hp = vits_model.VitsHParams.preset("medium", n_vocab=161)
+    params = vits_model.random_params(jax.random.PRNGKey(0), hp)
+    packed = vits_model.pack_decoder_params(params, hp, t_frames=8)
+    for t in (6, 12):
+        z = jnp.asarray(np.random.default_rng(t).standard_normal(
+            (1, t, hp.inter_channels)) * 0.3, jnp.float32)
+        ref = vits_model.decode_audio(params, hp, z)
+        out = vits_model.decode_audio(packed, hp, z)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_pack_schedule_matches_built_entries():
+    """decoder_pack_schedule is the dedupe key: equal schedules must mean
+    content-identical pack_decoder_params results."""
+    hp = vits_model.VitsHParams.preset("medium", n_vocab=161)
+    params = vits_model.random_params(jax.random.PRNGKey(0), hp)
+    sigs = {}
+    for t in (64, 128, 256, 384, 512):
+        sigs[t] = vits_model.decoder_pack_schedule(params, hp, t)
+    groups = {}
+    for t, sig in sigs.items():
+        groups.setdefault(sig, []).append(t)
+    for sig, ts in groups.items():
+        if len(ts) < 2:
+            continue
+        a = vits_model.pack_decoder_params(params, hp, ts[0])
+        b = vits_model.pack_decoder_params(params, hp, ts[1])
+        la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+        assert len(la) == len(lb)
+        assert jax.tree.structure(a) == jax.tree.structure(b)
+        for x, y in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_engine_packed_cache_dedupes_and_matches():
+    """VitsEngine._params_for_frames: schedule-equal buckets share one
+    packed copy, and synthesis output is unchanged by the wiring."""
+    from phoonnx_tpu.infer.engine import VitsEngine
+
+    hp = vits_model.VitsHParams.preset("x-low", n_vocab=161)
+    params = vits_model.random_params(jax.random.PRNGKey(0), hp)
+    eng = VitsEngine(params, hp, text_buckets=(16,),
+                     frame_buckets=(64, 128, 256))
+    ids = list(np.random.default_rng(0).integers(1, 100, size=12))
+    wav = eng.synthesize_ids(ids, seed=123)
+    assert wav.ndim == 1 and wav.size > 0
+    p64 = eng._params_for_frames(64)
+    sig64 = vits_model.decoder_pack_schedule(params, hp, 64)
+    sig128 = vits_model.decoder_pack_schedule(params, hp, 128)
+    if sig64 == sig128:
+        assert eng._params_for_frames(128) is p64
+    # unpacked-engine output must be identical (prebuilt is placement-only)
+    eng2 = VitsEngine(params, hp, text_buckets=(16,),
+                      frame_buckets=(64, 128, 256))
+    eng2._params_for_frames = lambda t: eng2.params
+    wav2 = eng2.synthesize_ids(ids, seed=123)
+    np.testing.assert_array_equal(wav, wav2)
