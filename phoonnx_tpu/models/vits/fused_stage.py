@@ -1,0 +1,281 @@
+"""Fused vocoder resblock-group stage as a Pallas TPU kernel.
+
+A HiFi-GAN stage's resblock group — ``mean_j(resblock_j(x))`` over 3
+parallel residual branches of dilated convs (phoonnx_train/vits/
+models.py:335-346, our modules.resblock{1,2}) — is the HBM-bandwidth
+hot spot of synthesis: XLA materializes every conv's input/output in
+HBM, ~14 full-tensor passes per stage over tensors that reach 16.8 MB
+(T=131072 at 128 packed lanes). The arithmetic is tiny by comparison
+(bandwidth-bound at <10% MXU utilization).
+
+This kernel computes the ENTIRE group tile-by-tile in VMEM: one HBM
+read of the stage input (plus two halo tile reads) and one write of the
+stage output. Convs are expressed in tap form — a channel-packed conv
+is a sum over a few static row offsets of ``x[t+off] @ W_off`` with
+dense ``[L, L]`` tap matrices (L = pack_r * C lanes, built by the same
+placement transform as nn.build_packed_kernel) — so every tap is one
+MXU matmul over a [TILE, L] row window and all intermediates stay
+on-chip.
+
+Halo correctness: each tile is computed on a window extended by
+``halo = sum of per-conv extents along the deepest branch``; values
+near the extended edges are inexact (their own context is missing) but
+the inexactness penetrates at most one conv-extent per conv, so the
+central TILE rows are EXACT — the standard overlap-compute scheme. The
+wrapper pre-pads the input by one tile on each side, which also
+reproduces the convs' zero padding at the true array edges.
+
+Inference-only by construction: specs are attached by the engine's
+pack_decoder_params step (prebuilt packed kernels), which training
+never uses; the scan/XLA path keeps autodiff.
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phoonnx_tpu.models.vits import nn
+from phoonnx_tpu.models.vits.statics import (StaticFloat, StaticInt,
+                                             StaticTuple)
+
+Array = jax.Array
+
+TILE = 512
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+# Test hook: run the kernel in interpreter mode on non-TPU backends so
+# CPU CI exercises the exact kernel semantics.
+FORCE_INTERPRET = False
+
+
+def enabled() -> bool:
+    return jax.default_backend() == "tpu" or FORCE_INTERPRET
+
+
+def _conv_taps(weight: Array, bias: Optional[Array], r: int,
+               dilation: int, padding: int):
+    """Torch-layout [O, I, K] conv -> tap form for the packed view.
+
+    Returns (offsets, mats [n_taps, L_in, L_out], bias [L_out]): the conv
+    over the packed [B, T/r, r*C] view is y[t] = sum_j x[t+off_j] @ M_j.
+    Mirrors nn.conv1d_packed_io's two construction paths exactly
+    (block-diagonal when r | dilation, dense spread otherwise).
+    """
+    out_ch, in_ch, kernel = weight.shape
+    if r == 1:
+        offsets = tuple(j * dilation - padding for j in range(kernel))
+        mats = jnp.transpose(weight, (2, 1, 0))  # [K, I, O]
+        b = bias
+    elif dilation % r == 0 and padding % r == 0:
+        wb = jnp.zeros((r * out_ch, r * in_ch, kernel), weight.dtype)
+        for phi in range(r):
+            wb = wb.at[phi * out_ch:(phi + 1) * out_ch,
+                       phi * in_ch:(phi + 1) * in_ch, :].set(weight)
+        dd, pad = dilation // r, padding // r
+        offsets = tuple(j * dd - pad for j in range(kernel))
+        mats = jnp.transpose(wb, (2, 1, 0))
+        b = None if bias is None else jnp.tile(bias, r)
+    else:
+        wp, pad_l, _pad_r = nn.build_packed_kernel(weight, r, dilation,
+                                                   padding)
+        offsets = tuple(j - pad_l for j in range(wp.shape[-1]))
+        mats = jnp.transpose(wp, (2, 1, 0))
+        b = None if bias is None else jnp.tile(bias, r)
+    if b is None:
+        b = jnp.zeros((mats.shape[-1],), weight.dtype)
+    return offsets, mats, b
+
+
+def build_group_spec(blocks, pack_r: int, lrelu_slope: float,
+                     dtype=jnp.float32):
+    """Spec for one stage's resblock group, or None if it won't pay.
+
+    blocks: the stage's resblock param subtrees (modules.init_resblock1/2
+    layout). The spec carries the stacked tap matrices (one traced array,
+    part of the params pytree) plus a static program of branches ->
+    residual units -> convs.
+    """
+    branches = []
+    all_mats, all_biases = [], []
+    n_taps_total = 0
+    lanes = None
+    for block in blocks:
+        k = int(block["kernel_size"])
+        if "convs1" in block:  # resblock1: (conv1 at d, conv2 at 1) units
+            units_src = [
+                ((c1, int(d)), (c2, 1))
+                for c1, c2, d in zip(block["convs1"], block["convs2"],
+                                     block["dilations"])
+            ]
+        else:  # resblock2: single-conv units
+            units_src = [((c, int(d)),)
+                         for c, d in zip(block["convs"], block["dilations"])]
+        units = []
+        for unit_src in units_src:
+            convs = []
+            for conv, d in unit_src:
+                pad = (k * d - d) // 2
+                offsets, mats, b = _conv_taps(
+                    nn.resolve_weight(conv).astype(dtype),
+                    None if conv.get("bias") is None
+                    else conv["bias"].astype(dtype),
+                    pack_r, d, pad)
+                lanes = mats.shape[-1]
+                convs.append((n_taps_total, offsets, len(all_biases)))
+                n_taps_total += len(offsets)
+                all_mats.append(mats)
+                all_biases.append(b)
+            units.append(tuple(convs))
+        branches.append(tuple(units))
+
+    # halo: worst-case exactness loss per branch chain (one max-extent
+    # per conv, sequentially); MAXOFF: single-conv tap reach
+    max_off = 0
+    halo = 0
+    for branch in branches:
+        h = 0
+        for unit in branch:
+            for _w0, offsets, _b in unit:
+                ext = max(-min(offsets), max(offsets))
+                h += ext
+                max_off = max(max_off, ext)
+        halo = max(halo, h)
+    hb = halo + max_off
+    if hb > TILE:
+        return None  # degenerate geometry; keep the XLA path
+
+    rows = TILE + 2 * hb
+    esize = np.dtype(dtype).itemsize
+    vmem = (n_taps_total * lanes * lanes * esize       # taps
+            + 5 * rows * lanes * 4                     # work buffers
+            + 8 * TILE * lanes * esize)                # pipeline blocks
+    if vmem > _VMEM_BUDGET:
+        return None
+
+    return {
+        "W": jnp.concatenate(all_mats, axis=0),    # [n_taps, L, L]
+        "b": jnp.stack(all_biases, axis=0),        # [n_convs, L]
+        "branches": StaticTuple(branches),
+        "r": StaticInt(pack_r),
+        "L": StaticInt(lanes),
+        "hb": StaticInt(hb),
+        "max_off": StaticInt(max_off),
+        "slope": StaticFloat(lrelu_slope),
+    }
+
+
+def usable(spec, pack_r: int, x: Array) -> bool:
+    return (spec is not None and enabled()
+            and int(spec["r"]) == pack_r and int(spec["L"]) == x.shape[-1])
+
+
+def _kernel(xm_ref, xc_ref, xp_ref, w_ref, b_ref, out_ref,
+            asm, cur, act, tmp, acc, *, branches, hb, max_off, slope,
+            n_blocks, out_dtype, t_true):
+    from jax.experimental import pallas as pl
+
+    rows = TILE + 2 * hb
+    wlen = rows - 2 * max_off
+    win = slice(max_off, rows - max_off)
+
+    # assemble the contiguous halo'd window: [prev tail | center | next head]
+    asm[0:hb, :] = xm_ref[0, TILE - hb:TILE, :]
+    asm[hb:hb + TILE, :] = xc_ref[0, :, :]
+    asm[hb + TILE:rows, :] = xp_ref[0, 0:hb, :]
+
+    # XLA-path parity at the true array edges: every conv zero-pads its
+    # OWN input, so intermediate rows outside [0, t_true) must read as
+    # zeros — zero-extended x alone lets biases/residuals propagate into
+    # the edge region (same effect engine._get_decode_chunk documents)
+    g = (jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+         + pl.program_id(1) * TILE - hb)
+    # float multiply-mask: [rows, 1] i1 broadcasts hit Mosaic relayout
+    # limits, a dtype-matched multiplicand doesn't. Select in f32 (the
+    # i32 compare's native (8,128) tiling) and cast — selecting straight
+    # into bf16's (16,128) tiling is itself an unsupported i1 relayout.
+    bound = jnp.where((g >= 0) & (g < t_true),
+                      jnp.ones((rows, 1), jnp.float32),
+                      jnp.zeros((rows, 1), jnp.float32)).astype(out_dtype)
+
+    def lrelu(v):
+        # max form, exact for 0 < slope < 1 (bf16 vector compares are
+        # unsupported on some Mosaic targets; maximum lowers natively)
+        return jnp.maximum(v, slope * v) * bound
+
+    first = True
+    for branch in branches:
+        cur[:, :] = asm[:, :]
+        for unit in branch:
+            src = cur
+            for w0, offsets, b_idx in unit:
+                act[:, :] = lrelu(src[:, :])
+                y = None
+                for j, off in enumerate(offsets):
+                    xs = act[max_off + off: max_off + off + wlen, :]
+                    c = jnp.dot(xs, w_ref[w0 + j],
+                                preferred_element_type=jnp.float32)
+                    y = c if y is None else y + c
+                y = y + b_ref[b_idx, :].astype(jnp.float32)
+                tmp[win, :] = y.astype(out_dtype)
+                src = tmp
+            cur[win, :] = cur[win, :] + tmp[win, :]
+        if first:
+            acc[:, :] = cur[:, :]
+            first = False
+        else:
+            acc[:, :] = acc[:, :] + cur[:, :]
+    out_ref[0, :, :] = acc[hb:hb + TILE, :] / jnp.asarray(n_blocks,
+                                                          out_dtype)
+
+
+def apply_group(spec, x: Array) -> Array:
+    """Fused mean-of-resblocks over a packed stage tensor [B, Tp, L]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch, t_len, lanes = x.shape
+    hb = int(spec["hb"])
+    n_tiles = -(-t_len // TILE)
+    t_pad = n_tiles * TILE
+    xp = jnp.pad(x, ((0, 0), (TILE, TILE + t_pad - t_len), (0, 0)))
+
+    rows = TILE + 2 * hb
+    kernel = functools.partial(
+        _kernel,
+        branches=tuple(spec["branches"]),
+        hb=hb,
+        max_off=int(spec["max_off"]),
+        slope=float(spec["slope"]),
+        n_blocks=len(spec["branches"]),
+        out_dtype=x.dtype,
+        t_true=t_len,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(batch, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, TILE, lanes), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE, lanes), lambda b, t: (b, t + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE, lanes), lambda b, t: (b, t + 2, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # taps
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # biases
+        ],
+        out_specs=pl.BlockSpec((1, TILE, lanes), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, t_pad, lanes), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rows, lanes), x.dtype),  # asm
+            pltpu.VMEM((rows, lanes), x.dtype),  # cur
+            pltpu.VMEM((rows, lanes), x.dtype),  # act
+            pltpu.VMEM((rows, lanes), x.dtype),  # tmp
+            pltpu.VMEM((rows, lanes), x.dtype),  # acc
+        ],
+        interpret=FORCE_INTERPRET and jax.default_backend() != "tpu",
+    )(xp, xp, xp, spec["W"], spec["b"])
+    return out[:, :t_len]

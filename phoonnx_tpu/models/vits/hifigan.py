@@ -10,7 +10,7 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from phoonnx_tpu.models.vits import modules, nn
+from phoonnx_tpu.models.vits import fused_stage, modules, nn
 
 from phoonnx_tpu.models.vits.statics import StaticInt, StaticStr, StaticTuple
 
@@ -130,13 +130,18 @@ def generator(params, x: Array, g: Optional[Array] = None,
             pack_r = stage_r
             if pack_r > 1:
                 x = x.reshape(batch, t_out // pack_r, pack_r * out_ch)
-        acc = None
-        for j in range(num_kernels):
-            block = params["resblocks"][i * num_kernels + j]
-            out = resblock_fn(block, x, pack_r=pack_r,
-                              packed_io=pack_r > 1)
-            acc = out if acc is None else acc + out
-        x = acc / num_kernels
+        fused = params.get("fused_stages")
+        fused = fused[i] if fused is not None else None
+        if fused is not None and fused_stage.usable(fused, pack_r, x):
+            x = fused_stage.apply_group(fused, x)
+        else:
+            acc = None
+            for j in range(num_kernels):
+                block = params["resblocks"][i * num_kernels + j]
+                out = resblock_fn(block, x, pack_r=pack_r,
+                                  packed_io=pack_r > 1)
+                acc = out if acc is None else acc + out
+            x = acc / num_kernels
 
     # Final activation uses torch's default leaky slope 0.01 (models.py:364).
     # The last stage's packed view feeds conv_post directly (same r).
@@ -200,6 +205,7 @@ def pack_generator_params(params, t_frames: int) -> dict:
     num_kernels = params["num_kernels"]
     ups = [dict(u) for u in params["ups"]]
     resblocks = list(params["resblocks"])
+    fused_specs = []
 
     pack_r = 1
     t = t_frames
@@ -224,9 +230,16 @@ def pack_generator_params(params, t_frames: int) -> dict:
                 idx = i * num_kernels + j
                 resblocks[idx] = modules.pack_resblock(resblocks[idx],
                                                        pack_r)
+        if fused_stage.enabled():
+            fused_specs.append(fused_stage.build_group_spec(
+                params["resblocks"][i * num_kernels:(i + 1) * num_kernels],
+                pack_r, modules.LRELU_SLOPE, dtype=weight.dtype))
+        else:
+            fused_specs.append(None)
         t = t_out
     packed["ups"] = ups
     packed["resblocks"] = resblocks
+    packed["fused_stages"] = tuple(fused_specs)
     if pack_r > 1:
         post = dict(params["conv_post"])
         post["packed"] = nn.packed_conv_prebuilt(

@@ -26,7 +26,7 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from phoonnx_tpu.models.vits import modules, nn
+from phoonnx_tpu.models.vits import fused_stage, modules, nn
 from phoonnx_tpu.ops.istft import istft
 
 Array = jax.Array
@@ -100,13 +100,18 @@ def istft_generator(params, x: Array, g: Optional[Array] = None,
         pack_r = nn.pack_ratio(ch, t_len) if pack_channels else 1
         if pack_r > 1:
             x = x.reshape(batch, t_len // pack_r, pack_r * ch)
-        acc = None
-        for j in range(num_kernels):
-            block = params["resblocks"][i * num_kernels + j]
-            out = resblock_fn(block, x, pack_r=pack_r,
-                              packed_io=pack_r > 1)
-            acc = out if acc is None else acc + out
-        x = acc / num_kernels
+        fused = params.get("fused_stages")
+        fused = fused[i] if fused is not None else None
+        if fused is not None and fused_stage.usable(fused, pack_r, x):
+            x = fused_stage.apply_group(fused, x)
+        else:
+            acc = None
+            for j in range(num_kernels):
+                block = params["resblocks"][i * num_kernels + j]
+                out = resblock_fn(block, x, pack_r=pack_r,
+                                  packed_io=pack_r > 1)
+                acc = out if acc is None else acc + out
+            x = acc / num_kernels
         if pack_r > 1:
             x = x.reshape(batch, t_len, ch)
 
@@ -166,16 +171,25 @@ def pack_istft_params(params, t_frames: int) -> dict:
     packed = dict(params)
     num_kernels = params["num_kernels"]
     resblocks = list(params["resblocks"])
+    fused_specs = []
     t = t_frames
     for i, up in enumerate(params["ups"]):
         rate = params["upsample_rates"][i]
         t *= rate
-        ch = nn.resolve_weight(up).shape[1]
+        weight = nn.resolve_weight(up)
+        ch = weight.shape[1]
         pack_r = nn.pack_ratio(ch, t)
         if pack_r > 1:
             for j in range(num_kernels):
                 idx = i * num_kernels + j
                 resblocks[idx] = modules.pack_resblock(resblocks[idx],
                                                        pack_r)
+        if fused_stage.enabled():
+            fused_specs.append(fused_stage.build_group_spec(
+                params["resblocks"][i * num_kernels:(i + 1) * num_kernels],
+                pack_r, modules.LRELU_SLOPE, dtype=weight.dtype))
+        else:
+            fused_specs.append(None)
     packed["resblocks"] = resblocks
+    packed["fused_stages"] = tuple(fused_specs)
     return packed
