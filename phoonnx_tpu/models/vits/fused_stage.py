@@ -168,8 +168,14 @@ def build_group_spec(blocks, pack_r: int, lrelu_slope: float,
 
 
 def usable(spec, pack_r: int, x: Array) -> bool:
+    """Measured policy (v5e, chained A/B): fp32 wins at every batch
+    (batch-1 decode 1.57->0.71 ms, batch-16 throughput +37%); bf16 wins
+    only single-stream (1.47->1.08 ms) — at batch 16 XLA's half-width
+    convs are already compute-efficient and the kernel's halo recompute
+    costs ~5% — so bf16 keeps the XLA path for batched decodes."""
     return (spec is not None and enabled()
-            and int(spec["r"]) == pack_r and int(spec["L"]) == x.shape[-1])
+            and int(spec["r"]) == pack_r and int(spec["L"]) == x.shape[-1]
+            and (x.dtype == jnp.float32 or x.shape[0] == 1))
 
 
 def _kernel(xm_ref, xc_ref, xp_ref, w_ref, b_ref, out_ref,
