@@ -68,6 +68,7 @@ class VitsEngine:
         mode: str = "two_phase",
         frames_per_token: int = 12,
         fetch_pcm16: bool = False,
+        device=None,
     ):
         """mode:
 
@@ -84,6 +85,13 @@ class VitsEngine:
         fetch_pcm16: quantise audio to int16 on device before fetching
         (4x fewer bytes over the host link; the WAV output is 16-bit
         anyway). Host converts back to float32 in [-1, 1].
+
+        device: a ``jax.Device`` to pin this engine's parameters (and
+        therefore every dispatch — computation follows the committed
+        operand) to. None = the process default device. Serving uses
+        one engine per chip (`replicate` / serve.py --devices) for
+        linear multi-chip scale; no cross-device collectives are
+        involved, the model fits one chip by orders of magnitude.
         """
         self.hp = hp
         self.text_buckets = tuple(text_buckets)
@@ -92,9 +100,12 @@ class VitsEngine:
         self.frames_per_token = frames_per_token
         self.fetch_pcm16 = fetch_pcm16
         self.dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        self.dtype_str = dtype
+        self.device = device
         if dtype == "bfloat16":
             params = cast_floating(params, jnp.bfloat16)
-        self.params = jax.device_put(params)
+        self.params = (jax.device_put(params, device) if device is not None
+                       else jax.device_put(params))
         self._packed_by_sig = {}
         self._packed_by_frames = {}
         self._phase1 = {}
@@ -124,11 +135,44 @@ class VitsEngine:
                                                t_frames)
         packed = self._packed_by_sig.get(sig)
         if packed is None:
-            packed = jax.device_put(vits_model.pack_decoder_params(
-                self.params, self.hp, t_frames))
+            packed = vits_model.pack_decoder_params(self.params, self.hp,
+                                                    t_frames)
+            # built from the committed params, so it already lives on
+            # self.device; a bare device_put would move it to the default
+            packed = (jax.device_put(packed, self.device)
+                      if self.device is not None else jax.device_put(packed))
             self._packed_by_sig[sig] = packed
         self._packed_by_frames[t_frames] = packed
         return packed
+
+    def replicate(self, devices) -> List["VitsEngine"]:
+        """One engine per device, sharing this engine's configuration.
+
+        Returns [self-or-repin, engine@dev1, ...]: element 0 reuses this
+        engine when it already sits on ``devices[0]`` (no weight copy).
+        Each replica holds its own parameter copy in its chip's HBM and
+        its own compiled-program cache; serving fans requests out across
+        them (BatcherPool) for linear multi-chip throughput.
+        """
+        out = []
+        for dev in devices:
+            if dev == self.device or (self.device is None and not out):
+                if self.device is None and dev is not None:
+                    # adopt the placement: the default device need not be
+                    # devices[0]
+                    self.params = jax.device_put(self.params, dev)
+                    self._packed_by_sig.clear()
+                    self._packed_by_frames.clear()
+                self.device = dev
+                out.append(self)
+                continue
+            out.append(VitsEngine(
+                self.params, self.hp, text_buckets=self.text_buckets,
+                frame_buckets=self.frame_buckets, dtype=self.dtype_str,
+                mode=self.mode, frames_per_token=self.frames_per_token,
+                fetch_pcm16=self.fetch_pcm16, device=dev,
+            ))
+        return out
 
     # -- compiled phases -------------------------------------------------
 

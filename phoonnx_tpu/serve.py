@@ -216,6 +216,89 @@ class DynamicBatcher:
                     sub.event.set()
 
 
+class BatcherPool:
+    """One DynamicBatcher per device engine; fans submissions out.
+
+    Multi-chip serving: each engine holds its own parameter copy in its
+    chip's HBM (engine.replicate) and its own compiled programs, so
+    requests scale linearly with chips — TTS voices are orders of
+    magnitude smaller than a chip, so replication beats sharding
+    (no collectives, no cross-chip latency on the hot path). Submissions
+    go to the least-loaded batcher; streams round-robin.
+    Exposes the same submit/stats/stop surface as DynamicBatcher.
+    """
+
+    def __init__(self, engines, max_batch: int = 16,
+                 max_wait_ms: float = 10.0):
+        self.batchers = [
+            DynamicBatcher(e, max_batch=max_batch, max_wait_ms=max_wait_ms)
+            for e in engines
+        ]
+        self._rr = 0
+        self._lock = threading.Lock()
+
+    @property
+    def engine(self):
+        return self.batchers[0].engine
+
+    def next_engine(self):
+        """Round-robin engine pick (streaming requests)."""
+        with self._lock:
+            engine = self.batchers[self._rr % len(self.batchers)].engine
+            self._rr += 1
+        return engine
+
+    def submit(self, *args, **kwargs) -> _Submission:
+        best = min(self.batchers, key=lambda b: b._queue.qsize())
+        return best.submit(*args, **kwargs)
+
+    @property
+    def stats(self) -> Dict[str, Any]:
+        merged: Dict[str, Any] = {"requests": 0, "batches": 0,
+                                  "max_batch_seen": 0}
+        per = []
+        for b in self.batchers:
+            s = dict(b.stats)
+            per.append(s)
+            merged["requests"] += s["requests"]
+            merged["batches"] += s["batches"]
+            merged["max_batch_seen"] = max(merged["max_batch_seen"],
+                                           s["max_batch_seen"])
+        merged["devices"] = len(self.batchers)
+        merged["per_device"] = per
+        return merged
+
+    def start(self) -> None:
+        for b in self.batchers:
+            b.start()
+
+    def stop(self) -> None:
+        for b in self.batchers:
+            b.stop()
+
+
+def _resolve_devices(devices):
+    """--devices value -> list of jax.Device (None -> default single)."""
+    if devices is None:
+        return None
+    import jax
+
+    local = jax.local_devices()
+    if isinstance(devices, str):
+        if devices == "all":
+            return local
+        devices = int(devices)
+    if isinstance(devices, int):
+        if devices < 1:
+            raise ValueError("devices must be >= 1")
+        if devices > len(local):
+            raise ValueError(
+                f"requested {devices} devices, only {len(local)} local: "
+                f"{[str(d) for d in local]}")
+        return local[:devices]
+    return list(devices)
+
+
 class TTSServer:
     """HTTP front-end over a loaded :class:`~phoonnx_tpu.voice.TTSVoice`.
 
@@ -236,7 +319,7 @@ class TTSServer:
 
     def __init__(self, voice, host: str = "127.0.0.1", port: int = 0,
                  max_batch: int = 16, max_wait_ms: float = 10.0,
-                 request_timeout: float = 120.0):
+                 request_timeout: float = 120.0, devices=None):
         """``voice``: a TTSVoice, or a dict name -> TTSVoice to serve
         several voices from one process (each gets its own batcher;
         requests pick one with ``"voice": "<name>"``).
@@ -244,7 +327,12 @@ class TTSServer:
         request_timeout: per-request wait bound in seconds. A COLD boot
         without ``warmup()`` pays multi-second (remote tunnels:
         multi-minute) XLA compiles on the dispatcher thread; raise this
-        or warm up when first-request latency matters."""
+        or warm up when first-request latency matters.
+
+        devices: None (single default device), an int/"all", or a list
+        of jax.Device — every voice's engine is replicated onto each
+        device (one parameter copy + program cache per chip) and
+        requests fan out across them (BatcherPool)."""
         if not isinstance(voice, dict):
             voice = {"default": voice}
         if not voice:
@@ -252,11 +340,20 @@ class TTSServer:
         self.voices = voice
         self.request_timeout = float(request_timeout)
         self.default_voice = next(iter(voice))
-        self.batchers = {
-            name: DynamicBatcher(v.engine, max_batch=max_batch,
-                                 max_wait_ms=max_wait_ms)
-            for name, v in voice.items()
-        }
+        devs = _resolve_devices(devices)
+        if devs is not None and len(devs) > 1:
+            self.batchers = {
+                name: BatcherPool(v.engine.replicate(devs),
+                                  max_batch=max_batch,
+                                  max_wait_ms=max_wait_ms)
+                for name, v in voice.items()
+            }
+        else:
+            self.batchers = {
+                name: DynamicBatcher(v.engine, max_batch=max_batch,
+                                     max_wait_ms=max_wait_ms)
+                for name, v in voice.items()
+            }
         handler = _make_handler(self)
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self.httpd.daemon_threads = True
@@ -305,11 +402,16 @@ class TTSServer:
                 batcher.stop()
 
     def warmup(self) -> None:
-        """Precompile the common bucket grid for every voice (with the
-        persistent compilation cache, later boots start hot)."""
-        for name, voice in self.voices.items():
-            LOG.info("warming up voice %r", name)
-            voice.engine.warmup()
+        """Precompile the common bucket grid for every voice and device
+        (with the persistent compilation cache, later boots start hot)."""
+        for name, batcher in self.batchers.items():
+            engines = ([b.engine for b in batcher.batchers]
+                       if isinstance(batcher, BatcherPool)
+                       else [batcher.engine])
+            for i, engine in enumerate(engines):
+                LOG.info("warming up voice %r (engine %d/%d)", name,
+                         i + 1, len(engines))
+                engine.warmup()
 
     # -- request-side synthesis -------------------------------------
 
@@ -385,8 +487,11 @@ class TTSServer:
     def stream_pcm_chunks(self, body: Dict[str, Any]):
         """Yield s16le PCM chunks (engine chunked decode; sub-utterance
         latency — bypasses the batcher by design: streaming optimizes
-        time-to-first-audio, batching optimizes throughput)."""
-        voice, _ = self._select(body)
+        time-to-first-audio, batching optimizes throughput; with a
+        device pool, streams round-robin across chips)."""
+        voice, batcher = self._select(body)
+        engine = (batcher.next_engine()
+                  if isinstance(batcher, BatcherPool) else None)
         seed = body.get("seed")
         seed = int(seed) if seed is not None else None
         scales = self._scales(voice, body)
@@ -409,6 +514,7 @@ class TTSServer:
             str(body["text"]), cfg,
             chunk_frames=int(body.get("chunk_frames", 128)),
             overlap_frames=int(body.get("overlap_frames", 32)),
+            engine=engine,
         ):
             yield chunk.audio_int16_bytes
 
@@ -583,6 +689,13 @@ def main(argv: Optional[List[str]] = None) -> None:
                          "TPUs)")
     ap.add_argument("--no-compile-cache", action="store_true",
                     help="disable the persistent XLA compilation cache")
+    ap.add_argument("--devices", default=None,
+                    help="serve across multiple chips: an int, or 'all' "
+                         "for every local device. Each voice's engine is "
+                         "replicated per chip (own HBM weight copy + "
+                         "program cache); batched requests go to the "
+                         "least-loaded chip, streams round-robin. "
+                         "Default: the single default device")
     args = ap.parse_args(argv)
 
     if not args.no_compile_cache:
@@ -607,7 +720,8 @@ def main(argv: Optional[List[str]] = None) -> None:
             voices[name] = TTSVoice.load(path, dtype=dtype)
     srv = TTSServer(voices, host=args.host, port=args.port,
                     max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-                    request_timeout=args.request_timeout)
+                    request_timeout=args.request_timeout,
+                    devices=args.devices)
     if args.warmup:
         srv.warmup()
     LOG.info("serving on %s:%d", *srv.address)

@@ -292,6 +292,7 @@ class TTSVoice:
     def synthesize_streaming(
         self, text: str, syn_config: Optional[SynthesisConfig] = None,
         chunk_frames: int = 128, overlap_frames: int = 32,
+        engine=None,
     ) -> Iterable[AudioChunk]:
         """Yield audio in sub-sentence chunks as the vocoder produces them.
 
@@ -330,7 +331,7 @@ class TTSVoice:
             phoneme_ids = self.phonemes_to_ids(phonemes)
             if not phoneme_ids:
                 continue
-            for audio in self.engine.synthesize_ids_streaming(
+            for audio in (engine or self.engine).synthesize_ids_streaming(
                 phoneme_ids,
                 chunk_frames=chunk_frames,
                 overlap_frames=overlap_frames,

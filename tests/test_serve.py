@@ -317,3 +317,82 @@ def test_request_timeout_returns_clear_json_error(voice):
         assert "--warmup" in payload["error"]
     finally:
         srv.stop()
+
+
+# -- multi-device serving (engine replication across the CPU mesh) ---------
+
+@pytest.fixture(scope="module")
+def pool_server(voice):
+    srv = TTSServer(voice, port=0, max_batch=8, max_wait_ms=30.0,
+                    devices=2)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def test_pool_engines_on_distinct_devices(pool_server):
+    from phoonnx_tpu.serve import BatcherPool
+
+    batcher = pool_server.batcher
+    assert isinstance(batcher, BatcherPool)
+    devs = [b.engine.device for b in batcher.batchers]
+    assert len(devs) == 2 and devs[0] != devs[1]
+    for b in batcher.batchers:
+        leaf = jax.tree.leaves(b.engine.params)[0]
+        assert list(leaf.devices()) == [b.engine.device]
+
+
+def test_pool_synthesis_and_stats(pool_server):
+    # seeded requests are deterministic and engines share weights, so
+    # the same request must produce identical audio whichever chip
+    # serves it
+    wavs = []
+    for _ in range(4):
+        resp, data = _request(pool_server, "POST", "/synthesize",
+                              {"text": "abcabc", "seed": 5})
+        assert resp.status == 200
+        wavs.append(data)
+    assert all(w == wavs[0] for w in wavs[1:])
+    resp, data = _request(pool_server, "GET", "/stats")
+    stats = json.loads(data)
+    assert stats["devices"] == 2
+    assert stats["requests"] >= 4
+    assert len(stats["per_device"]) == 2
+
+
+def test_pool_concurrent_requests_spread(pool_server):
+    results = [None] * 6
+    def hit(i):
+        resp, data = _request(pool_server, "POST", "/synthesize",
+                              {"text": "abcdef"})
+        results[i] = resp.status
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(6)]
+    for t in threads: t.start()
+    for t in threads: t.join()
+    assert all(s == 200 for s in results)
+    stats = pool_server.batcher.stats
+    assert stats["requests"] >= 6
+
+
+def test_pool_streaming_round_robin(pool_server):
+    from phoonnx_tpu.serve import BatcherPool
+
+    batcher = pool_server.batcher
+    assert isinstance(batcher, BatcherPool)
+    e1, e2 = batcher.next_engine(), batcher.next_engine()
+    assert e1 is not e2
+    resp, data = _request(pool_server, "POST", "/synthesize",
+                          {"text": "abc", "stream": True, "seed": 1})
+    assert resp.status == 200
+    assert len(data) > 0 and len(data) % 2 == 0  # s16le
+
+
+def test_engine_replicate_reuses_primary(voice):
+    devs = jax.local_devices()[:2]
+    engines = voice.engine.replicate(devs)
+    assert engines[0] is voice.engine
+    assert engines[1] is not voice.engine
+    ids = [5, 6, 7, 8, 9, 4]
+    a = engines[0].synthesize_ids(ids, seed=3)
+    b = engines[1].synthesize_ids(ids, seed=3)
+    np.testing.assert_array_equal(a, b)
