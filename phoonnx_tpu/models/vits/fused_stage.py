@@ -43,8 +43,8 @@ from phoonnx_tpu.models.vits.statics import (StaticFloat, StaticInt,
 
 Array = jax.Array
 
-TILE = 512
-_VMEM_BUDGET = 10 * 1024 * 1024
+TILE_CANDIDATES = (512, 256, 128)
+_VMEM_BUDGET = 12 * 1024 * 1024
 
 # Test hook: run the kernel in interpreter mode on non-TPU backends so
 # CPU CI exercises the exact kernel semantics.
@@ -144,18 +144,27 @@ def build_group_spec(blocks, pack_r: int, lrelu_slope: float,
                 max_off = max(max_off, ext)
         halo = max(halo, h)
     hb = halo + max_off
-    if hb > TILE:
-        return None  # degenerate geometry; keep the XLA path
 
-    rows = TILE + 2 * hb
+    # adaptive tile: big specs (resblock1's 126-tap stages) trade tile
+    # rows for weight residency; halo-recompute overhead grows as the
+    # tile shrinks, so prefer the largest tile that fits
     esize = np.dtype(dtype).itemsize
-    vmem = (n_taps_total * lanes * lanes * esize       # taps
-            + 5 * rows * lanes * 4                     # work buffers
-            + 8 * TILE * lanes * esize)                # pipeline blocks
-    if vmem > _VMEM_BUDGET:
-        return None
+    tile = None
+    for cand in TILE_CANDIDATES:
+        if hb > cand:
+            continue
+        rows = cand + 2 * hb
+        vmem = (n_taps_total * lanes * lanes * esize   # taps
+                + 5 * rows * lanes * 4                 # work buffers
+                + 8 * cand * lanes * esize)            # pipeline blocks
+        if vmem <= _VMEM_BUDGET:
+            tile = cand
+            break
+    if tile is None:
+        return None  # oversized taps or degenerate halo; keep XLA path
 
     return {
+        "tile": StaticInt(tile),
         "W": jnp.concatenate(all_mats, axis=0),    # [n_taps, L, L]
         "b": jnp.stack(all_biases, axis=0),        # [n_convs, L]
         "branches": StaticTuple(branches),
@@ -179,25 +188,25 @@ def usable(spec, pack_r: int, x: Array) -> bool:
 
 
 def _kernel(xm_ref, xc_ref, xp_ref, w_ref, b_ref, out_ref,
-            asm, cur, act, tmp, acc, *, branches, hb, max_off, slope,
-            n_blocks, out_dtype, t_true):
+            asm, cur, act, tmp, acc, *, branches, tile, hb, max_off,
+            slope, n_blocks, out_dtype, t_true):
     from jax.experimental import pallas as pl
 
-    rows = TILE + 2 * hb
+    rows = tile + 2 * hb
     wlen = rows - 2 * max_off
     win = slice(max_off, rows - max_off)
 
     # assemble the contiguous halo'd window: [prev tail | center | next head]
-    asm[0:hb, :] = xm_ref[0, TILE - hb:TILE, :]
-    asm[hb:hb + TILE, :] = xc_ref[0, :, :]
-    asm[hb + TILE:rows, :] = xp_ref[0, 0:hb, :]
+    asm[0:hb, :] = xm_ref[0, tile - hb:tile, :]
+    asm[hb:hb + tile, :] = xc_ref[0, :, :]
+    asm[hb + tile:rows, :] = xp_ref[0, 0:hb, :]
 
     # XLA-path parity at the true array edges: every conv zero-pads its
     # OWN input, so intermediate rows outside [0, t_true) must read as
     # zeros — zero-extended x alone lets biases/residuals propagate into
     # the edge region (same effect engine._get_decode_chunk documents)
     g = (jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-         + pl.program_id(1) * TILE - hb)
+         + pl.program_id(1) * tile - hb)
     # float multiply-mask: [rows, 1] i1 broadcasts hit Mosaic relayout
     # limits, a dtype-matched multiplicand doesn't. Select in f32 (the
     # i32 compare's native (8,128) tiling) and cast — selecting straight
@@ -233,7 +242,7 @@ def _kernel(xm_ref, xc_ref, xp_ref, w_ref, b_ref, out_ref,
             first = False
         else:
             acc[:, :] = acc[:, :] + cur[:, :]
-    out_ref[0, :, :] = acc[hb:hb + TILE, :] / jnp.asarray(n_blocks,
+    out_ref[0, :, :] = acc[hb:hb + tile, :] / jnp.asarray(n_blocks,
                                                           out_dtype)
 
 
@@ -244,14 +253,16 @@ def apply_group(spec, x: Array) -> Array:
 
     batch, t_len, lanes = x.shape
     hb = int(spec["hb"])
-    n_tiles = -(-t_len // TILE)
-    t_pad = n_tiles * TILE
-    xp = jnp.pad(x, ((0, 0), (TILE, TILE + t_pad - t_len), (0, 0)))
+    tile = int(spec["tile"])
+    n_tiles = -(-t_len // tile)
+    t_pad = n_tiles * tile
+    xp = jnp.pad(x, ((0, 0), (tile, tile + t_pad - t_len), (0, 0)))
 
-    rows = TILE + 2 * hb
+    rows = tile + 2 * hb
     kernel = functools.partial(
         _kernel,
         branches=tuple(spec["branches"]),
+        tile=tile,
         hb=hb,
         max_off=int(spec["max_off"]),
         slope=float(spec["slope"]),
@@ -263,16 +274,16 @@ def apply_group(spec, x: Array) -> Array:
         kernel,
         grid=(batch, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, TILE, lanes), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, tile, lanes), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE, lanes), lambda b, t: (b, t + 1, 0),
+            pl.BlockSpec((1, tile, lanes), lambda b, t: (b, t + 1, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE, lanes), lambda b, t: (b, t + 2, 0),
+            pl.BlockSpec((1, tile, lanes), lambda b, t: (b, t + 2, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # taps
             pl.BlockSpec(memory_space=pltpu.VMEM),   # biases
         ],
-        out_specs=pl.BlockSpec((1, TILE, lanes), lambda b, t: (b, t, 0),
+        out_specs=pl.BlockSpec((1, tile, lanes), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((batch, t_pad, lanes), x.dtype),
         scratch_shapes=[
