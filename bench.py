@@ -146,6 +146,42 @@ def main() -> None:
         lat.append(time.perf_counter() - t0)
     latency_ms = float(np.median(lat) * 1000)
 
+    # Secondary: the high-quality preset's single-utterance RTF (4x the
+    # decoder compute of medium; piper's "high" voices use it)
+    hp_high = VitsHParams.preset("high", n_vocab=161)
+    params_high = vits_model.pack_decoder_params(
+        jax.device_put(vits_model.random_params(jax.random.PRNGKey(0),
+                                                hp_high)),
+        hp_high, max_frames)
+
+    def forward_high(params, ids, lengths, rng):
+        audio, y_lengths, _ = vits_model.infer(
+            params, hp_high, ids, lengths, max_frames=max_frames,
+            noise_scale=jnp.float32(0.667),
+            length_scale=jnp.float32(1.0),
+            noise_w=jnp.float32(0.8),
+            rng=rng,
+        )
+        return audio, y_lengths
+
+    @jax.jit
+    def chain_high(params, ids, lengths, base_rng):
+        def body(i, acc):
+            rng = jax.random.fold_in(base_rng, i)
+            audio, _ = forward_high(params, ids, lengths, rng)
+            return acc + audio[:, ::1997].astype(jnp.float32).sum()
+
+        return jax.lax.fori_loop(0, N_CHAIN, body, jnp.float32(0.0))
+
+    _fetch(chain_high(params_high, ids, lengths, jax.random.PRNGKey(0)))
+    best_high = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        _fetch(chain_high(params_high, ids, lengths,
+                          jax.random.PRNGKey(rep + 1)))
+        best_high = min(best_high, time.perf_counter() - t0)
+    rtf_high = max(best_high - rtt, 1e-9) / N_CHAIN / audio_seconds
+
     # Streaming: time-to-first-audio via the chunked vocoder decode
     # (wall clock to the first fetched chunk — already an honest barrier)
     from phoonnx_tpu.infer.engine import VitsEngine
@@ -178,6 +214,7 @@ def main() -> None:
             "rtt_ms": round(rtt * 1000, 2),
             "batch16_fp32_audio_sec_per_sec": round(batch16_fp32, 1),
             "batch16_bf16_audio_sec_per_sec": round(batch16_bf16, 1),
+            "rtf_high_preset_fp32": round(rtf_high, 6),
             "streaming_ttfa_ms": round(ttfa_ms, 2),
             "frames": max_frames,
             "device": str(jax.devices()[0]),

@@ -90,13 +90,19 @@ def _conv_taps(weight: Array, bias: Optional[Array], r: int,
 
 
 def build_group_spec(blocks, pack_r: int, lrelu_slope: float,
-                     dtype=jnp.float32):
+                     dtype=jnp.float32, post=None):
     """Spec for one stage's resblock group, or None if it won't pay.
 
     blocks: the stage's resblock param subtrees (modules.init_resblock1/2
     layout). The spec carries the stacked tap matrices (one traced array,
     part of the params pytree) plus a static program of branches ->
     residual units -> convs.
+
+    post: optional (weight [1, C, K], bias, padding, slope) — fuses the
+    generator's tail (leaky_relu(slope) -> conv_post -> tanh) as a
+    kernel epilogue. The group's full-width output is then never written
+    to HBM; the kernel's only output is the r-lane packed audio block
+    (saves a write+read of the widest tensor in the model).
     """
     branches = []
     all_mats, all_biases = [], []
@@ -143,6 +149,16 @@ def build_group_spec(blocks, pack_r: int, lrelu_slope: float,
                 h += ext
                 max_off = max(max_off, ext)
         halo = max(halo, h)
+    post_spec = None
+    if post is not None:
+        pw, pb, ppad, pslope = post
+        p_off, p_mats, p_bias = _conv_taps(
+            pw.astype(dtype), None if pb is None else pb.astype(dtype),
+            pack_r, 1, ppad)
+        p_ext = max(-min(p_off), max(p_off))
+        halo += p_ext
+        max_off = max(max_off, p_ext)
+        post_spec = (p_off, p_mats, p_bias, float(pslope))
     hb = halo + max_off
 
     # adaptive tile: big specs (resblock1's 126-tap stages) trade tile
@@ -163,7 +179,7 @@ def build_group_spec(blocks, pack_r: int, lrelu_slope: float,
     if tile is None:
         return None  # oversized taps or degenerate halo; keep XLA path
 
-    return {
+    spec = {
         "tile": StaticInt(tile),
         "W": jnp.concatenate(all_mats, axis=0),    # [n_taps, L, L]
         "b": jnp.stack(all_biases, axis=0),        # [n_convs, L]
@@ -174,6 +190,13 @@ def build_group_spec(blocks, pack_r: int, lrelu_slope: float,
         "max_off": StaticInt(max_off),
         "slope": StaticFloat(lrelu_slope),
     }
+    if post_spec is not None:
+        p_off, p_mats, p_bias, pslope = post_spec
+        spec["postW"] = p_mats                    # [p_taps, L, r_out]
+        spec["postB"] = p_bias                    # [r_out]
+        spec["post_offsets"] = StaticTuple(p_off)
+        spec["post_slope"] = StaticFloat(pslope)
+    return spec
 
 
 def usable(spec, pack_r: int, x: Array) -> bool:
@@ -189,7 +212,9 @@ def usable(spec, pack_r: int, x: Array) -> bool:
 
 def _kernel(xm_ref, xc_ref, xp_ref, w_ref, b_ref, out_ref,
             asm, cur, act, tmp, acc, *, branches, tile, hb, max_off,
-            slope, n_blocks, out_dtype, t_true):
+            slope, n_blocks, out_dtype, t_true,
+            pw_ref=None, pb_ref=None, post_offsets=None,
+            post_slope=None):
     from jax.experimental import pallas as pl
 
     rows = tile + 2 * hb
@@ -220,6 +245,9 @@ def _kernel(xm_ref, xc_ref, xp_ref, w_ref, b_ref, out_ref,
         # unsupported on some Mosaic targets; maximum lowers natively)
         return jnp.maximum(v, slope * v) * bound
 
+    def lrelu_at(v, s_):
+        return jnp.maximum(v, s_ * v) * bound
+
     first = True
     for branch in branches:
         cur[:, :] = asm[:, :]
@@ -242,8 +270,22 @@ def _kernel(xm_ref, xc_ref, xp_ref, w_ref, b_ref, out_ref,
             first = False
         else:
             acc[:, :] = acc[:, :] + cur[:, :]
-    out_ref[0, :, :] = acc[hb:hb + tile, :] / jnp.asarray(n_blocks,
-                                                          out_dtype)
+    mean = acc[:, :] / jnp.asarray(n_blocks, out_dtype)
+    if pw_ref is None:
+        out_ref[0, :, :] = mean[hb:hb + tile, :]
+        return
+    # fused tail: leaky_relu(post_slope) -> conv_post taps -> tanh; the
+    # full-width group output never touches HBM
+    act[:, :] = lrelu_at(mean, post_slope)
+    y = None
+    for j, off in enumerate(post_offsets):
+        xs = act[max_off + off: max_off + off + wlen, :]
+        c = jnp.dot(xs, pw_ref[j], preferred_element_type=jnp.float32)
+        y = c if y is None else y + c
+    y = y + pb_ref[:].astype(jnp.float32)
+    audio = jnp.tanh(y).astype(out_dtype)
+    lo = hb - max_off  # window coords -> center tile
+    out_ref[0, :, :] = audio[lo:lo + tile, :]
 
 
 def apply_group(spec, x: Array) -> Array:
@@ -258,18 +300,40 @@ def apply_group(spec, x: Array) -> Array:
     t_pad = n_tiles * tile
     xp = jnp.pad(x, ((0, 0), (tile, tile + t_pad - t_len), (0, 0)))
 
+    has_post = "postW" in spec
     rows = tile + 2 * hb
-    kernel = functools.partial(
-        _kernel,
-        branches=tuple(spec["branches"]),
-        tile=tile,
-        hb=hb,
-        max_off=int(spec["max_off"]),
-        slope=float(spec["slope"]),
-        n_blocks=len(spec["branches"]),
-        out_dtype=x.dtype,
-        t_true=t_len,
-    )
+    kw = {}
+    extra_in = []
+    extra_specs = []
+    out_lanes = lanes
+    if has_post:
+        kw = dict(post_offsets=tuple(spec["post_offsets"]),
+                  post_slope=float(spec["post_slope"]))
+        out_lanes = spec["postW"].shape[-1]
+        extra_in = [spec["postW"], spec["postB"]]
+        extra_specs = [pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.VMEM)]
+
+    def kernel(xm, xc, xn, w, b, *rest):
+        if has_post:
+            pw, pb, out = rest[0], rest[1], rest[2]
+            scratch = rest[3:]
+            _kernel(xm, xc, xn, w, b, out, *scratch,
+                    branches=tuple(spec["branches"]), tile=tile, hb=hb,
+                    max_off=int(spec["max_off"]),
+                    slope=float(spec["slope"]),
+                    n_blocks=len(spec["branches"]), out_dtype=x.dtype,
+                    t_true=t_len, pw_ref=pw, pb_ref=pb, **kw)
+        else:
+            out = rest[0]
+            scratch = rest[1:]
+            _kernel(xm, xc, xn, w, b, out, *scratch,
+                    branches=tuple(spec["branches"]), tile=tile, hb=hb,
+                    max_off=int(spec["max_off"]),
+                    slope=float(spec["slope"]),
+                    n_blocks=len(spec["branches"]), out_dtype=x.dtype,
+                    t_true=t_len)
+
     out = pl.pallas_call(
         kernel,
         grid=(batch, n_tiles),
@@ -282,10 +346,11 @@ def apply_group(spec, x: Array) -> Array:
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # taps
             pl.BlockSpec(memory_space=pltpu.VMEM),   # biases
-        ],
-        out_specs=pl.BlockSpec((1, tile, lanes), lambda b, t: (b, t, 0),
+        ] + extra_specs,
+        out_specs=pl.BlockSpec((1, tile, out_lanes),
+                               lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((batch, t_pad, lanes), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((batch, t_pad, out_lanes), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((rows, lanes), x.dtype),  # asm
             pltpu.VMEM((rows, lanes), x.dtype),  # cur
@@ -294,5 +359,5 @@ def apply_group(spec, x: Array) -> Array:
             pltpu.VMEM((rows, lanes), x.dtype),  # acc
         ],
         interpret=FORCE_INTERPRET and jax.default_backend() != "tpu",
-    )(xp, xp, xp, spec["W"], spec["b"])
+    )(xp, xp, xp, spec["W"], spec["b"], *extra_in)
     return out[:, :t_len]

@@ -134,6 +134,9 @@ def generator(params, x: Array, g: Optional[Array] = None,
         fused = fused[i] if fused is not None else None
         if fused is not None and fused_stage.usable(fused, pack_r, x):
             x = fused_stage.apply_group(fused, x)
+            if "postW" in fused:  # epilogue produced packed audio
+                batch, rows, r_out = x.shape
+                return x.reshape(batch, rows * r_out)
         else:
             acc = None
             for j in range(num_kernels):
@@ -231,9 +234,17 @@ def pack_generator_params(params, t_frames: int) -> dict:
                 resblocks[idx] = modules.pack_resblock(resblocks[idx],
                                                        pack_r)
         if fused_stage.enabled():
+            # last stage: fuse the generator tail (leaky 0.01 ->
+            # conv_post -> tanh) as a kernel epilogue — the full-width
+            # stage output then never touches HBM (models.py:362-366)
+            post = None
+            if i == len(ups) - 1:
+                post = (params["conv_post"]["weight"],
+                        params["conv_post"].get("bias"), 3, 0.01)
             fused_specs.append(fused_stage.build_group_spec(
                 params["resblocks"][i * num_kernels:(i + 1) * num_kernels],
-                pack_r, modules.LRELU_SLOPE, dtype=weight.dtype))
+                pack_r, modules.LRELU_SLOPE, dtype=weight.dtype,
+                post=post))
         else:
             fused_specs.append(None)
         t = t_out

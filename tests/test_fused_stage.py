@@ -127,3 +127,21 @@ def test_vmem_gate_returns_none():
     blocks = params["dec"]["resblocks"][:nk]  # C=256 stage
     spec = fused_stage.build_group_spec(blocks, 1, modules.LRELU_SLOPE)
     assert spec is None
+
+
+def test_post_epilogue_fused_into_last_stage():
+    """conv_post+tanh ride the last stage kernel; output shape/values
+    must match the unfused generator exactly (interpret mode)."""
+    hp = vits_model.VitsHParams.preset("medium", n_vocab=161)
+    params = vits_model.random_params(jax.random.PRNGKey(2), hp)
+    packed = hifigan.pack_generator_params(params["dec"], t_frames=16)
+    last = packed["fused_stages"][-1]
+    assert last is not None and "postW" in last
+    assert "postW" not in (packed["fused_stages"][0] or {})
+    z = jnp.asarray(np.random.default_rng(4).standard_normal(
+        (1, 16, hp.inter_channels)) * 0.3, jnp.float32)
+    ref = hifigan.generator(params["dec"], z, pack_channels=True)
+    got = hifigan.generator(packed, z, pack_channels=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-4)
