@@ -39,19 +39,14 @@ def maximum_path(neg_cent: Array, attn_mask: Array,
       * ``"pallas"`` — VMEM kernel (ops/mas_pallas.py), bit-identical;
         ~2x faster standalone on v5e (2.1 vs 4.4 ms at [8, 512, 128]),
         within noise of scan inside the fused train step (XLA overlaps
-        the scan with other work there). Single-device programs only
-        (pallas_call is opaque to the SPMD partitioner). On non-TPU
-        backends it runs in interpret mode (slow — for tests).
-      * ``"auto"`` — pallas on a TPU backend, scan otherwise. The
-        training step resolves auto to scan when the data mesh axis is
-        sharded (see train/step.py).
+        the scan with other work there). Sharding-aware: wrapped in
+        custom_partitioning so a batch-sharded mesh runs the kernel on
+        each device's local shard. On non-TPU backends it runs in
+        interpret mode (slow — for tests).
+      * ``"auto"`` — pallas on a TPU backend, scan otherwise.
     """
     if impl == "auto":
-        # pallas only for single-device TPU programs: pallas_call is
-        # opaque to the SPMD partitioner, so any multi-device process
-        # (where the step may be sharded) stays on the scan DP
-        impl = ("pallas" if jax.default_backend() == "tpu"
-                and jax.device_count() == 1 else "scan")
+        impl = "pallas" if jax.default_backend() == "tpu" else "scan"
     if impl == "pallas":
         from phoonnx_tpu.ops.mas_pallas import maximum_path_pallas
 

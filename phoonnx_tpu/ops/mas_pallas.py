@@ -9,13 +9,24 @@ Semantics are identical to the reference Cython kernel
 (phoonnx_train/vits/monotonic_align/core.pyx) and to ops/mas.maximum_path:
 stay/advance recurrence with a forced advance on the x==y edge, stay-on-tie
 backtracking, per-batch true lengths from the mask.
+
+The public entry point is wrapped in ``custom_partitioning`` so the kernel
+composes with GSPMD/Shardy sharded programs: the DP is independent per
+batch element, so under a batch-sharded mesh each device runs the kernel
+on its local shard (no collectives); the time/text dims are declared
+replicated. This is what lets the fused SPMD train step keep the VMEM
+kernel instead of falling back to the lax.scan DP when the data axis is
+sharded.
 """
 
+import functools
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec
 
 Array = jax.Array
 
@@ -68,9 +79,9 @@ def _mas_kernel(value_ref, y_len_ref, x_len_ref, path_ref, q_scratch):
     jax.lax.fori_loop(0, t_y, backward, x_len - 1)
 
 
-def maximum_path_pallas(neg_cent: Array, attn_mask: Array,
-                        interpret: bool = False) -> Array:
-    """Pallas MAS; neg_cent/attn_mask [B, T_spec, T_text]."""
+def _maximum_path_pallas_local(neg_cent: Array, attn_mask: Array,
+                               interpret: bool) -> Array:
+    """Single-device Pallas MAS; neg_cent/attn_mask [B, T_spec, T_text]."""
     b, t_y, t_x = neg_cent.shape
     # int32 sums: a bf16 mask quantizes counts above 256 (see ops/mas.py)
     y_lens = jnp.maximum(
@@ -97,8 +108,69 @@ def maximum_path_pallas(neg_cent: Array, attn_mask: Array,
     return path.astype(neg_cent.dtype) * attn_mask
 
 
+def _batch_only_sharding(mesh, s, ndim: int):
+    """Project a sharding to its batch (leading) axis; replicate the rest.
+
+    The per-shard DP needs full [T_y, T_x] planes, so any sharding that
+    lands on the time/text dims is stripped (the partitioner inserts the
+    resharding to match what we return here).
+    """
+    spec = getattr(s, "spec", None)
+    batch_axes = spec[0] if spec is not None and len(spec) > 0 else None
+    return NamedSharding(
+        mesh, PartitionSpec(batch_axes, *([None] * (ndim - 1)))
+    )
+
+
+def _mas_partition(interpret, mesh, arg_shapes, result_shape):
+    arg_shardings = tuple(
+        _batch_only_sharding(mesh, s.sharding, len(s.shape))
+        for s in arg_shapes
+    )
+    result_sharding = _batch_only_sharding(
+        mesh, result_shape.sharding, len(result_shape.shape)
+    )
+
+    def lower_fn(neg_cent, attn_mask):
+        return _maximum_path_pallas_local(neg_cent, attn_mask, interpret)
+
+    return mesh, lower_fn, result_sharding, arg_shardings
+
+
+def _mas_infer_sharding(interpret, mesh, arg_shapes, result_shape):
+    return _batch_only_sharding(
+        mesh, arg_shapes[0].sharding, len(result_shape.shape)
+    )
+
+
+@functools.partial(custom_partitioning, static_argnums=(2,))
+def _maximum_path_pallas_cp(neg_cent, attn_mask, interpret):
+    return _maximum_path_pallas_local(neg_cent, attn_mask, interpret)
+
+
+# Shardy rule: batch is a free (shardable) factor; the DP recurrence
+# couples every position within a [T_y, T_x] plane, so those factors
+# must stay replicated on device.
+_maximum_path_pallas_cp.def_partition(
+    partition=_mas_partition,
+    infer_sharding_from_operands=_mas_infer_sharding,
+    sharding_rule="b ty tx, b ty tx -> b ty tx",
+    need_replication_factors=("ty", "tx"),
+)
+
+
+def maximum_path_pallas(neg_cent: Array, attn_mask: Array,
+                        interpret: bool = False) -> Array:
+    """Pallas MAS; neg_cent/attn_mask [B, T_spec, T_text].
+
+    Safe inside sharded (pjit/GSPMD) programs: partitions over the batch
+    dim, each device running the VMEM kernel on its local shard.
+    """
+    return _maximum_path_pallas_cp(neg_cent, attn_mask, interpret)
+
+
 # Measured on TPU v5e at the training shape [8, 512, 128]: bit-identical
 # to the scan implementation, 2.1 ms vs 4.4 ms per call, <1 s Mosaic
-# compile. Selected automatically on TPU via maximum_path(impl="auto")
-# for single-device programs; the scan version remains the choice under
-# a sharded data mesh (pallas_call is opaque to the SPMD partitioner).
+# compile. Selected automatically on TPU via maximum_path(impl="auto");
+# under a sharded data mesh the custom_partitioning wrapper keeps the
+# kernel local to each device's batch shard.

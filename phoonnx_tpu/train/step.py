@@ -37,8 +37,8 @@ class TrainConfig(NamedTuple):
     disc_periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
     disc_channel_scale: int = 1  # >1 shrinks the discriminator (tests)
     remat: bool = False  # rematerialize the generator forward (saves HBM)
-    # MAS kernel: "auto" = Pallas VMEM kernel on single-device TPU
-    # programs (2x the scan DP), scan under a sharded mesh / on CPU.
+    # MAS kernel: "auto" = Pallas VMEM kernel on TPU (2x the scan DP;
+    # sharding-aware via custom_partitioning), scan DP on CPU.
     mas_impl: str = "auto"
     data_axis_size: int = 1  # devices on the mesh's data axis
     # "bfloat16": forward/backward compute in bf16 with f32 master
@@ -120,11 +120,9 @@ def train_step(state: TrainState, batch: Dict[str, Array], rng: Array,
     optimizer = make_optimizer(cfg)
     segment_samples = hp.segment_size * hp.hop_length
 
-    # pallas_call is opaque to the SPMD partitioner — keep the scan DP
-    # whenever the batch is sharded over a data axis
+    # the pallas MAS is sharding-aware (custom_partitioning over the
+    # batch dim), so "auto" resolves the same way meshed or not
     mas_impl = cfg.mas_impl
-    if cfg.data_axis_size > 1 and mas_impl != "scan":
-        mas_impl = "scan"
 
     compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                      else jnp.float32)

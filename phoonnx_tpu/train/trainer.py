@@ -273,8 +273,6 @@ def run_training(
     if use_mesh:
         mesh = make_mesh(n_data=n_data, n_model=1)
         state = shard_train_state(mesh, state)
-        # the MAS auto-dispatch keys off this (pallas_call is opaque to
-        # the SPMD partitioner — sharded steps must use the scan DP)
         cfg = cfg._replace(data_axis_size=n_data)
         LOG.info("data-parallel mesh: %d-way batch sharding over %d "
                  "devices (%d processes)", n_data, jax.device_count(),

@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from phoonnx_tpu.ops.mas import maximum_path, maximum_path_numpy
@@ -125,6 +126,41 @@ def test_mas_pallas_interpret_matches_oracle():
         jnp.asarray(neg_cent), jnp.asarray(mask), interpret=True
     ))
     np.testing.assert_array_equal(got, want)
+
+
+def test_mas_pallas_sharded_batch_mesh():
+    """The Pallas MAS partitions over a batch-sharded data mesh: each
+    device runs the kernel on its local shard (custom_partitioning), no
+    all-gather of the score planes, output bit-identical to the scan DP."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from phoonnx_tpu.ops.mas import maximum_path
+    from phoonnx_tpu.ops.mas_pallas import maximum_path_pallas
+    from phoonnx_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(11)
+    b, t_y, t_x = 16, 48, 16
+    neg_cent = rng.standard_normal((b, t_y, t_x)).astype(np.float32)
+    mask = np.zeros((b, t_y, t_x), np.float32)
+    y_lens = rng.integers(t_y // 2, t_y + 1, size=b)
+    x_lens = rng.integers(t_x // 2, t_x + 1, size=b)
+    for i in range(b):
+        mask[i, : y_lens[i], : x_lens[i]] = 1
+
+    mesh = make_mesh(n_data=jax.device_count(), n_model=1)
+    sharding = NamedSharding(mesh, P("data"))
+    neg_s = jax.device_put(jnp.asarray(neg_cent), sharding)
+    mask_s = jax.device_put(jnp.asarray(mask), sharding)
+
+    fn = jax.jit(lambda n, m: maximum_path_pallas(n, m, interpret=True))
+    out = fn(neg_s, mask_s)
+    assert out.sharding.spec[0] == "data"
+    hlo = fn.lower(neg_s, mask_s).compile().as_text()
+    assert "all-gather" not in hlo
+
+    want = np.asarray(maximum_path(
+        jnp.asarray(neg_cent), jnp.asarray(mask), impl="scan"))
+    np.testing.assert_array_equal(np.asarray(out), want)
 
 
 def test_mas_impl_dispatch():

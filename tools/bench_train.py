@@ -57,6 +57,8 @@ def main() -> None:
                     help="spectrogram frames (512 ~ 6 s at 22.05 kHz)")
     ap.add_argument("--chain", type=int, default=8)
     ap.add_argument("--dtypes", default="float32,bfloat16")
+    ap.add_argument("--mas-impl", default="auto",
+                    choices=["auto", "scan", "pallas"])
     args = ap.parse_args()
 
     import jax
@@ -84,7 +86,8 @@ def main() -> None:
     rtt = _measure_rtt()
     results = []
     for dtype in args.dtypes.split(","):
-        cfg = train_step_mod.TrainConfig(compute_dtype=dtype)
+        cfg = train_step_mod.TrainConfig(compute_dtype=dtype,
+                                         mas_impl=args.mas_impl)
         state = train_step_mod.init_train_state(
             jax.random.PRNGKey(0), hp, cfg)
         state = jax.device_put(state)
