@@ -692,9 +692,48 @@ class VitsGraph:
         return b.nodes, b.initializers, inputs, ["output"]
 
 
+def _quantize_graph_weights(nodes, initializers, flat):
+    """Rewrite large model weights as int8 QDQ triples.
+
+    Weight-only quantization in the QDQ style onnxruntime's tooling
+    emits: each eligible weight initializer ``X`` becomes
+    ``X_quantized/X_scale/X_zero_point`` plus a ``DequantizeLinear``
+    node that reproduces tensor ``X`` for its unchanged consumers, so
+    the graph stays a plain opset-15 program (runs under onnxruntime
+    and the in-repo executor), shrinks ~4x on disk, and re-imports to
+    the compiled JAX engine via onnx/dequant.dequantize_flat. Graph
+    constants (e.g. the iSTFT Fourier bases) are NOT quantized — only
+    tensors that are model weights (present in ``flat``).
+    """
+    from phoonnx_tpu.onnx.dequant import quantize_flat
+
+    weights = {k: v for k, v in initializers.items() if k in flat}
+    qweights, n_quantized = quantize_flat(weights)
+    if not n_quantized:
+        return nodes, initializers, 0
+    new_inits = {k: v for k, v in initializers.items() if k not in weights}
+    dq_nodes = []
+    for name in weights:
+        if name + "_quantized" in qweights:
+            dq_nodes.append((
+                "DequantizeLinear",
+                [name + "_quantized", name + "_scale",
+                 name + "_zero_point"],
+                [name], {},
+            ))
+        else:
+            new_inits[name] = weights[name]
+    for key, value in qweights.items():
+        if key not in weights:
+            new_inits[key] = value
+    # executors run nodes in list order: dequantize before first use
+    return dq_nodes + list(nodes), new_inits, n_quantized
+
+
 def export_vits_onnx(flat: Dict[str, np.ndarray], hp, path: str,
                      metadata: Optional[Dict[str, str]] = None,
-                     deterministic: bool = False) -> None:
+                     deterministic: bool = False,
+                     quantize: bool = False) -> None:
     """Write an executable VITS inference graph to ``path``."""
     from phoonnx_tpu.onnx.writer import write_onnx
 
@@ -702,5 +741,13 @@ def export_vits_onnx(flat: Dict[str, np.ndarray], hp, path: str,
     nodes, initializers, inputs, outputs = graph.build(
         deterministic=deterministic
     )
+    if quantize:
+        # graph.p is the weight-norm-folded flat dict: exactly the model
+        # weights, under the names the graph consumes them by
+        nodes, initializers, n_quantized = _quantize_graph_weights(
+            nodes, initializers, graph.p
+        )
+        if metadata is not None and n_quantized:
+            metadata = dict(metadata, quantization="int8-weights-qdq")
     write_onnx(path, initializers, metadata=metadata, inputs=inputs,
                outputs=outputs, nodes=nodes, opset=15)

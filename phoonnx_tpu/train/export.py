@@ -94,6 +94,7 @@ def run_export(
     generate_tokens: bool = False,
     piper: bool = False,
     executable_graph: bool = True,
+    quantize: bool = False,
 ) -> Path:
     from phoonnx_tpu.models.vits.load import params_to_flat
     from phoonnx_tpu.onnx.writer import write_onnx
@@ -143,15 +144,22 @@ def run_export(
 
         export_vits_onnx(
             {k: np.asarray(v) for k, v in flat.items()}, hp,
-            str(model_output), metadata=metadata,
+            str(model_output), metadata=metadata, quantize=quantize,
         )
     else:
+        weights = {k: np.asarray(v) for k, v in flat.items()}
+        if quantize:
+            from phoonnx_tpu.onnx.dequant import quantize_flat
+
+            weights, n_q = quantize_flat(weights)
+            if n_q:
+                metadata["quantization"] = "int8-weights"
         inputs = ["input", "input_lengths", "scales"]
         if hp.n_speakers > 1:
             inputs.append("sid")
         write_onnx(
             str(model_output),
-            {k: np.asarray(v) for k, v in flat.items()},
+            weights,
             metadata=metadata,
             inputs=inputs,
             outputs=["output"],
@@ -185,6 +193,10 @@ def run_export(
 @click.option("--weights-only", "executable_graph", flag_value=False,
               default=True, help="Write a weights-only container instead "
               "of the executable inference graph")
+@click.option("--quantize", is_flag=True,
+              help="int8 weight-only quantization (~4x smaller model; "
+              "QDQ triples, loads back to the compiled engine and runs "
+              "under onnxruntime)")
 @click.option("--debug", is_flag=True)
 def main(**kwargs) -> None:
     debug = kwargs.pop("debug", False)

@@ -166,6 +166,17 @@ class TTSVoice:
 
         onnx_model = read_onnx(str(model_path))
         named = onnx_model.initializers
+        # int8-quantized exports (onnxruntime quantize_dynamic — the
+        # reference feeds them to its InferenceSession unchanged) keep
+        # the state-dict names as X_quantized/X_scale/X_zero_point
+        # triples: fold them back so the voice imports into the
+        # compiled graph instead of the host interpreter
+        from phoonnx_tpu.onnx.dequant import dequantize_flat
+
+        named, n_deq = dequantize_flat(named)
+        if n_deq:
+            LOG.info("dequantized %d int8 weight tensors for import",
+                     n_deq)
         overrides = {"sample_rate": config.sample_rate}
         for key in ("istft_hop", "istft_n_fft", "istft_bands"):
             if key in onnx_model.metadata:

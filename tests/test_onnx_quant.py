@@ -231,3 +231,69 @@ def test_dynamically_quantized_mlp_close_to_float(tmp_path):
     want = x @ w + bias
     err = np.abs(got - want).max()
     assert err < 0.05, err  # within int8 quantization error
+
+
+# -- weight-only quantization: quantize_flat / dequantize_flat ----------
+
+
+def test_quantize_dequantize_flat_roundtrip():
+    from phoonnx_tpu.onnx.dequant import dequantize_flat, quantize_flat
+
+    rng = np.random.default_rng(7)
+    w = rng.standard_normal((64, 32)).astype(np.float32)
+    small = rng.standard_normal(32).astype(np.float32)  # below min_size
+    named, n = quantize_flat({"enc.weight": w, "enc.bias": small})
+    assert n == 1
+    assert named["enc.weight_quantized"].dtype == np.int8
+    assert "enc.weight" not in named
+    np.testing.assert_array_equal(named["enc.bias"], small)
+
+    restored, n_deq = dequantize_flat(named)
+    assert n_deq == 1
+    assert set(restored) == {"enc.weight", "enc.bias"}
+    scale = float(named["enc.weight_scale"])
+    assert np.abs(restored["enc.weight"] - w).max() <= scale * 0.5 + 1e-7
+
+
+def test_quantize_flat_per_channel():
+    from phoonnx_tpu.onnx.dequant import dequantize_flat, quantize_flat
+
+    rng = np.random.default_rng(8)
+    # wildly different per-channel magnitudes: per-tensor would destroy
+    # the small channels, per-channel must preserve them
+    w = rng.standard_normal((8, 16, 16)).astype(np.float32)
+    w *= np.logspace(-3, 1, 8, dtype=np.float32).reshape(8, 1, 1)
+    named, n = quantize_flat({"w": w}, per_channel=True)
+    assert n == 1
+    assert named["w_scale"].shape == (8,)
+    restored, _ = dequantize_flat(named)
+    rel = np.abs(restored["w"] - w).max(axis=(1, 2)) / np.abs(w).max(axis=(1, 2))
+    assert rel.max() < 0.005  # per-channel: every channel keeps precision
+
+
+def test_dequantize_flat_uint8_zero_point():
+    from phoonnx_tpu.onnx.dequant import dequantize_flat
+
+    q = np.asarray([[0, 128, 255]], np.uint8)
+    named, n = dequantize_flat({
+        "x_quantized": q,
+        "x_scale": np.float32(0.5),
+        "x_zero_point": np.uint8(128),
+    })
+    assert n == 1
+    np.testing.assert_allclose(named["x"], [[-64.0, 0.0, 63.5]])
+
+
+def test_dequantize_flat_leaves_malformed_triples():
+    from phoonnx_tpu.onnx.dequant import dequantize_flat
+
+    # scale missing -> untouched (caller falls back to the interpreter)
+    named, n = dequantize_flat({"x_quantized": np.zeros((4, 4), np.int8)})
+    assert n == 0 and "x_quantized" in named
+    # base name collision -> untouched
+    named, n = dequantize_flat({
+        "y_quantized": np.zeros((4, 4), np.int8),
+        "y_scale": np.float32(1.0),
+        "y": np.zeros((4, 4), np.float32),
+    })
+    assert n == 0 and "y_quantized" in named and "y" in named

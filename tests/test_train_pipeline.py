@@ -142,6 +142,24 @@ def test_train_export_load_roundtrip(preprocessed, tmp_path):
     assert audio.ndim == 1 and len(audio) > 0
     assert np.isfinite(audio).all()
 
+    # int8 export: smaller on disk, still loads onto the compiled engine
+    from phoonnx_tpu.infer.engine import VitsEngine
+
+    q_path = run_export(
+        checkpoint=ckpt_path,
+        config_path=str(preprocessed / "config.json"),
+        output_dir=str(tmp_path / "exported_int8"),
+        quality="micro",
+        quantize=True,
+    )
+    assert q_path.stat().st_size < model_path.stat().st_size * 0.6
+    q_voice = TTSVoice.load(str(q_path))
+    assert isinstance(q_voice.engine, VitsEngine)
+    q_audio = q_voice.phoneme_ids_to_audio(
+        [1, 0, 5, 6, 7, 0, 2], SynthesisConfig(seed=0)
+    )
+    assert np.isfinite(q_audio).all() and len(q_audio) > 0
+
 
 @pytest.mark.slow
 def test_trainer_loop_with_profile(preprocessed, tmp_path):

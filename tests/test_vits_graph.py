@@ -188,3 +188,46 @@ def test_graph_istft_multispeaker(tmp_path):
     n = int(y_len[0]) * hp.total_upsample
     deviation = np.abs(audio[0, 0, :n] - np.asarray(jax_audio)[0, :n]).max()
     assert deviation < 1e-4, deviation
+
+
+def test_quantized_graph_matches_dequantized_weights(tmp_path):
+    """quantize=True writes int8 QDQ weight triples + DequantizeLinear
+    nodes; the executed graph is bit-identical to a float graph built
+    from the dequantized weights (same f32 math after reconstruction)."""
+    from phoonnx_tpu.onnx.dequant import dequantize_flat
+
+    hp = SMALL_HP
+    params = random_params(jax.random.PRNGKey(2), hp)
+    flat = {k: np.asarray(v) for k, v in params_to_flat(params).items()}
+    feeds = {
+        "input": np.array([[1, 5, 9, 3, 7, 2, 11, 13]], np.int64),
+        "input_lengths": np.array([8], np.int64),
+        "scales": np.array([0.667, 1.0, 0.8], np.float32),
+    }
+
+    qpath = tmp_path / "quant.onnx"
+    export_vits_onnx(flat, hp, str(qpath), deterministic=True,
+                     metadata={"model_type": "vits"}, quantize=True)
+    qmodel = read_onnx(str(qpath))
+    assert qmodel.metadata.get("quantization") == "int8-weights-qdq"
+    n_int8 = sum(1 for v in qmodel.initializers.values()
+                 if v.dtype == np.int8 and v.ndim >= 2)
+    assert n_int8 > 10  # the conv/matmul weights actually quantized
+    q_audio = OnnxExecutor(qmodel).run(feeds)[0]
+
+    # float graph over the reconstructed weights
+    restored, n_deq = dequantize_flat(qmodel.initializers)
+    assert n_deq == n_int8
+    weights = {k: v for k, v in restored.items() if k in flat
+               or k.endswith(".weight")}
+    fpath = tmp_path / "dequant.onnx"
+    export_vits_onnx(weights, hp, str(fpath), deterministic=True,
+                     metadata={"model_type": "vits"})
+    f_audio = OnnxExecutor(read_onnx(str(fpath))).run(feeds)[0]
+    np.testing.assert_array_equal(q_audio, f_audio)
+
+    # size: int8 container is ~4x smaller than the float export
+    full = tmp_path / "full.onnx"
+    export_vits_onnx(flat, hp, str(full), deterministic=True,
+                     metadata={"model_type": "vits"})
+    assert qpath.stat().st_size < full.stat().st_size * 0.45

@@ -288,3 +288,48 @@ def test_params_from_flat_strict_rejects_partial_checkpoint(voice_files):
         params_from_flat(partial, hp, strict=True)
     # non-strict tolerates it (warm starts / surgery)
     params_from_flat(partial, hp, strict=False)
+
+
+def test_quantized_voice_loads_on_compiled_engine(voice_files, tmp_path):
+    """An int8-quantized voice (onnxruntime quantize_dynamic naming:
+    X_quantized/X_scale/X_zero_point triples) imports into the compiled
+    JAX engine via the dequantization pre-pass instead of falling back
+    to the host ONNX interpreter."""
+    from phoonnx_tpu import SynthesisConfig, TTSVoice
+    from phoonnx_tpu.infer.engine import VitsEngine
+    from phoonnx_tpu.onnx.dequant import dequantize_flat, quantize_flat
+
+    model_path, config_path, _, flat = voice_files
+    weights = {k: np.asarray(v) for k, v in flat.items()}
+    qweights, n_q = quantize_flat(weights)
+    assert n_q > 5
+    qmodel_path = tmp_path / "model.int8.onnx"
+    write_onnx(
+        str(qmodel_path), qweights,
+        metadata={"model_type": "vits", "sample_rate": "22050",
+                  "quantization": "int8-weights"},
+        inputs=["input", "input_lengths", "scales"],
+        outputs=["output"],
+    )
+    assert qmodel_path.stat().st_size < model_path.stat().st_size * 0.5
+
+    voice = TTSVoice.load(str(qmodel_path), str(config_path))
+    assert isinstance(voice.engine, VitsEngine)  # NOT the fallback
+
+    # engine weights equal the reconstructed triples exactly
+    from phoonnx_tpu.models.vits.load import params_to_flat
+
+    restored, _ = dequantize_flat(qweights)
+    engine_flat = params_to_flat(voice.engine.params)
+    np.testing.assert_array_equal(
+        np.asarray(engine_flat["enc_p.emb.weight"], np.float32),
+        restored["enc_p.emb.weight"],
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wav_file:
+        voice.synthesize_wav("[[abc def]]", wav_file,
+                             SynthesisConfig(seed=7))
+    buf.seek(0)
+    with wave.open(buf, "rb") as wav_file:
+        assert wav_file.getnframes() > 0
