@@ -10,6 +10,7 @@ throughput-bound. Unsupported ops raise with the op name so coverage gaps
 are explicit.
 """
 
+import functools
 import logging
 import math
 
@@ -61,7 +62,19 @@ class OnnxExecutor:
         env.update({k: np.asarray(v) for k, v in feeds.items()})
         env[""] = None  # optional (empty-name) inputs
 
-        for node in self.model.nodes:
+        self._exec_nodes(self.model.nodes, env)
+
+        wanted = outputs or self.model.outputs
+        return [env[name] for name in wanted]
+
+    def _exec_nodes(self, nodes, env: Dict[str, Any]) -> None:
+        for node in nodes:
+            if node.op_type == "If":
+                self._exec_if(node, env)
+                continue
+            if node.op_type == "Loop":
+                self._exec_loop(node, env)
+                continue
             handler = _OPS.get(node.op_type)
             if handler is None:
                 raise NotImplementedError(
@@ -76,8 +89,62 @@ class OnnxExecutor:
                 if out_name:
                     env[out_name] = value
 
-        wanted = outputs or self.model.outputs
-        return [env[name] for name in wanted]
+    # -- control flow (subgraph attributes) ----------------------------
+
+    def _subgraph_env(self, graph, env: Dict[str, Any]) -> Dict[str, Any]:
+        # ONNX subgraphs capture the outer scope by name; a flat copy
+        # gives the body read access without leaking its writes back
+        child = dict(env)
+        child.update(graph.initializers)
+        return child
+
+    def _exec_if(self, node, env: Dict[str, Any]) -> None:
+        cond = bool(np.asarray(env[node.inputs[0]]).reshape(()))
+        branch = node.attributes["then_branch" if cond else "else_branch"]
+        child = self._subgraph_env(branch, env)
+        self._exec_nodes(branch.nodes, child)
+        for out_name, g_out in zip(node.outputs, branch.outputs):
+            if out_name:
+                env[out_name] = child[g_out]
+
+    def _exec_loop(self, node, env: Dict[str, Any]) -> None:
+        """ONNX Loop: inputs [M, cond, v...]; body (iter, cond, v...) ->
+        (cond, v..., scan...); outputs [v_final..., scan_stacked...]."""
+        body = node.attributes["body"]
+        m_name = node.inputs[0] if len(node.inputs) > 0 else ""
+        cond_name = node.inputs[1] if len(node.inputs) > 1 else ""
+        max_trip = (int(np.asarray(env[m_name]).reshape(()))
+                    if m_name and env.get(m_name) is not None else None)
+        cond = (bool(np.asarray(env[cond_name]).reshape(()))
+                if cond_name and env.get(cond_name) is not None else True)
+        carried = [env[name] for name in node.inputs[2:]]
+        n_carried = len(carried)
+        n_scan = len(body.outputs) - 1 - n_carried
+        scans: List[List[np.ndarray]] = [[] for _ in range(n_scan)]
+        if max_trip is None and not cond_name:
+            raise ValueError(
+                f"Loop node {node.name} has neither a trip count nor a "
+                "condition — it would never terminate"
+            )
+        it = 0
+        while cond and (max_trip is None or it < max_trip):
+            child = self._subgraph_env(body, env)
+            child[body.inputs[0]] = np.asarray(it, np.int64)
+            child[body.inputs[1]] = np.asarray(cond)
+            for name, val in zip(body.inputs[2:], carried):
+                child[name] = val
+            self._exec_nodes(body.nodes, child)
+            cond = bool(np.asarray(child[body.outputs[0]]).reshape(()))
+            carried = [child[n] for n in body.outputs[1:1 + n_carried]]
+            for i, n in enumerate(body.outputs[1 + n_carried:]):
+                scans[i].append(np.asarray(child[n]))
+            it += 1
+        outs = list(carried)
+        for s in scans:
+            outs.append(np.stack(s) if s else np.zeros((0,), np.float32))
+        for out_name, value in zip(node.outputs, outs):
+            if out_name:
+                env[out_name] = value
 
 
 # ---------------------------------------------------------------------------
@@ -757,4 +824,146 @@ _OPS.update({
     "QLinearMatMul": _op_qlinear_matmul,
     "ConvInteger": _op_conv_integer,
     "QLinearConv": _op_qlinear_conv,
+})
+
+
+# ---------------------------------------------------------------------------
+# Long-tail ops for foreign graphs (scripted torch exports, coqui-style
+# voices): scatter/gather families, TopK, OneHot, sequence reversal.
+# Control flow (If/Loop) lives on the executor itself — subgraphs need
+# scoped execution, see OnnxExecutor._exec_if/_exec_loop.
+# ---------------------------------------------------------------------------
+
+
+def _op_scatter_nd(node, data, indices, updates):
+    reduction = _attr(node, "reduction", "none")
+    out = np.array(data, copy=True)
+    idx = np.asarray(indices).astype(np.int64)
+    ix = tuple(np.moveaxis(idx, -1, 0))
+    updates = np.asarray(updates)
+    if reduction == "add":
+        np.add.at(out, ix, updates)
+    elif reduction == "mul":
+        np.multiply.at(out, ix, updates)
+    elif reduction == "max":
+        np.maximum.at(out, ix, updates)
+    elif reduction == "min":
+        np.minimum.at(out, ix, updates)
+    else:
+        out[ix] = updates
+    return out
+
+
+def _op_scatter_elements(node, data, indices, updates):
+    axis = _attr(node, "axis", 0)
+    reduction = _attr(node, "reduction", "none")
+    out = np.array(data, copy=True)
+    idx = np.asarray(indices).astype(np.int64)
+    idx = np.where(idx < 0, idx + out.shape[axis], idx)
+    grid = list(np.indices(idx.shape))
+    grid[axis] = idx
+    grid = tuple(grid)
+    updates = np.asarray(updates)
+    if reduction == "add":
+        np.add.at(out, grid, updates)
+    elif reduction == "mul":
+        np.multiply.at(out, grid, updates)
+    elif reduction == "max":
+        np.maximum.at(out, grid, updates)
+    elif reduction == "min":
+        np.minimum.at(out, grid, updates)
+    else:
+        out[grid] = updates
+    return out
+
+
+def _op_gather_nd(node, data, indices):
+    batch_dims = _attr(node, "batch_dims", 0)
+    if batch_dims:
+        raise NotImplementedError("GatherND batch_dims > 0")
+    data = np.asarray(data)
+    idx = np.asarray(indices).astype(np.int64)
+    return data[tuple(np.moveaxis(idx, -1, 0))]
+
+
+def _op_topk(node, x, k):
+    axis = _attr(node, "axis", -1)
+    largest = _attr(node, "largest", 1)
+    x = np.asarray(x)
+    k = int(np.asarray(k).reshape(()))
+    order = np.argsort(-x if largest else x, axis=axis, kind="stable")
+    idx = np.take(order, np.arange(k), axis=axis)
+    values = np.take_along_axis(x, idx, axis=axis)
+    return values, idx.astype(np.int64)
+
+
+def _op_one_hot(node, indices, depth, values):
+    axis = _attr(node, "axis", -1)
+    depth = int(np.asarray(depth).reshape(()))
+    off_on = np.asarray(values).reshape(-1)
+    idx = np.asarray(indices).astype(np.int64)
+    idx = np.where(idx < 0, idx + depth, idx)
+    hot = idx[..., None] == np.arange(depth)
+    out = np.where(hot, off_on[1], off_on[0]).astype(off_on.dtype)
+    dest = axis if axis >= 0 else out.ndim + axis
+    return np.moveaxis(out, -1, dest)
+
+
+def _op_reverse_sequence(node, x, sequence_lens):
+    batch_axis = _attr(node, "batch_axis", 1)
+    time_axis = _attr(node, "time_axis", 0)
+    x = np.asarray(x)
+    out = np.array(x, copy=True)
+    lens = np.asarray(sequence_lens).astype(np.int64).reshape(-1)
+    for b, n in enumerate(lens):
+        sel = [slice(None)] * x.ndim
+        sel[batch_axis] = b
+        rev = list(sel)
+        sel[time_axis] = slice(0, int(n))
+        rev[time_axis] = slice(int(n) - 1, None, -1)
+        out[tuple(sel)] = x[tuple(rev)]
+    return out
+
+
+def _op_trilu(node, x, k=None):
+    upper = _attr(node, "upper", 1)
+    kk = int(np.asarray(k).reshape(())) if k is not None else 0
+    return np.triu(x, kk) if upper else np.tril(x, kk)
+
+
+def _op_argmin(node, data):
+    axis = _attr(node, "axis", 0)
+    keepdims = bool(_attr(node, "keepdims", 1))
+    out = np.argmin(data, axis=axis)
+    if keepdims:
+        out = np.expand_dims(out, axis)
+    return out.astype(np.int64)
+
+
+_OPS.update({
+    "ScatterND": _op_scatter_nd,
+    "ScatterElements": _op_scatter_elements,
+    "GatherND": _op_gather_nd,
+    "NonZero": lambda node, x: np.stack(np.nonzero(x)).astype(np.int64),
+    "Round": lambda node, x: np.rint(x),  # half-to-even, like ONNX
+    "TopK": _op_topk,
+    "OneHot": _op_one_hot,
+    "ReverseSequence": _op_reverse_sequence,
+    "Trilu": _op_trilu,
+    "ArgMin": _op_argmin,
+    "Sign": lambda node, x: np.sign(x),
+    "Reciprocal": lambda node, x: np.reciprocal(np.asarray(x, np.float32))
+    if np.asarray(x).dtype == np.float32 else 1.0 / np.asarray(x),
+    "Sum": lambda node, *xs: functools.reduce(np.add, xs),
+    "Mean": lambda node, *xs: functools.reduce(np.add, xs) / len(xs),
+    "HardSigmoid": lambda node, x: np.clip(
+        _attr(node, "alpha", 0.2) * x + _attr(node, "beta", 0.5), 0, 1),
+    "Elu": lambda node, x: np.where(
+        x > 0, x, _attr(node, "alpha", 1.0) * (np.exp(x) - 1)),
+    "Selu": lambda node, x: _attr(node, "gamma", 1.0507009873554805) *
+    np.where(x > 0, x, _attr(node, "alpha", 1.6732632423543772) *
+             (np.exp(x) - 1)),
+    "IsNaN": lambda node, x: np.isnan(x),
+    "IsInf": lambda node, x: np.isinf(x),
+    "Xor": lambda node, a, b: np.logical_xor(a, b),
 })

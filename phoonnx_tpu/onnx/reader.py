@@ -155,6 +155,11 @@ def _parse_attribute(data: bytes):
             value = raw.decode("utf-8", errors="replace")
         elif field_number == 5:  # t (tensor)
             _, value = _parse_tensor(raw)
+        elif field_number == 6:  # g (GraphProto) — If/Loop subgraphs
+            sub = OnnxModel(initializers={}, metadata={}, inputs=[],
+                            outputs=[], nodes=[])
+            _parse_graph(raw, sub)
+            value = sub
         elif field_number == 7:  # floats
             if wire_type == wire.WIRETYPE_LEN:
                 floats.extend(struct.unpack(f"<{len(raw) // 4}f", raw))

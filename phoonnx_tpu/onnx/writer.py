@@ -68,6 +68,17 @@ def _encode_attribute(name: str, value) -> bytes:
     elif isinstance(value, np.ndarray):
         out += wire.encode_len_field(5, _encode_tensor("", value))
         out += wire.encode_varint_field(20, 4)  # TENSOR
+    elif isinstance(value, dict) and "nodes" in value:
+        # subgraph (If/Loop bodies): {"nodes": [...], "inputs": [...],
+        # "outputs": [...], "initializers": {...}, "name": str}
+        out += wire.encode_len_field(6, _encode_graph(
+            value["nodes"],
+            value.get("initializers", {}),
+            value.get("inputs", ()),
+            value.get("outputs", ()),
+            value.get("name", "subgraph"),
+        ))
+        out += wire.encode_varint_field(20, 5)  # GRAPH
     elif isinstance(value, (list, tuple)) and all(
         isinstance(v, int) for v in value
     ):
@@ -104,17 +115,13 @@ def _encode_node(op_type: str, inputs: Sequence[str], outputs: Sequence[str],
     return bytes(out)
 
 
-def write_onnx(
-    path: str,
+def _encode_graph(
+    nodes: Sequence[Tuple],
     initializers: Mapping[str, np.ndarray],
-    metadata: Optional[Mapping[str, str]] = None,
-    inputs: Sequence[str] = (),
-    outputs: Sequence[str] = (),
-    nodes: Sequence[Tuple[str, Sequence[str], Sequence[str]]] = (),
-    graph_name: str = "phoonnx_tpu",
-    opset: int = 15,
-    producer: str = "phoonnx_tpu",
-) -> None:
+    inputs: Sequence[str],
+    outputs: Sequence[str],
+    graph_name: str,
+) -> bytes:
     graph = bytearray()
     for node in nodes:
         op_type, node_in, node_out = node[0], node[1], node[2]
@@ -130,6 +137,21 @@ def write_onnx(
         graph += wire.encode_len_field(11, _encode_value_info(name))
     for name in outputs:
         graph += wire.encode_len_field(12, _encode_value_info(name))
+    return bytes(graph)
+
+
+def write_onnx(
+    path: str,
+    initializers: Mapping[str, np.ndarray],
+    metadata: Optional[Mapping[str, str]] = None,
+    inputs: Sequence[str] = (),
+    outputs: Sequence[str] = (),
+    nodes: Sequence[Tuple[str, Sequence[str], Sequence[str]]] = (),
+    graph_name: str = "phoonnx_tpu",
+    opset: int = 15,
+    producer: str = "phoonnx_tpu",
+) -> None:
+    graph = _encode_graph(nodes, initializers, inputs, outputs, graph_name)
 
     opset_entry = wire.encode_varint_field(2, opset)
 
