@@ -89,6 +89,9 @@ setup(
             "phoonnx-tpu-preprocess = phoonnx_tpu.train.preprocess:main",
             "phoonnx-tpu-train = phoonnx_tpu.train.trainer:main",
             "phoonnx-tpu-export = phoonnx_tpu.train.export:main",
+            "phoonnx-tpu-serve = phoonnx_tpu.serve:main",
+            "phoonnx-tpu-convert = phoonnx_tpu.convert:main",
+            "phoonnx-tpu-quantize = phoonnx_tpu.quantize:main",
         ],
     },
 )

@@ -175,3 +175,45 @@ def test_cli_synthesize_empty_text_writes_valid_wav(voice_files, tmp_path):
     with wave.open(str(out), "rb") as f:
         assert f.getnchannels() == 1
         assert f.getnframes() == 0
+
+
+def test_cli_quantize_voice(voice_files, tmp_path):
+    """python -m phoonnx_tpu.quantize: fp32 voice -> int8 executable
+    graph that reloads on the compiled engine and synthesizes."""
+    from phoonnx_tpu.quantize import main as quantize_main
+
+    out_model = tmp_path / "voice.int8.onnx"
+    result = CliRunner().invoke(quantize_main, [
+        "-m", str(voice_files), "-o", str(out_model)])
+    assert result.exit_code == 0, result.output
+    assert out_model.exists()
+    assert (tmp_path / "voice.int8.onnx.json").exists()  # config copied
+    assert out_model.stat().st_size < voice_files.stat().st_size * 0.6
+
+    from phoonnx_tpu import SynthesisConfig, TTSVoice
+    from phoonnx_tpu.infer.engine import VitsEngine
+
+    voice = TTSVoice.load(str(out_model))
+    assert isinstance(voice.engine, VitsEngine)
+    audio = voice.phoneme_ids_to_audio([1, 4, 5, 6, 2],
+                                       SynthesisConfig(seed=0))
+    assert np.isfinite(audio).all() and len(audio) > 0
+
+    # idempotent: re-quantizing the int8 voice still works
+    out2 = tmp_path / "voice.int8b.onnx"
+    again = CliRunner().invoke(quantize_main, [
+        "-m", str(out_model), "-o", str(out2)])
+    assert again.exit_code == 0, again.output
+
+
+def test_cli_quantize_rejects_foreign_graph(tmp_path):
+    from phoonnx_tpu.quantize import main as quantize_main
+
+    path = tmp_path / "foreign.onnx"
+    write_onnx(str(path), {"w": np.zeros((8, 8), np.float32)},
+               inputs=["input"], outputs=["output"],
+               nodes=[("MatMul", ["input", "w"], ["output"])])
+    result = CliRunner().invoke(quantize_main, [
+        "-m", str(path), "-o", str(tmp_path / "out.onnx")])
+    assert result.exit_code != 0
+    assert "import layout" in result.output
