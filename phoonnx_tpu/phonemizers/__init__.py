@@ -7,6 +7,8 @@ from phoonnx_tpu.phonemizers.base import (
     GraphemePhonemizer,
     PhonemizedChunks,
     RawPhonemes,
+    RawPhonemizedChunks,
+    TextChunks,
     UnicodeCodepointPhonemizer,
 )
 from phoonnx_tpu.phonemizers.mul import (

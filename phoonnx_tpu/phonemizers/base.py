@@ -20,6 +20,10 @@ from typing import List, Literal, Optional, Tuple
 from phoonnx_tpu.config import Alphabet
 from phoonnx_tpu.langtags import match_lang as _match_lang
 from phoonnx_tpu.sentences import sentence_tokenize
+# importable from here for parity with the reference's base.py namespace
+# (instances are still created lazily via the properties below)
+from phoonnx_tpu.thirdparty.phonikud import PhonikudDiacritizer  # noqa: F401
+from phoonnx_tpu.thirdparty.tashkeel import TashkeelDiacritizer  # noqa: F401
 from phoonnx_tpu.util import normalize
 
 # (substring, terminator, end_of_sentence)
@@ -151,7 +155,9 @@ class RawPhonemes(BasePhonemizer):
 class GraphemePhonemizer(BasePhonemizer):
     """Characters-as-phonemes with light cleanup (base.py:180-208)."""
 
-    _whitespace = re.compile(r"\s+")
+    # public name matches the reference class attribute (base.py:187)
+    whitespace_re = re.compile(r"\s+")
+    _whitespace = whitespace_re
     _drop = re.compile(r"[\<\>\(\)\[\]\"]+")
 
     def phonemize_string(self, text: str, lang: str) -> str:

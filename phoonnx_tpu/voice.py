@@ -30,7 +30,10 @@ from phoonnx_tpu.config import (
     get_phonemizer,
 )
 from phoonnx_tpu.langtags import closest_match
-from phoonnx_tpu.phoneme_ids import phonemes_to_ids
+# BlankBetween/Phonemizer are importable from here for parity with the
+# reference's voice.py namespace (reference voice.py imports both)
+from phoonnx_tpu.phoneme_ids import BlankBetween, phonemes_to_ids  # noqa: F401
+from phoonnx_tpu.phonemizers import Phonemizer  # noqa: F401
 from phoonnx_tpu.phonemizers.base import PhonemizedChunks
 
 LOG = logging.getLogger(__name__)
