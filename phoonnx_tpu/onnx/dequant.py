@@ -35,10 +35,14 @@ _INT_TYPES = (np.int8, np.uint8, np.int32)
 def _broadcast_shape(q: np.ndarray, vec: np.ndarray) -> Tuple[int, ...]:
     """Shape that lands a per-channel [C] vector on q's channel axis.
 
-    onnxruntime per-channel quantization puts scales on the weight's
-    output-channel axis: axis 0 for Conv/Gemm ([O, I, K]); MatMul B
-    weights quantize per column (last axis). Prefer axis 0, fall back to
-    the last axis, else any unique matching axis.
+    The true axis lives on the consuming node's attribute, which this
+    name-triple pass cannot see — so the axis is only taken when the
+    size matches EXACTLY ONE axis. Ambiguous tensors (square weights,
+    e.g. hidden-to-hidden projections) are refused: guessing axis 0 on
+    a per-column-quantized MatMul weight would dequantize to garbage
+    that then imports silently. Refused triples stay quantized and the
+    caller routes the voice to the graph interpreter, which applies the
+    node-attribute axis exactly.
     """
     candidates = [ax for ax in range(q.ndim) if q.shape[ax] == vec.size]
     if not candidates:
@@ -46,9 +50,13 @@ def _broadcast_shape(q: np.ndarray, vec: np.ndarray) -> Tuple[int, ...]:
             f"per-channel scale of size {vec.size} matches no axis of "
             f"shape {q.shape}"
         )
-    axis = 0 if 0 in candidates else (
-        q.ndim - 1 if (q.ndim - 1) in candidates else candidates[0]
-    )
+    if len(candidates) > 1:
+        raise ValueError(
+            f"per-channel scale of size {vec.size} is ambiguous for "
+            f"shape {q.shape} (axes {candidates}) — axis unknown "
+            "without the consuming node"
+        )
+    axis = candidates[0]
     return tuple(vec.size if ax == axis else 1 for ax in range(q.ndim))
 
 

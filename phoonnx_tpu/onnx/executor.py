@@ -140,8 +140,26 @@ class OnnxExecutor:
                 scans[i].append(np.asarray(child[n]))
             it += 1
         outs = list(carried)
-        for s in scans:
-            outs.append(np.stack(s) if s else np.zeros((0,), np.float32))
+        if n_scan and not scans[0]:
+            # zero trips: scan outputs are (0, *per-iteration-shape) with
+            # the body's dtype — probe the (pure) body once to learn them,
+            # so downstream Concat/Reshape/Gather see the right rank
+            try:
+                child = self._subgraph_env(body, env)
+                child[body.inputs[0]] = np.asarray(0, np.int64)
+                child[body.inputs[1]] = np.asarray(True)
+                for name, val in zip(body.inputs[2:], carried):
+                    child[name] = val
+                self._exec_nodes(body.nodes, child)
+                probes = [np.asarray(child[n])
+                          for n in body.outputs[1 + n_carried:]]
+                empties = [np.zeros((0,) + p.shape, p.dtype) for p in probes]
+            except Exception:  # un-probeable body: degrade to (0,) f32
+                empties = [np.zeros((0,), np.float32)] * n_scan
+            outs.extend(empties)
+        else:
+            for s in scans:
+                outs.append(np.stack(s))
         for out_name, value in zip(node.outputs, outs):
             if out_name:
                 env[out_name] = value
@@ -835,46 +853,39 @@ _OPS.update({
 # ---------------------------------------------------------------------------
 
 
+_SCATTER_REDUCERS = {
+    "add": np.add.at,
+    "mul": np.multiply.at,
+    "max": np.maximum.at,
+    "min": np.minimum.at,
+}
+
+
+def _scatter(out, ix, updates, reduction):
+    reducer = _SCATTER_REDUCERS.get(reduction)
+    if reducer is not None:
+        reducer(out, ix, np.asarray(updates))
+    else:  # "none": plain assignment
+        out[ix] = np.asarray(updates)
+    return out
+
+
 def _op_scatter_nd(node, data, indices, updates):
-    reduction = _attr(node, "reduction", "none")
-    out = np.array(data, copy=True)
     idx = np.asarray(indices).astype(np.int64)
     ix = tuple(np.moveaxis(idx, -1, 0))
-    updates = np.asarray(updates)
-    if reduction == "add":
-        np.add.at(out, ix, updates)
-    elif reduction == "mul":
-        np.multiply.at(out, ix, updates)
-    elif reduction == "max":
-        np.maximum.at(out, ix, updates)
-    elif reduction == "min":
-        np.minimum.at(out, ix, updates)
-    else:
-        out[ix] = updates
-    return out
+    return _scatter(np.array(data, copy=True), ix, updates,
+                    _attr(node, "reduction", "none"))
 
 
 def _op_scatter_elements(node, data, indices, updates):
     axis = _attr(node, "axis", 0)
-    reduction = _attr(node, "reduction", "none")
     out = np.array(data, copy=True)
     idx = np.asarray(indices).astype(np.int64)
     idx = np.where(idx < 0, idx + out.shape[axis], idx)
     grid = list(np.indices(idx.shape))
     grid[axis] = idx
-    grid = tuple(grid)
-    updates = np.asarray(updates)
-    if reduction == "add":
-        np.add.at(out, grid, updates)
-    elif reduction == "mul":
-        np.multiply.at(out, grid, updates)
-    elif reduction == "max":
-        np.maximum.at(out, grid, updates)
-    elif reduction == "min":
-        np.minimum.at(out, grid, updates)
-    else:
-        out[grid] = updates
-    return out
+    return _scatter(out, tuple(grid), updates,
+                    _attr(node, "reduction", "none"))
 
 
 def _op_gather_nd(node, data, indices):

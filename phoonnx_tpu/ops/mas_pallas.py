@@ -108,27 +108,37 @@ def _maximum_path_pallas_local(neg_cent: Array, attn_mask: Array,
     return path.astype(neg_cent.dtype) * attn_mask
 
 
-def _batch_only_sharding(mesh, s, ndim: int):
-    """Project a sharding to its batch (leading) axis; replicate the rest.
+def _common_batch_axes(arg_shapes):
+    """The ONE batch-dim sharding every operand and the result will use.
 
-    The per-shard DP needs full [T_y, T_x] planes, so any sharding that
-    lands on the time/text dims is stripped (the partitioner inserts the
-    resharding to match what we return here).
+    The per-shard DP needs full [T_y, T_x] planes and matching local
+    batch slices on BOTH operands, so a single spec is chosen (the first
+    operand with a sharded batch dim) and returned for everything — the
+    partitioner inserts the reshards. Projecting each operand's own
+    sharding independently would hand lower_fn differently-sized local
+    shards (e.g. a sharded neg_cent with a replicated mask) and fail
+    compilation.
     """
-    spec = getattr(s, "spec", None)
-    batch_axes = spec[0] if spec is not None and len(spec) > 0 else None
+    for s in arg_shapes:
+        spec = getattr(s.sharding, "spec", None)
+        if spec is not None and len(spec) > 0 and spec[0] is not None:
+            return spec[0]
+    return None
+
+
+def _batch_sharding(mesh, batch_axes, ndim: int):
     return NamedSharding(
         mesh, PartitionSpec(batch_axes, *([None] * (ndim - 1)))
     )
 
 
 def _mas_partition(interpret, mesh, arg_shapes, result_shape):
+    batch_axes = _common_batch_axes(arg_shapes)
     arg_shardings = tuple(
-        _batch_only_sharding(mesh, s.sharding, len(s.shape))
-        for s in arg_shapes
+        _batch_sharding(mesh, batch_axes, len(s.shape)) for s in arg_shapes
     )
-    result_sharding = _batch_only_sharding(
-        mesh, result_shape.sharding, len(result_shape.shape)
+    result_sharding = _batch_sharding(
+        mesh, batch_axes, len(result_shape.shape)
     )
 
     def lower_fn(neg_cent, attn_mask):
@@ -138,8 +148,8 @@ def _mas_partition(interpret, mesh, arg_shapes, result_shape):
 
 
 def _mas_infer_sharding(interpret, mesh, arg_shapes, result_shape):
-    return _batch_only_sharding(
-        mesh, arg_shapes[0].sharding, len(result_shape.shape)
+    return _batch_sharding(
+        mesh, _common_batch_axes(arg_shapes), len(result_shape.shape)
     )
 
 

@@ -40,7 +40,10 @@ class TrainConfig(NamedTuple):
     # MAS kernel: "auto" = Pallas VMEM kernel on TPU (2x the scan DP;
     # sharding-aware via custom_partitioning), scan DP on CPU.
     mas_impl: str = "auto"
-    data_axis_size: int = 1  # devices on the mesh's data axis
+    # Informational only (logging/bookkeeping): devices on the mesh's
+    # data axis. No step behavior keys off it — the Pallas MAS is
+    # sharding-aware, so sharded and unsharded programs compile the same.
+    data_axis_size: int = 1
     # "bfloat16": forward/backward compute in bf16 with f32 master
     # weights, optimizer state and losses (mixed precision); MAS scores
     # are cast to f32 inside the kernel. Measured ~7% step speedup at
@@ -123,7 +126,6 @@ def train_step(state: TrainState, batch: Dict[str, Array], rng: Array,
     # the pallas MAS is sharding-aware (custom_partitioning over the
     # batch dim), so "auto" resolves the same way meshed or not
     mas_impl = cfg.mas_impl
-
     compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                      else jnp.float32)
 

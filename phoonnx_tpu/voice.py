@@ -187,6 +187,16 @@ class TTSVoice:
         try:
             from phoonnx_tpu.models.vits.load import routed_fraction
 
+            unresolved = [k for k in named if k.endswith("_quantized")]
+            if unresolved:
+                # e.g. ambiguous per-channel axes (square weights): a
+                # partial import would silently leave those leaves
+                # random — run the voice's own graph instead, where the
+                # node attributes carry the exact dequantization axes
+                raise ValueError(
+                    f"{len(unresolved)} quantized tensors could not be "
+                    f"resolved by name (first: {unresolved[0]!r})"
+                )
             if routed_fraction(named) < 0.25:
                 raise ValueError(
                     "initializer names do not match the VITS import layout"

@@ -219,3 +219,31 @@ def test_reverse_sequence_trilu_misc(tmp_path):
     np.testing.assert_array_equal(sg, [-1.0, 1.0, 1.0])
     np.testing.assert_array_equal(s3, vals * 3)
     np.testing.assert_allclose(hs, np.clip(0.2 * vals + 0.5, 0, 1))
+
+
+def test_loop_zero_trips_scan_shape(tmp_path):
+    """M=0: scan outputs must be (0, *per-iteration-shape) with the
+    body's dtype so downstream Concat/Reshape still typecheck."""
+    body = {
+        "name": "body",
+        "nodes": [
+            ("Identity", ["cond_in"], ["cond_out"]),
+            ("Identity", ["v_in"], ["v_out"]),
+            ("Add", ["plane", "plane"], ["scan_out"]),
+        ],
+        "inputs": ["iter", "cond_in", "v_in"],
+        "outputs": ["cond_out", "v_out", "scan_out"],
+    }
+    ex = build_and_load(
+        tmp_path, {"plane": np.ones((2, 3), np.int64)},
+        nodes=[("Loop", ["M", "cond", "v0"], ["v_final", "scanned"],
+                {"body": body}),
+               ("Concat", ["scanned", "tail"], ["cat"], {"axis": 0})],
+        inputs=["M", "cond", "v0", "tail"], outputs=["v_final", "cat"],
+    )
+    v_final, cat = ex.run({
+        "M": np.asarray(0, np.int64), "cond": np.asarray(True),
+        "v0": np.float32(3.0), "tail": np.ones((4, 2, 3), np.int64),
+    })
+    assert float(v_final) == 3.0  # carried value unchanged
+    assert cat.shape == (4, 2, 3) and cat.dtype == np.int64

@@ -297,3 +297,21 @@ def test_dequantize_flat_leaves_malformed_triples():
         "y": np.zeros((4, 4), np.float32),
     })
     assert n == 0 and "y_quantized" in named and "y" in named
+
+
+def test_dequantize_flat_refuses_ambiguous_square_per_channel():
+    """A [32,32] per-channel scale matches both axes; the name-triple
+    pass cannot know the node's axis, so it must refuse (guessing axis 0
+    on a per-column MatMul weight dequantizes to garbage)."""
+    from phoonnx_tpu.onnx.dequant import dequantize_flat
+
+    rng = np.random.default_rng(9)
+    w = rng.standard_normal((32, 32)).astype(np.float32)
+    scale = (np.abs(w).max(axis=0) / 127.0).astype(np.float32)  # per column
+    q = np.clip(np.rint(w / scale), -127, 127).astype(np.int8)
+    named, n = dequantize_flat({
+        "w_quantized": q, "w_scale": scale,
+        "w_zero_point": np.zeros(32, np.int8),
+    })
+    assert n == 0
+    assert "w_quantized" in named and "w" not in named

@@ -163,6 +163,35 @@ def test_mas_pallas_sharded_batch_mesh():
     np.testing.assert_array_equal(np.asarray(out), want)
 
 
+def test_mas_pallas_mixed_shardings_compile():
+    """One operand batch-sharded, the other replicated: the partition
+    rule must settle on ONE common batch sharding for both operands and
+    the result (regression: per-operand projection handed lower_fn
+    differently-sized local shards and failed compilation)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from phoonnx_tpu.ops.mas import maximum_path
+    from phoonnx_tpu.ops.mas_pallas import maximum_path_pallas
+    from phoonnx_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(12)
+    b, t_y, t_x = 8, 32, 12
+    neg_cent = rng.standard_normal((b, t_y, t_x)).astype(np.float32)
+    mask = np.ones((b, t_y, t_x), np.float32)
+
+    mesh = make_mesh(n_data=jax.device_count(), n_model=1)
+    neg_s = jax.device_put(jnp.asarray(neg_cent),
+                           NamedSharding(mesh, P("data")))
+    mask_r = jax.device_put(jnp.asarray(mask),
+                            NamedSharding(mesh, P()))  # replicated
+
+    fn = jax.jit(lambda n, m: maximum_path_pallas(n, m, interpret=True))
+    out = np.asarray(fn(neg_s, mask_r))
+    want = np.asarray(maximum_path(
+        jnp.asarray(neg_cent), jnp.asarray(mask), impl="scan"))
+    np.testing.assert_array_equal(out, want)
+
+
 def test_mas_impl_dispatch():
     """maximum_path(impl=...) routes to identical implementations."""
     from phoonnx_tpu.ops.mas import maximum_path

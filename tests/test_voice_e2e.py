@@ -333,3 +333,33 @@ def test_quantized_voice_loads_on_compiled_engine(voice_files, tmp_path):
     buf.seek(0)
     with wave.open(buf, "rb") as wav_file:
         assert wav_file.getnframes() > 0
+
+
+def test_voice_with_unresolvable_quantization_falls_back(voice_files,
+                                                         tmp_path):
+    """A voice whose quantized triples can't be resolved by name (square
+    per-channel weights) must run on the graph interpreter, not import
+    partially onto the compiled engine with random leaves."""
+    from phoonnx_tpu import TTSVoice
+    from phoonnx_tpu.infer.onnx_engine import OnnxFallbackEngine
+    from phoonnx_tpu.onnx.dequant import quantize_flat
+
+    _, config_path, _, flat = voice_files
+    weights = {k: np.asarray(v) for k, v in flat.items()}
+    qweights, _ = quantize_flat(weights)
+    # sabotage one triple into an ambiguous square per-channel layout
+    name = next(k[:-len("_quantized")] for k in qweights
+                if k.endswith("_quantized"))
+    q = qweights[name + "_quantized"]
+    sq = np.zeros((16, 16), np.int8)
+    qweights[name + "_quantized"] = sq
+    qweights[name + "_scale"] = np.full(16, 0.01, np.float32)
+    qweights[name + "_zero_point"] = np.zeros(16, np.int8)
+
+    path = tmp_path / "ambiguous.onnx"
+    write_onnx(str(path), qweights,
+               metadata={"model_type": "vits", "sample_rate": "22050"},
+               inputs=["input", "input_lengths", "scales"],
+               outputs=["output"])
+    voice = TTSVoice.load(str(path), str(config_path))
+    assert isinstance(voice.engine, OnnxFallbackEngine)
