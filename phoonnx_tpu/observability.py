@@ -103,3 +103,31 @@ def device_trace(log_dir: str = "/tmp/phoonnx_tpu_trace") -> Iterator[None]:
     finally:
         jax.profiler.stop_trace()
         LOG.info("device trace written to %s", log_dir)
+
+
+def device_memory_stats() -> Dict[str, Dict[str, float]]:
+    """Per-device HBM usage in MB (empty on backends without stats).
+
+    Production observability the reference has no counterpart for:
+    surfaces bytes_in_use / peak_bytes_in_use / bytes_limit from the
+    PJRT allocator, for the trainer's per-epoch log line and the
+    server's /stats route.
+    """
+    import jax
+
+    out: Dict[str, Dict[str, float]] = {}
+    for dev in jax.local_devices():
+        try:
+            stats = dev.memory_stats()
+        except Exception:
+            stats = None
+        if not stats:
+            continue
+        mb = 1024 * 1024
+        out[str(dev.id)] = {
+            "bytes_in_use_mb": round(stats.get("bytes_in_use", 0) / mb, 1),
+            "peak_bytes_in_use_mb": round(
+                stats.get("peak_bytes_in_use", 0) / mb, 1),
+            "bytes_limit_mb": round(stats.get("bytes_limit", 0) / mb, 1),
+        }
+    return out

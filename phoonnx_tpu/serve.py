@@ -566,10 +566,16 @@ def _make_handler(server: TTSServer):
                     } for name, v in server.voices.items()
                 })
             elif self.path == "/stats":
-                self._json(200, {name: dict(b.stats)
-                                 for name, b in server.batchers.items()}
+                from phoonnx_tpu.observability import device_memory_stats
+
+                payload = ({name: dict(b.stats)
+                            for name, b in server.batchers.items()}
                            if len(server.batchers) > 1
                            else dict(server.batcher.stats))
+                hbm = device_memory_stats()
+                if hbm:
+                    payload["device_memory"] = hbm
+                self._json(200, payload)
             else:
                 self._json(404, {"error": "not found"})
 

@@ -399,6 +399,12 @@ def run_training(
         if metrics is not None:
             _ = float(metrics["loss_gen_all"])
         LOG.info("epoch %d done in %.1fs", epoch, time.time() - epoch_start)
+        if epoch == 0:
+            from phoonnx_tpu.observability import device_memory_stats
+
+            hbm = device_memory_stats()
+            if hbm:  # post-first-epoch peak ~= steady-state footprint
+                LOG.info("device memory after first epoch: %s", hbm)
 
         if val_loader is not None:
             val_loss = evaluate(state, val_loader, jax.random.PRNGKey(0),

@@ -396,3 +396,16 @@ def test_engine_replicate_reuses_primary(voice):
     a = engines[0].synthesize_ids(ids, seed=3)
     b = engines[1].synthesize_ids(ids, seed=3)
     np.testing.assert_array_equal(a, b)
+
+
+def test_device_memory_stats_shape():
+    """device_memory_stats returns MB-scaled dicts (may be empty on
+    backends without allocator stats — the CPU test backend usually
+    reports them)."""
+    from phoonnx_tpu.observability import device_memory_stats
+
+    stats = device_memory_stats()
+    for dev_id, entry in stats.items():
+        assert set(entry) == {"bytes_in_use_mb", "peak_bytes_in_use_mb",
+                              "bytes_limit_mb"}
+        assert all(v >= 0 for v in entry.values())
