@@ -18,6 +18,7 @@ lanes are masked everywhere. The first call per bucket pays the XLA
 compile; ``warmup()`` precompiles the common grid.
 """
 
+import contextlib
 import logging
 import math
 from functools import partial
@@ -46,6 +47,12 @@ def cast_floating(params, dtype):
     )
 
 
+def _prec_scope(name: Optional[str]):
+    """Trace-time matmul-precision scope (no-op when name is None)."""
+    return (jax.default_matmul_precision(name) if name
+            else contextlib.nullcontext())
+
+
 def _bucket_for(value: int, buckets: Sequence[int]) -> int:
     for bucket in buckets:
         if value <= bucket:
@@ -69,6 +76,7 @@ class VitsEngine:
         frames_per_token: int = 12,
         fetch_pcm16: bool = False,
         device=None,
+        matmul_precision: Optional[str] = None,
     ):
         """mode:
 
@@ -92,6 +100,17 @@ class VitsEngine:
         one engine per chip (`replicate` / serve.py --devices) for
         linear multi-chip scale; no cross-device collectives are
         involved, the model fits one chip by orders of magnitude.
+
+        matmul_precision: dot/conv precision for every compiled program
+        (None = backend default). On TPU, f32 matmuls default to
+        bf16-rounded multiplies with f32 accumulation — measured
+        max-waveform deviation vs a CPU f32 oracle is 2.6e-4 on the
+        medium preset (within the <1e-3 fidelity target). "highest"
+        runs true-f32 multi-pass dots everywhere (measured 8.7e-7
+        deviation, ~3.5x single-stream device time) for
+        exactness-critical work; "high" = bf16x3 for the XLA ops while
+        the Pallas kernels upgrade themselves to true f32 (Mosaic has
+        no bf16x3 mode).
         """
         self.hp = hp
         self.text_buckets = tuple(text_buckets)
@@ -102,6 +121,7 @@ class VitsEngine:
         self.dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
         self.dtype_str = dtype
         self.device = device
+        self.matmul_precision = matmul_precision
         if dtype == "bfloat16":
             params = cast_floating(params, jnp.bfloat16)
         self.params = (jax.device_put(params, device) if device is not None
@@ -171,6 +191,7 @@ class VitsEngine:
                 frame_buckets=self.frame_buckets, dtype=self.dtype_str,
                 mode=self.mode, frames_per_token=self.frames_per_token,
                 fetch_pcm16=self.fetch_pcm16, device=dev,
+                matmul_precision=self.matmul_precision,
             ))
         return out
 
@@ -180,13 +201,15 @@ class VitsEngine:
         key = (batch, t_bucket)
         if key not in self._phase1:
             hp = self.hp
+            prec = self.matmul_precision
 
             @partial(jax.jit, static_argnames=())
             def phase1(params, ids, lengths, length_scale, noise_w, sid, rng):
-                return vits_model.infer_durations(
-                    params, hp, ids, lengths, length_scale, noise_w,
-                    sid=sid if hp.n_speakers > 1 else None, rng=rng,
-                )
+                with _prec_scope(prec):
+                    return vits_model.infer_durations(
+                        params, hp, ids, lengths, length_scale, noise_w,
+                        sid=sid if hp.n_speakers > 1 else None, rng=rng,
+                    )
 
             self._phase1[key] = phase1
         return self._phase1[key]
@@ -195,14 +218,16 @@ class VitsEngine:
         key = (batch, t_bucket, f_bucket)
         if key not in self._phase2:
             hp = self.hp
+            prec = self.matmul_precision
 
             @partial(jax.jit, static_argnames=("max_frames",))
             def phase2(params, m_p, logs_p, w_ceil, x_mask, g, noise_scale,
                        rng, max_frames):
-                return vits_model.infer_decode(
-                    params, hp, m_p, logs_p, w_ceil, x_mask, max_frames,
-                    noise_scale, g=g, rng=rng,
-                )
+                with _prec_scope(prec):
+                    return vits_model.infer_decode(
+                        params, hp, m_p, logs_p, w_ceil, x_mask, max_frames,
+                        noise_scale, g=g, rng=rng,
+                    )
 
             self._phase2[key] = partial(phase2, max_frames=f_bucket)
         return self._phase2[key]
@@ -211,16 +236,18 @@ class VitsEngine:
         key = (batch, t_bucket, f_bucket)
         if key not in self._fused:
             hp = self.hp
+            prec = self.matmul_precision
 
             @partial(jax.jit, static_argnames=("max_frames",))
             def fused(params, ids, lengths, noise_scale, length_scale,
                       noise_w, sid, rng, max_frames):
-                audio, y_lengths, _ = vits_model.infer(
-                    params, hp, ids, lengths, max_frames=max_frames,
-                    noise_scale=noise_scale, length_scale=length_scale,
-                    noise_w=noise_w,
-                    sid=sid if hp.n_speakers > 1 else None, rng=rng,
-                )
+                with _prec_scope(prec):
+                    audio, y_lengths, _ = vits_model.infer(
+                        params, hp, ids, lengths, max_frames=max_frames,
+                        noise_scale=noise_scale, length_scale=length_scale,
+                        noise_w=noise_w,
+                        sid=sid if hp.n_speakers > 1 else None, rng=rng,
+                    )
                 return audio, y_lengths
 
             self._fused[key] = partial(fused, max_frames=f_bucket)
@@ -230,14 +257,16 @@ class VitsEngine:
         key = (batch, t_bucket, f_bucket)
         if key not in self._latents:
             hp = self.hp
+            prec = self.matmul_precision
 
             @partial(jax.jit, static_argnames=("max_frames",))
             def latents(params, m_p, logs_p, w_ceil, x_mask, g, noise_scale,
                         rng, max_frames):
-                return vits_model.infer_latents(
-                    params, hp, m_p, logs_p, w_ceil, x_mask, max_frames,
-                    noise_scale, g=g, rng=rng,
-                )
+                with _prec_scope(prec):
+                    return vits_model.infer_latents(
+                        params, hp, m_p, logs_p, w_ceil, x_mask, max_frames,
+                        noise_scale, g=g, rng=rng,
+                    )
 
             self._latents[key] = partial(latents, max_frames=f_bucket)
         return self._latents[key]
@@ -263,13 +292,16 @@ class VitsEngine:
             hp = self.hp
             window = min(chunk + 2 * overlap, total_frames)
             up = hp.total_upsample
+            prec = self.matmul_precision
 
             @jax.jit
             def decode_chunk(params, z, start, offset, g):
-                zc = jax.lax.dynamic_slice_in_dim(z, start, window, axis=1)
-                audio = vits_model.decode_audio(params, hp, zc, g=g)
-                return jax.lax.dynamic_slice_in_dim(
-                    audio, offset * up, chunk * up, axis=1)
+                with _prec_scope(prec):
+                    zc = jax.lax.dynamic_slice_in_dim(z, start, window,
+                                                      axis=1)
+                    audio = vits_model.decode_audio(params, hp, zc, g=g)
+                    return jax.lax.dynamic_slice_in_dim(
+                        audio, offset * up, chunk * up, axis=1)
 
             self._decode_chunk[key] = decode_chunk
         return self._decode_chunk[key]
@@ -627,12 +659,14 @@ class VitsEngine:
 
         key = ("vc", 1, f_bucket)
         if key not in self._fused:
+            prec = self.matmul_precision
 
             @jax.jit
             def vc(params, spec, lengths, sid_src, sid_tgt, rng):
-                out, _mask = vits_model.voice_conversion(
-                    params, hp, spec, lengths, sid_src, sid_tgt, rng,
-                )
+                with _prec_scope(prec):
+                    out, _mask = vits_model.voice_conversion(
+                        params, hp, spec, lengths, sid_src, sid_tgt, rng,
+                    )
                 return out
 
             self._fused[key] = vc

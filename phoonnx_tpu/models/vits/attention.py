@@ -196,6 +196,13 @@ def init_encoder(rng, hidden_channels: int, filter_channels: int,
 
 def encoder(params, x: Array, x_mask: Array, p_dropout: float = 0.0,
             rng=None, deterministic=True) -> Array:
+    fused = params.get("fused")
+    if fused is not None and deterministic:
+        from phoonnx_tpu.models.vits import fused_encoder
+
+        if fused_encoder.usable(fused, x, deterministic):
+            return fused_encoder.apply(fused, x * x_mask, x_mask)
+
     attn_mask = x_mask[:, :, None, 0] * x_mask[:, None, :, 0]  # [B, T, T]
     attn_mask = attn_mask[:, None]  # [B, 1, T_t, T_s]
     x = x * x_mask

@@ -212,7 +212,7 @@ def usable(spec, pack_r: int, x: Array) -> bool:
 
 def _kernel(xm_ref, xc_ref, xp_ref, w_ref, b_ref, out_ref,
             asm, cur, act, tmp, acc, *, branches, tile, hb, max_off,
-            slope, n_blocks, out_dtype, t_true,
+            slope, n_blocks, out_dtype, t_true, precision=None,
             pw_ref=None, pb_ref=None, post_offsets=None,
             post_slope=None):
     from jax.experimental import pallas as pl
@@ -258,7 +258,7 @@ def _kernel(xm_ref, xc_ref, xp_ref, w_ref, b_ref, out_ref,
                 y = None
                 for j, off in enumerate(offsets):
                     xs = act[max_off + off: max_off + off + wlen, :]
-                    c = jnp.dot(xs, w_ref[w0 + j],
+                    c = jnp.dot(xs, w_ref[w0 + j], precision=precision,
                                 preferred_element_type=jnp.float32)
                     y = c if y is None else y + c
                 y = y + b_ref[b_idx, :].astype(jnp.float32)
@@ -280,7 +280,8 @@ def _kernel(xm_ref, xc_ref, xp_ref, w_ref, b_ref, out_ref,
     y = None
     for j, off in enumerate(post_offsets):
         xs = act[max_off + off: max_off + off + wlen, :]
-        c = jnp.dot(xs, pw_ref[j], preferred_element_type=jnp.float32)
+        c = jnp.dot(xs, pw_ref[j], precision=precision,
+                    preferred_element_type=jnp.float32)
         y = c if y is None else y + c
     y = y + pb_ref[:].astype(jnp.float32)
     audio = jnp.tanh(y).astype(out_dtype)
@@ -300,8 +301,11 @@ def apply_group(spec, x: Array) -> Array:
     t_pad = n_tiles * tile
     xp = jnp.pad(x, ((0, 0), (tile, tile + t_pad - t_len), (0, 0)))
 
+    from phoonnx_tpu.models.vits.fused_encoder import resolve_precision
+
     has_post = "postW" in spec
     rows = tile + 2 * hb
+    precision = resolve_precision(None)
     kw = {}
     extra_in = []
     extra_specs = []
@@ -323,7 +327,8 @@ def apply_group(spec, x: Array) -> Array:
                     max_off=int(spec["max_off"]),
                     slope=float(spec["slope"]),
                     n_blocks=len(spec["branches"]), out_dtype=x.dtype,
-                    t_true=t_len, pw_ref=pw, pb_ref=pb, **kw)
+                    t_true=t_len, precision=precision,
+                    pw_ref=pw, pb_ref=pb, **kw)
         else:
             out = rest[0]
             scratch = rest[1:]
@@ -332,7 +337,7 @@ def apply_group(spec, x: Array) -> Array:
                     max_off=int(spec["max_off"]),
                     slope=float(spec["slope"]),
                     n_blocks=len(spec["branches"]), out_dtype=x.dtype,
-                    t_true=t_len)
+                    t_true=t_len, precision=precision)
 
     out = pl.pallas_call(
         kernel,

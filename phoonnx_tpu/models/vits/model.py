@@ -221,6 +221,20 @@ def pack_decoder_params(params, hp: VitsHParams, t_frames: int):
         packed_dec = hifigan.pack_generator_params(params["dec"], t_frames)
     out = dict(params)
     out["dec"] = packed_dec
+
+    # Also attach the fused-text-encoder spec (stacked per-layer weights
+    # for the single-pallas_call encoder stack; frame-count independent).
+    # Placement-only like the decoder packs: attention.encoder uses it
+    # only when fused_encoder.usable() holds, else keeps the XLA path.
+    from phoonnx_tpu.models.vits import fused_encoder
+
+    if fused_encoder.enabled():
+        spec = fused_encoder.build_spec(params["enc_p"]["encoder"])
+        if spec is not None:
+            enc_p = dict(params["enc_p"])
+            enc_p["encoder"] = dict(enc_p["encoder"])
+            enc_p["encoder"]["fused"] = spec
+            out["enc_p"] = enc_p
     return out
 
 

@@ -683,6 +683,11 @@ def main(argv: Optional[List[str]] = None) -> None:
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--max-batch", type=int, default=16)
     ap.add_argument("--max-wait-ms", type=float, default=10.0)
+    ap.add_argument("--precision", default=None,
+                    choices=["default", "high", "highest"],
+                    help="matmul precision for every compiled program "
+                         "(None = backend default; 'highest' = true-f32 "
+                         "dots for exactness-critical serving)")
     ap.add_argument("--bf16", action="store_true",
                     help="serve in bfloat16 (2x batch throughput)")
     ap.add_argument("--warmup", action="store_true",
@@ -709,8 +714,10 @@ def main(argv: Optional[List[str]] = None) -> None:
 
         enable_compilation_cache()
     dtype = "bfloat16" if args.bf16 else "float32"
+    prec = None if args.precision == "default" else args.precision
     if len(args.model) == 1 and "=" not in args.model[0]:
-        voices = TTSVoice.load(args.model[0], args.config, dtype=dtype)
+        voices = TTSVoice.load(args.model[0], args.config, dtype=dtype,
+                               matmul_precision=prec)
     else:
         if args.config:
             ap.error("--config only applies to a single bare --model")
@@ -723,7 +730,8 @@ def main(argv: Optional[List[str]] = None) -> None:
 
                 path = spec
                 name = _Path(spec).stem if i else "default"
-            voices[name] = TTSVoice.load(path, dtype=dtype)
+            voices[name] = TTSVoice.load(path, dtype=dtype,
+                                         matmul_precision=prec)
     srv = TTSServer(voices, host=args.host, port=args.port,
                     max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
                     request_timeout=args.request_timeout,

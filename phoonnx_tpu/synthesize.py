@@ -36,6 +36,12 @@ LOG = logging.getLogger("synthesize")
 @click.option("--bf16", is_flag=True,
               help="Run the model in bfloat16 (2x throughput, ~1e-3 "
                    "waveform deviation)")
+@click.option("--precision", default=None,
+              type=click.Choice(["default", "high", "highest"]),
+              help="Matmul precision (default: backend default, "
+                   "measured 2.6e-4 waveform deviation vs CPU f32; "
+                   "'highest' = true-f32 dots, 8.7e-7, ~3.5x device "
+                   "time)")
 @click.option("--stream", is_flag=True,
               help="Write WAV frames incrementally as the vocoder "
                    "produces them (sub-sentence chunked decode; implies "
@@ -47,8 +53,8 @@ LOG = logging.getLogger("synthesize")
                    "(~/.cache/phoonnx_tpu/xla)")
 @click.option("--debug", is_flag=True)
 def main(model, config_path, text, output, speaker_id, length_scale,
-         noise_scale, noise_w, seed, no_normalize, volume, bf16, stream,
-         show_stats, compile_cache, debug) -> None:
+         noise_scale, noise_w, seed, no_normalize, volume, bf16, precision,
+         stream, show_stats, compile_cache, debug) -> None:
     logging.basicConfig(level=logging.DEBUG if debug else logging.INFO)
     if compile_cache:
         from phoonnx_tpu.observability import enable_compilation_cache
@@ -60,7 +66,8 @@ def main(model, config_path, text, output, speaker_id, length_scale,
         text = sys.stdin.read()
 
     voice = TTSVoice.load(
-        model, config_path, dtype="bfloat16" if bf16 else "float32"
+        model, config_path, dtype="bfloat16" if bf16 else "float32",
+        matmul_precision=None if precision == "default" else precision,
     )
     syn_config = SynthesisConfig(
         speaker_id=speaker_id,

@@ -141,12 +141,18 @@ class TTSVoice:
         phoneme_type_str: Optional[str] = None,
         dtype: str = "float32",
         use_cuda: bool = False,  # accepted for API compat; TPU build ignores
+        matmul_precision: Optional[str] = None,
     ) -> "TTSVoice":
         """Load an ONNX voice (reference recipe) onto the TPU engine.
 
         The .onnx file provides the weights (initializers keep the trainer's
         state_dict names, export_onnx.py:318-327); config.json provides the
         front-end settings. Weights import by name into the JAX pytree.
+
+        matmul_precision: None (backend default; f32 synthesis measured
+        2.6e-4 max waveform deviation vs a CPU f32 oracle on v5e),
+        "high", or "highest" (true-f32 dots, 8.7e-7, ~3.5x device time)
+        — see VitsEngine.
         """
         from phoonnx_tpu.infer.engine import VitsEngine
         from phoonnx_tpu.models.vits.load import (
@@ -203,7 +209,8 @@ class TTSVoice:
                 )
             hp = infer_hparams_from_flat(named, **overrides)
             params = params_from_flat(named, hp, strict=False)
-            engine = VitsEngine(params, hp, dtype=dtype)
+            engine = VitsEngine(params, hp, dtype=dtype,
+                                matmul_precision=matmul_precision)
         except (KeyError, ValueError) as exc:
             # Not the piper/phoonnx VITS weight layout (e.g. a coqui-VITS
             # or mimic3 export). The reference would hand any graph to
