@@ -161,15 +161,17 @@ def _vmem_estimate(spec, t: int) -> int:
 
 
 def usable(spec, x: Array, deterministic: bool = True) -> bool:
-    """Measured policy (v5e, chained A/B at [1,128,192] medium preset):
-    the kernel wins single-stream by removing per-HLO overhead; batched
-    lanes amortize that overhead across the batch in the XLA path, so
-    gate to small batch. f32 and bf16 both supported (attention math is
-    f32 in-kernel either way, matching the XLA path's f32 einsums)."""
+    """Measured policy (v5e, chained A/B, medium preset, T=128, f32):
+    the kernel wins by removing per-HLO overhead — 0.0098 vs 0.044 ms
+    at batch 1 (4.5x), 0.083 vs 0.210 at batch 4 — but the XLA path
+    amortizes that overhead across batch lanes while the kernel's grid
+    serializes batch elements, so they cross at ~batch 16 (0.447 vs
+    0.437): gate to batch <= 8. f32 and bf16 both supported (attention
+    math is f32 in-kernel either way, like the XLA path's einsums)."""
     if spec is None or not deterministic or not enabled():
         return False
     b, t, h = x.shape
-    if h != spec["w_o"].shape[-1] or t <= int(spec["window"]):
+    if b > 8 or h != spec["w_o"].shape[-1] or t <= int(spec["window"]):
         return False
     if x.dtype not in (jnp.float32, jnp.bfloat16):
         return False
@@ -185,7 +187,8 @@ def _kernel(len_ref, x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     layer = pl.program_id(1)
     t = x_ref.shape[1]
     h = n_heads * dk
-    length = len_ref[0, 0]
+    # lengths is a scalar-prefetch arg: the full [B] vector in SMEM
+    length = len_ref[pl.program_id(0)]
     dtype = x_buf.dtype
 
     @pl.when(layer == 0)
@@ -285,12 +288,12 @@ def apply(spec, x: Array, x_mask: Array, precision=None) -> Array:
 
     b, t, h = x.shape
     n_layers = int(spec["n_layers"])
-    lengths = jnp.sum(x_mask[:, :, 0].astype(jnp.int32), axis=1,
-                      keepdims=True)  # [B, 1]
+    lengths = jnp.sum(x_mask[:, :, 0].astype(jnp.int32), axis=1)  # [B]
 
     def layer_block(arr):
-        return pl.BlockSpec((1,) + arr.shape[1:], lambda bi, li: (li,)
-                            + (0,) * (arr.ndim - 1),
+        # index maps get the scalar-prefetch ref appended to the grid ids
+        return pl.BlockSpec((1,) + arr.shape[1:],
+                            lambda bi, li, *_: (li,) + (0,) * (arr.ndim - 1),
                             memory_space=pltpu.VMEM)
 
     weight_names = ("w_qkv", "b_qkv", "w_o", "b_o", "rel_k", "rel_v",
@@ -303,19 +306,21 @@ def apply(spec, x: Array, x_mask: Array, precision=None) -> Array:
         window=int(spec["window"]), ffn_k=int(spec["ffn_k"]),
         precision=resolve_precision(precision),
     )
-    out = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # lengths [B] lands whole in SMEM
         grid=(b, n_layers),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda bi, li: (bi, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, t, h), lambda bi, li: (bi, 0, 0),
+            pl.BlockSpec((1, t, h), lambda bi, li, *_: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + [layer_block(w) for w in weights],
-        out_specs=pl.BlockSpec((1, t, h), lambda bi, li: (bi, 0, 0),
+        out_specs=pl.BlockSpec((1, t, h), lambda bi, li, *_: (bi, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, t, h), x.dtype),
         scratch_shapes=[pltpu.VMEM((t, h), x.dtype)],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, t, h), x.dtype),
         interpret=FORCE_INTERPRET and jax.default_backend() != "tpu",
     )(lengths, x, *weights)
     return out

@@ -98,6 +98,9 @@ def test_usable_gates():
     assert fused_encoder.usable(spec, ok)
     # T <= window: the banded-diagonal identity needs T > window
     assert not fused_encoder.usable(spec, jnp.zeros((1, 4, 32)))
+    # measured crossover: XLA amortizes per-op overhead past batch 8
+    assert fused_encoder.usable(spec, jnp.zeros((8, 16, 32)))
+    assert not fused_encoder.usable(spec, jnp.zeros((16, 16, 32)))
     # wrong hidden width
     assert not fused_encoder.usable(spec, jnp.zeros((1, 16, 64)))
     assert not fused_encoder.usable(spec, ok, deterministic=False)
