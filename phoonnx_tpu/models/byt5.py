@@ -276,7 +276,9 @@ def greedy_decode(params, cfg: T5Config, input_ids: Array,
         cross_kv.append((k, v))
     cross_mask = attention_mask[:, None, None, :] > 0
 
-    self_k = jnp.zeros((n_layers, b, heads, max_length, d_kv), jnp.float32)
+    # KV cache in the parameter dtype (bf16 halves per-step cache reads)
+    cache_dtype = params["shared"]["weight"].dtype
+    self_k = jnp.zeros((n_layers, b, heads, max_length, d_kv), cache_dtype)
     self_v = jnp.zeros_like(self_k)
     tokens = jnp.zeros((b, max_length + 1), jnp.int32)  # slot 0 = start pad
     finished = jnp.zeros((b,), bool)
@@ -332,14 +334,19 @@ def greedy_decode(params, cfg: T5Config, input_ids: Array,
 
             ff = block["2"]
             h = _rms_norm(ff["layer_norm"]["weight"], x, cfg.layer_norm_eps)
-            x = x + _ffn(ff["DenseReluDense"], h, cfg)
+            # keep activations in the parameter dtype (the f32-accumulated
+            # attention outputs would otherwise upcast every later layer)
+            x = (x + _ffn(ff["DenseReluDense"], h, cfg)).astype(cache_dtype)
 
         x = _rms_norm(dec["final_layer_norm"]["weight"], x,
                       cfg.layer_norm_eps)
         if cfg.tie_word_embeddings:
-            logits = (x * cfg.d_model ** -0.5) @ params["shared"]["weight"].T
+            logits = jnp.dot(x * cfg.d_model ** -0.5,
+                             params["shared"]["weight"].T,
+                             preferred_element_type=jnp.float32)
         else:
-            logits = x @ params["lm_head"]["weight"].T
+            logits = jnp.dot(x, params["lm_head"]["weight"].T,
+                             preferred_element_type=jnp.float32)
 
         next_token = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
         next_token = jnp.where(finished, cfg.pad_id, next_token)
@@ -364,17 +371,54 @@ def greedy_decode(params, cfg: T5Config, input_ids: Array,
 
 
 class ByT5Engine:
-    """Loaded ByT5 G2P model with a compiled greedy decoder."""
+    """Loaded ByT5 G2P model with a compiled greedy decoder.
+
+    dtype: "bfloat16" halves the per-step HBM traffic (autoregressive
+    decode is weight/KV-bandwidth bound); attention scores and logits
+    still accumulate in f32 before the argmax.
+
+    max_length_factor: every decode step attends over the FULL KV
+    window, so the per-step cost scales with the step budget, not the
+    tokens actually generated. The budget is therefore bucketed to
+    ``max(64, factor * input_bucket)`` (capped at ``max_length``) —
+    G2P outputs are byte strings a small multiple of their input's
+    length, so factor 4 is generous (the reference always runs a
+    512-slot decoder, mul.py:201). None restores the flat budget.
+    """
 
     def __init__(self, params, cfg: T5Config, max_length: int = 512,
-                 input_buckets=(32, 64, 128, 256, 512)):
+                 input_buckets=(32, 64, 128, 256, 512),
+                 dtype: str = "float32",
+                 max_length_factor: Optional[int] = 4):
+        if dtype == "bfloat16":
+            params = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+                else jnp.asarray(a),
+                params,
+            )
         self.params = jax.device_put(params)
         self.cfg = cfg
         self.max_length = max_length
         self.input_buckets = input_buckets
-        self._decode = jax.jit(
-            partial(greedy_decode, cfg=cfg, max_length=max_length)
-        )
+        self.max_length_factor = max_length_factor
+        self._decode_cache = {}
+
+    def _decode_for(self, input_bucket: int):
+        """Jitted decode program with a bucketed step budget."""
+        if self.max_length_factor is None:
+            dec_len = self.max_length
+        else:
+            want = max(64, self.max_length_factor * input_bucket)
+            dec_len = 64
+            while dec_len < want:
+                dec_len *= 2
+            dec_len = min(dec_len, self.max_length)
+        if dec_len not in self._decode_cache:
+            self._decode_cache[dec_len] = jax.jit(
+                partial(greedy_decode, cfg=self.cfg, max_length=dec_len)
+            )
+        return self._decode_cache[dec_len]
 
     @classmethod
     def from_onnx(cls, model_path: str, **kw) -> "ByT5Engine":
@@ -419,13 +463,21 @@ class ByT5Engine:
                 "upstream for full coverage", length, bucket,
             )
         batch = len(batch_ids)
-        ids = np.zeros((batch, bucket), np.int32)
-        mask = np.zeros((batch, bucket), np.int32)
-        for row, utt in enumerate(batch_ids):
+        # pad the batch dimension to a power of two so Charsiu-style
+        # word batches (one per sentence, any size) hit a handful of
+        # compiled programs instead of one per word count; the padding
+        # repeats row 0 so the extra lanes terminate like real data
+        lanes = 1
+        while lanes < batch:
+            lanes *= 2
+        ids = np.zeros((lanes, bucket), np.int32)
+        mask = np.zeros((lanes, bucket), np.int32)
+        for row in range(lanes):
+            utt = batch_ids[row] if row < batch else batch_ids[0]
             take = min(len(utt), bucket)
             ids[row, :take] = utt[:take]
             mask[row, :take] = 1
-        tokens, lengths = self._decode(
+        tokens, lengths = self._decode_for(bucket)(
             self.params, input_ids=jnp.asarray(ids),
             attention_mask=jnp.asarray(mask),
         )

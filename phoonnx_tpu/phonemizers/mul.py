@@ -105,10 +105,16 @@ class ByT5Phonemizer(BasePhonemizer):
     DEFAULT_MODEL = "OpenVoiceOS/g2p-mbyt5-12l-ipa-childes-espeak-onnx"
 
     def __init__(self, model: Optional[str] = None,
-                 tokenizer_config: Optional[str] = None):
+                 tokenizer_config: Optional[str] = None,
+                 dtype: Optional[str] = None):
+        """dtype: "bfloat16" halves G2P decode HBM traffic (the decode is
+        weight-bandwidth bound; logits still argmax in f32). Defaults to
+        the PHOONNX_G2P_DTYPE env var, else float32."""
         super().__init__(Alphabet.IPA)
         self.model_path = self._resolve_model(model)
         self.tokenizer_config = tokenizer_config
+        self.dtype = dtype or os.environ.get("PHOONNX_G2P_DTYPE",
+                                             "float32")
         self._engine = None
         self._special_tokens: Dict[str, int] = {}
         if tokenizer_config and os.path.exists(tokenizer_config):
@@ -186,7 +192,8 @@ class ByT5Phonemizer(BasePhonemizer):
                     and model_path in self.MODEL2URL):
                 model_path = self._download_model(model_path)
                 self.model_path = model_path
-            self._engine = ByT5Engine.from_onnx(model_path)
+            self._engine = ByT5Engine.from_onnx(model_path,
+                                                dtype=self.dtype)
         return self._engine
 
     @classmethod

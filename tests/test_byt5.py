@@ -158,3 +158,36 @@ def test_model_auto_download(tmp_path, monkeypatch):
     )
     with pytest.raises(IOError, match="manually"):
         ByT5Phonemizer._download_model("org/dead")
+
+
+def test_bf16_engine_decodes(hf_model):
+    named = {k: v.detach().numpy() for k, v in hf_model.state_dict().items()}
+    named = {k: v for k, v in named.items()
+             if not k.startswith(("encoder.embed_tokens",
+                                  "decoder.embed_tokens"))}
+    eng = byt5.ByT5Engine.from_flat(named, max_length=24,
+                                    input_buckets=(16,), dtype="bfloat16")
+    assert eng.params["shared"]["weight"].dtype == jnp.bfloat16
+    out = eng.greedy_decode([10, 45, 99, 200, 7, 33, 120, 1])
+    assert isinstance(out, list)
+    assert all(isinstance(t, int) and 0 <= t < eng.cfg.vocab_size
+               for t in out)
+    assert 1 not in out  # pre-EOS sequence contract
+
+
+def test_decode_budget_buckets(engine):
+    # factor 4, floor 64, cap max_length(24): every input bucket hits 24
+    fn16 = engine._decode_for(16)
+    assert engine._decode_for(16) is fn16  # cached
+    assert list(engine._decode_cache) == [24]
+    # an uncapped engine buckets the budget by input size
+    eng2 = byt5.ByT5Engine(engine.params, engine.cfg, max_length=512,
+                           input_buckets=(16, 32, 128))
+    eng2._decode_for(16)
+    eng2._decode_for(128)
+    assert sorted(eng2._decode_cache) == [64, 512]
+    # factor None keeps the reference's flat budget
+    eng3 = byt5.ByT5Engine(engine.params, engine.cfg, max_length=512,
+                           max_length_factor=None)
+    eng3._decode_for(16)
+    assert list(eng3._decode_cache) == [512]

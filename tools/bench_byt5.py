@@ -36,6 +36,10 @@ def main() -> None:
     ap.add_argument("--max-length", type=int, default=32,
                     help="decode steps (IPA outputs are short)")
     ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="bfloat16 halves the weight/KV HBM traffic the "
+                         "autoregressive decode is bound by")
     args = ap.parse_args()
 
     import numpy as np
@@ -64,7 +68,8 @@ def main() -> None:
     del model
     bucket = 8 * ((args.word_bytes + 8) // 8 + 1)
     engine = byt5.ByT5Engine.from_flat(
-        named, max_length=args.max_length, input_buckets=(bucket,))
+        named, max_length=args.max_length, input_buckets=(bucket,),
+        dtype=args.dtype)
 
     rng = np.random.default_rng(0)
 
@@ -104,7 +109,7 @@ def main() -> None:
     tokens = args.batch * args.max_length
     print(json.dumps({
         "config": (f"byt5-small b{args.batch} in{args.word_bytes}B "
-                   f"gen{args.max_length}"),
+                   f"gen{args.max_length} {args.dtype}"),
         "batch_decode_ms": round(per_batch * 1000, 2),
         "words_per_sec": round(words_per_sec, 1),
         "decode_tokens_per_sec": round(tokens / per_batch, 1),
