@@ -65,7 +65,8 @@ def resolve_precision(explicit):
     if explicit is not None:
         return explicit
     ambient = jax.config.jax_default_matmul_precision
-    if ambient is not None and str(ambient).lower() == "high":
+    if ambient is not None and str(ambient).lower() in (
+            "high", "float32", "tensorfloat32"):
         return jax.lax.Precision.HIGHEST
     return None
 
@@ -166,8 +167,9 @@ def usable(spec, x: Array, deterministic: bool = True) -> bool:
     at batch 1 (4.5x), 0.083 vs 0.210 at batch 4 — but the XLA path
     amortizes that overhead across batch lanes while the kernel's grid
     serializes batch elements, so they cross at ~batch 16 (0.447 vs
-    0.437): gate to batch <= 8. f32 and bf16 both supported (attention
-    math is f32 in-kernel either way, like the XLA path's einsums)."""
+    0.437): gate to batch <= 8. bf16 measures the same shape (0.016 vs
+    0.078 ms at batch 1, wash at batch 8; attention math is f32
+    in-kernel either way, like the XLA path's einsums)."""
     if spec is None or not deterministic or not enabled():
         return False
     b, t, h = x.shape

@@ -50,6 +50,15 @@ class TrainConfig(NamedTuple):
     # medium/batch-8 on v5e (the step is not matmul-bound at this size)
     # — the main win is halved activation memory for bigger batches.
     compute_dtype: str = "float32"
+    # >1: split the batch into this many micro-batches, average their
+    # gradients, apply ONE optimizer update — activation memory scales
+    # with batch/grad_accum, so effective batches can exceed HBM. The
+    # micro-steps unroll statically (slices keep the data-axis sharding;
+    # a reshape would invite GSPMD resharding), so keep it small (2-8).
+    # Near-equivalent to one big batch: every loss term is a batch mean
+    # except the duration SUM the reference uses (lightning.py:253),
+    # which averages over micro-batches here.
+    grad_accum: int = 1
 
 
 class TrainState(NamedTuple):
@@ -107,20 +116,12 @@ def _mel(y: Array, hp: VitsHParams) -> Array:
     )
 
 
-def train_step(state: TrainState, batch: Dict[str, Array], rng: Array,
-               hp: VitsHParams, cfg: TrainConfig,
-               eval_mode: bool = False,
-               ) -> Tuple[TrainState, Dict[str, Array]]:
-    """One fused G+D update.
+def _micro_grads(state: TrainState, batch: Dict[str, Array], rng: Array,
+                 hp: VitsHParams, cfg: TrainConfig, eval_mode: bool):
+    """Gradients + metrics for ONE (micro-)batch; no optimizer update.
 
-    batch: phoneme_ids [B,T_x] int32, phoneme_lengths [B], spec [B,T_y,C],
-    spec_lengths [B], audio [B, N] (N >= T_y*hop), sid [B] (optional).
-
-    ``eval_mode=True`` (static) runs the losses with dropout disabled and
-    returns the state unchanged — validation semantics (the reference
-    validates under Lightning eval mode, lightning.py:282-306).
+    Returns (grads_g, grads_d, metrics); the grads are None in eval mode.
     """
-    optimizer = make_optimizer(cfg)
     segment_samples = hp.segment_size * hp.hop_length
 
     # the pallas MAS is sharding-aware (custom_partitioning over the
@@ -238,9 +239,61 @@ def train_step(state: TrainState, batch: Dict[str, Array], rng: Array,
         "loss_dur": aux["loss_dur"],
         "loss_fm": aux["loss_fm"],
     }
+    return grads_g, grads_d, metrics
+
+
+def train_step(state: TrainState, batch: Dict[str, Array], rng: Array,
+               hp: VitsHParams, cfg: TrainConfig,
+               eval_mode: bool = False,
+               ) -> Tuple[TrainState, Dict[str, Array]]:
+    """One fused G+D update.
+
+    batch: phoneme_ids [B,T_x] int32, phoneme_lengths [B], spec [B,T_y,C],
+    spec_lengths [B], audio [B, N] (N >= T_y*hop), sid [B] (optional).
+
+    ``eval_mode=True`` (static) runs the losses with dropout disabled and
+    returns the state unchanged — validation semantics (the reference
+    validates under Lightning eval mode, lightning.py:282-306).
+
+    ``cfg.grad_accum > 1`` splits the batch into that many micro-batches
+    and averages their gradients before the single optimizer update
+    (activation memory scales with the micro-batch).
+    """
+    accum = max(1, int(cfg.grad_accum)) if not eval_mode else 1
+    if accum > 1:
+        b = batch["phoneme_ids"].shape[0]
+        if b % accum:
+            raise ValueError(
+                f"batch size {b} is not divisible by grad_accum {accum}"
+            )
+        mb = b // accum
+        grads_g = grads_d = metrics = None
+        for i in range(accum):
+            micro = {k: v[i * mb:(i + 1) * mb] for k, v in batch.items()}
+            g_g, g_d, m = _micro_grads(
+                state, micro, jax.random.fold_in(rng, i), hp, cfg,
+                eval_mode=False,
+            )
+            if grads_g is None:
+                grads_g, grads_d, metrics = g_g, g_d, m
+            else:
+                add = lambda a, c: a + c
+                grads_g = jax.tree.map(add, grads_g, g_g)
+                grads_d = jax.tree.map(add, grads_d, g_d)
+                metrics = jax.tree.map(add, metrics, m)
+        scale = 1.0 / accum
+        grads_g = jax.tree.map(lambda a: a * scale, grads_g)
+        grads_d = jax.tree.map(lambda a: a * scale, grads_d)
+        metrics = jax.tree.map(lambda a: a * scale, metrics)
+    else:
+        grads_g, grads_d, metrics = _micro_grads(
+            state, batch, rng, hp, cfg, eval_mode=eval_mode
+        )
+
     if eval_mode:
         return state, metrics
 
+    optimizer = make_optimizer(cfg)
     updates_g, opt_g = optimizer.update(grads_g, state.opt_g, state.params_g)
     params_g = optax.apply_updates(state.params_g, updates_g)
     updates_d, opt_d = optimizer.update(grads_d, state.opt_d, state.params_d)

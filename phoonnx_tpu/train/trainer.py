@@ -186,6 +186,7 @@ def run_training(
     remat: bool = False,
     mas_impl: str = "auto",
     compute_dtype: str = "float32",
+    grad_accum: int = 1,
     profile_dir: Optional[str] = None,
     profile_steps: int = 5,
     disc_periods: tuple = (2, 3, 5, 7, 11),
@@ -236,6 +237,7 @@ def run_training(
         remat=remat,
         mas_impl=mas_impl,
         compute_dtype=compute_dtype,
+        grad_accum=grad_accum,
         disc_periods=tuple(disc_periods),
         disc_channel_scale=disc_channel_scale,
     )
@@ -457,6 +459,11 @@ def run_training(
               type=click.Choice(["float32", "bfloat16"]),
               help="bfloat16: mixed-precision compute with f32 master "
                    "weights (halves activation memory)")
+@click.option("--grad-accum", default=1, type=int,
+              help="Micro-batches per optimizer update: gradients of "
+                   "batch-size/N slices are averaged before ONE update, "
+                   "so activation memory scales with the slice (train "
+                   "effective batches past HBM; keep N small, 2-8)")
 @click.option("--profile-dir", default=None,
               help="Write a jax.profiler device trace of a few "
                    "post-compile steps here (xprof/tensorboard)")

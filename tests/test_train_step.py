@@ -226,3 +226,73 @@ def test_two_process_distributed_smoke(tmp_path):
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out
         assert "MULTIHOST SMOKE OK" in out, out
+
+
+def test_grad_accum_matches_manual_average(cfg):
+    """grad_accum=2 must equal averaging the two micro-batch gradients
+    (same rng folding, same slices) followed by ONE optimizer update."""
+    from phoonnx_tpu.train.step import _micro_grads, make_optimizer
+    import optax
+
+    accum_cfg = cfg._replace(grad_accum=2)
+    state = init_train_state(jax.random.PRNGKey(0), TRAIN_HP, accum_cfg)
+    batch = make_batch(batch_size=4)
+    rng = jax.random.PRNGKey(5)
+
+    got_state, got_metrics = train_step(
+        state, batch, rng, TRAIN_HP, accum_cfg
+    )
+
+    halves = [
+        {k: v[:2] for k, v in batch.items()},
+        {k: v[2:] for k, v in batch.items()},
+    ]
+    acc_g = acc_d = None
+    for i, half in enumerate(halves):
+        g_g, g_d, _ = _micro_grads(
+            state, half, jax.random.fold_in(rng, i), TRAIN_HP, accum_cfg,
+            eval_mode=False,
+        )
+        if acc_g is None:
+            acc_g, acc_d = g_g, g_d
+        else:
+            acc_g = jax.tree.map(lambda a, b: a + b, acc_g, g_g)
+            acc_d = jax.tree.map(lambda a, b: a + b, acc_d, g_d)
+    acc_g = jax.tree.map(lambda a: a / 2.0, acc_g)
+    acc_d = jax.tree.map(lambda a: a / 2.0, acc_d)
+    opt = make_optimizer(accum_cfg)
+    up_g, _ = opt.update(acc_g, state.opt_g, state.params_g)
+    want_params_g = optax.apply_updates(state.params_g, up_g)
+
+    want_emb = np.asarray(want_params_g["enc_p"]["emb"]["weight"])
+    got_emb = np.asarray(got_state.params_g["enc_p"]["emb"]["weight"])
+    np.testing.assert_allclose(got_emb, want_emb, atol=1e-6, rtol=1e-6)
+    assert int(got_state.step) == 1
+    assert np.isfinite(float(got_metrics["loss_gen_all"]))
+
+
+def test_grad_accum_rejects_indivisible_batch(cfg):
+    accum_cfg = cfg._replace(grad_accum=3)
+    state = init_train_state(jax.random.PRNGKey(0), TRAIN_HP, accum_cfg)
+    with pytest.raises(ValueError, match="divisible"):
+        train_step(state, make_batch(batch_size=4), jax.random.PRNGKey(1),
+                   TRAIN_HP, accum_cfg)
+
+
+def test_grad_accum_on_dp_mesh(cfg):
+    """grad_accum composes with the data-parallel mesh: micro-batch
+    slices stay evenly sharded (8 rows / 2 slices / 8... devices handle
+    4-row slices), params remain replicated."""
+    from functools import partial
+
+    accum_cfg = cfg._replace(grad_accum=2)
+    mesh = make_mesh(n_data=4)
+    state = shard_train_state(
+        mesh, init_train_state(jax.random.PRNGKey(0), TRAIN_HP, accum_cfg)
+    )
+    batch = shard_batch(mesh, make_batch(batch_size=8))
+    step = jax.jit(partial(train_step, hp=TRAIN_HP, cfg=accum_cfg))
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss_gen_all"]))
+    emb = new_state.params_g["enc_p"]["emb"]["weight"]
+    assert emb.sharding.is_fully_replicated
