@@ -235,6 +235,17 @@ def pack_decoder_params(params, hp: VitsHParams, t_frames: int):
             enc_p["encoder"] = dict(enc_p["encoder"])
             enc_p["encoder"]["fused"] = spec
             out["enc_p"] = enc_p
+
+    # And the fused inverse-flow spec (same placement-only contract:
+    # posterior.coupling_flow uses it only when fused_flow.usable()).
+    from phoonnx_tpu.models.vits import fused_flow
+
+    if fused_flow.enabled():
+        flow_spec = fused_flow.build_spec(params["flow"])
+        if flow_spec is not None:
+            flow = dict(params["flow"])
+            flow["fused_rev"] = flow_spec
+            out["flow"] = flow
     return out
 
 

@@ -69,6 +69,12 @@ def coupling_flow(params, x: Array, x_mask: Array,
             x, _ = modules.residual_coupling_layer(layer, x, x_mask, g=g)
             x, _ = modules.flip_flow(x)
         return x
+    fused = params.get("fused_rev")
+    if fused is not None:
+        from phoonnx_tpu.models.vits import fused_flow
+
+        if fused_flow.usable(fused, x):
+            return fused_flow.apply(fused, x, x_mask, g=g)
     for layer in reversed(params["flows"]):
         x = modules.flip_flow(x, reverse=True)
         x = modules.residual_coupling_layer(layer, x, x_mask, g=g,
