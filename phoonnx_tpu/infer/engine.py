@@ -124,6 +124,13 @@ class VitsEngine:
         self.matmul_precision = matmul_precision
         if dtype == "bfloat16":
             params = cast_floating(params, jnp.bfloat16)
+        # Frame-independent fused-kernel specs (text encoder + inverse
+        # flow) attach to the engine's base params, not only the packed
+        # decoder copies: phase-1/latents/streaming programs run on
+        # self.params, and without this the single-stream flow reversal
+        # — the case the fused flow kernel exists for — stayed on the
+        # ~26-small-conv XLA path.
+        params = vits_model.attach_fused_specs(params)
         self.params = (jax.device_put(params, device) if device is not None
                        else jax.device_put(params))
         self._packed_by_sig = {}

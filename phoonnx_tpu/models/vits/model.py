@@ -219,33 +219,43 @@ def pack_decoder_params(params, hp: VitsHParams, t_frames: int):
         packed_dec = pack_istft_params(params["dec"], t_frames)
     else:
         packed_dec = hifigan.pack_generator_params(params["dec"], t_frames)
-    out = dict(params)
+    out = dict(attach_fused_specs(params))
     out["dec"] = packed_dec
+    return out
 
-    # Also attach the fused-text-encoder spec (stacked per-layer weights
-    # for the single-pallas_call encoder stack; frame-count independent).
-    # Placement-only like the decoder packs: attention.encoder uses it
-    # only when fused_encoder.usable() holds, else keeps the XLA path.
-    from phoonnx_tpu.models.vits import fused_encoder
 
-    if fused_encoder.enabled():
+def attach_fused_specs(params):
+    """Params view with the frame-count-independent fused-kernel specs
+    attached: the fused text encoder (stacked per-layer weights for the
+    single-pallas_call encoder stack) and the fused inverse flow.
+
+    Placement-only like the decoder packs: attention.encoder /
+    posterior.coupling_flow use a spec only when the corresponding
+    ``usable()`` gate holds, else keep the XLA path. Idempotent — params
+    that already carry a spec are returned unchanged, so the inference
+    engine attaches once at init and pack_decoder_params reuses it.
+    Unlike the decoder packs these specs do not depend on the frame
+    bucket, so phase-1/latents/streaming programs (which never see
+    packed params) get the fused paths too.
+    """
+    from phoonnx_tpu.models.vits import fused_encoder, fused_flow
+
+    out = params
+    if (fused_encoder.enabled()
+            and "fused" not in params["enc_p"]["encoder"]):
         spec = fused_encoder.build_spec(params["enc_p"]["encoder"])
         if spec is not None:
+            if out is params:
+                out = dict(params)
             enc_p = dict(params["enc_p"])
-            enc_p["encoder"] = dict(enc_p["encoder"])
-            enc_p["encoder"]["fused"] = spec
+            enc_p["encoder"] = dict(enc_p["encoder"], fused=spec)
             out["enc_p"] = enc_p
-
-    # And the fused inverse-flow spec (same placement-only contract:
-    # posterior.coupling_flow uses it only when fused_flow.usable()).
-    from phoonnx_tpu.models.vits import fused_flow
-
-    if fused_flow.enabled():
+    if fused_flow.enabled() and "fused_rev" not in params["flow"]:
         flow_spec = fused_flow.build_spec(params["flow"])
         if flow_spec is not None:
-            flow = dict(params["flow"])
-            flow["fused_rev"] = flow_spec
-            out["flow"] = flow
+            if out is params:
+                out = dict(params)
+            out["flow"] = dict(params["flow"], fused_rev=flow_spec)
     return out
 
 
