@@ -13,12 +13,21 @@ architecture-agnostic behavior.
 Feed contract matches the reference call (voice.py:350-377): ``input``
 [1, T] int64, ``input_lengths`` [1] int64, ``scales`` [3] float32
 (noise, length, noise_w), plus ``sid``/``langid`` [1] int64 when the
-graph declares them. Host/numpy execution — functional compatibility,
-not TPU speed; re-export such voices through this framework's trainer
-for the compiled path.
+graph declares them.
+
+Execution: the voice's graph is lowered to jitted XLA segments
+(:mod:`phoonnx_tpu.onnx.jax_lowering`) so foreign voices get compiled
+TPU execution just as onnxruntime gives the reference compiled C++
+(reference voice.py:167); ops the lowering cannot stage (control flow,
+data-dependent shapes, random draws) replay on the numpy interpreter
+between segments. Phoneme-id inputs are padded to length buckets when
+the graph declares ``input_lengths`` (masked semantics), bounding XLA
+recompilation across sentence lengths. Set ``compile=False`` (or
+``PHOONNX_ONNX_FALLBACK_COMPILE=0``) to force pure interpretation.
 """
 
 import logging
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -27,6 +36,17 @@ from phoonnx_tpu.onnx.executor import OnnxExecutor
 from phoonnx_tpu.onnx.reader import OnnxModel
 
 LOG = logging.getLogger(__name__)
+
+# phoneme-length buckets: fine-grained at short sentence lengths,
+# multiples of 128 beyond (same spirit as the native engine's buckets)
+_ID_BUCKETS = (16, 32, 48, 64, 96, 128, 192, 256, 384, 512)
+
+
+def _bucket_len(n: int) -> int:
+    for b in _ID_BUCKETS:
+        if n <= b:
+            return b
+    return -(-n // 128) * 128
 
 
 class _HpShim:
@@ -39,20 +59,36 @@ class _HpShim:
 
 
 class OnnxFallbackEngine:
-    """Architecture-agnostic voice execution via the ONNX interpreter."""
+    """Architecture-agnostic voice execution: XLA-lowered ONNX graph."""
 
-    def __init__(self, model: OnnxModel, sample_rate: int):
+    def __init__(self, model: OnnxModel, sample_rate: int,
+                 compile: bool = True, pad_id: int = 0):
         self.executor = OnnxExecutor(model)
         self.input_names = set(model.inputs)
         self.output_name = model.outputs[0] if model.outputs else None
         self.hp = _HpShim(sample_rate)
+        self.pad_id = pad_id
+        self.runner = None
+        self._runner_failed = False
+        if compile and os.environ.get(
+                "PHOONNX_ONNX_FALLBACK_COMPILE", "1") != "0":
+            from phoonnx_tpu.onnx.jax_lowering import JaxGraphRunner
+
+            self.runner = JaxGraphRunner(model)
+        # padding ids is only sound when the graph masks by lengths
+        self._bucket = "input_lengths" in self.input_names
 
     def _run_one(self, ids: Sequence[int], noise_scale: float,
                  length_scale: float, noise_w: float,
                  speaker_id: int, lang_id: Optional[int]) -> np.ndarray:
+        ids = list(ids)
+        true_len = len(ids)
+        padded = ids
+        if self.runner is not None and self._bucket:
+            padded = ids + [self.pad_id] * (_bucket_len(true_len) - true_len)
         feeds = {
-            "input": np.asarray([list(ids)], np.int64),
-            "input_lengths": np.asarray([len(ids)], np.int64),
+            "input": np.asarray([padded], np.int64),
+            "input_lengths": np.asarray([true_len], np.int64),
             "scales": np.asarray([noise_scale, length_scale, noise_w],
                                  np.float32),
             "sid": np.asarray([speaker_id], np.int64),
@@ -72,6 +108,20 @@ class OnnxFallbackEngine:
                 "input/input_lengths/scales[/sid/langid] signature)"
             )
         outputs = ([self.output_name] if self.output_name else None)
+        if self.runner is not None:
+            try:
+                audio = self.runner.run(feeds, outputs=outputs)[0]
+                return np.asarray(audio, np.float32).reshape(-1)
+            except Exception as exc:
+                if not self._runner_failed:
+                    self._runner_failed = True
+                    LOG.warning(
+                        "XLA lowering of the voice graph failed (%s); "
+                        "degrading to the numpy interpreter", exc,
+                    )
+                self.runner = None
+                if self._bucket and true_len != len(padded):
+                    feeds["input"] = np.asarray([ids], np.int64)
         audio = self.executor.run(feeds, outputs=outputs)[0]
         audio = np.asarray(audio, np.float32)
         return audio.reshape(-1)  # [1, 1, T] / [1, T] -> [T]

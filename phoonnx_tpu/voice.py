@@ -214,15 +214,16 @@ class TTSVoice:
         except (KeyError, ValueError) as exc:
             # Not the piper/phoonnx VITS weight layout (e.g. a coqui-VITS
             # or mimic3 export). The reference would hand any graph to
-            # onnxruntime (voice.py:167); we interpret it with the
-            # in-repo executor — functional, host-side, not TPU-compiled.
+            # onnxruntime (voice.py:167); we lower the voice's own graph
+            # to jitted XLA segments (onnx/jax_lowering.py), with the
+            # numpy interpreter covering control flow and random draws.
             from phoonnx_tpu.infer.onnx_engine import OnnxFallbackEngine
 
             LOG.warning(
                 "weights do not match the VITS import layout (%s); "
-                "falling back to the ONNX graph interpreter "
-                "(re-export through phoonnx_tpu.train.export for the "
-                "compiled TPU path)", exc,
+                "falling back to XLA lowering of the voice's own ONNX "
+                "graph (re-export through phoonnx_tpu.train.export for "
+                "the native engine)", exc,
             )
             engine = OnnxFallbackEngine(onnx_model, config.sample_rate)
         return TTSVoice(engine=engine, config=config)
