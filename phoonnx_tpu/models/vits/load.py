@@ -35,7 +35,21 @@ def _set_leaf(tree: Dict[str, Any], path: Tuple, value: np.ndarray) -> None:
 
 
 def _route(name: str) -> Optional[Tuple]:
-    """Translate a reference parameter name to a pytree path."""
+    """Translate a reference parameter name to a pytree path.
+
+    Returns None for anything unroutable — including names that merely
+    START like a parameter (torch-trace helper tensors such as
+    ``flow.flows.0/norm_axes`` or ``dec.ups.0.weight/transposed``): a
+    malformed index must read as "not a parameter", never abort the
+    import of an otherwise valid voice.
+    """
+    try:
+        return _route_checked(name)
+    except (ValueError, IndexError, KeyError):
+        return None
+
+
+def _route_checked(name: str) -> Optional[Tuple]:
     parts = name.split(".")
     top = parts[0]
 
