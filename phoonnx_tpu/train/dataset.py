@@ -120,6 +120,7 @@ class BucketedLoader:
         self.is_multispeaker = is_multispeaker
         self.phoneme_pad = phoneme_pad_multiple
         self.spec_pad = spec_pad_multiple
+        self.seed = seed
         self.rng = random.Random(seed)
         self.drop_last = drop_last
         self.spec_channels = spec_channels
@@ -129,12 +130,25 @@ class BucketedLoader:
             return len(self.utterances) // self.batch_size
         return (len(self.utterances) + self.batch_size - 1) // self.batch_size
 
-    def epoch(self, prefetch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    def epoch(self, prefetch: int = 0,
+              epoch_index: Optional[int] = None
+              ) -> Iterator[Dict[str, np.ndarray]]:
         """Yield collated batches; ``prefetch`` > 0 runs the np.load +
         collate work in a background thread (bounded queue) so host IO
-        overlaps the device step that JAX dispatched asynchronously."""
+        overlaps the device step that JAX dispatched asynchronously.
+
+        ``epoch_index`` derives the shuffle from (seed, epoch) instead of
+        the loader's stateful rng, making batch order a pure function of
+        the epoch number — required for checkpoint-resume
+        bit-equivalence: a run restored at epoch N sees exactly the
+        batches the uninterrupted run would have (Lightning's
+        seed_everything + epoch-seeded sampler semantics).
+        """
         order = list(range(len(self.utterances)))
-        self.rng.shuffle(order)
+        if epoch_index is None:
+            self.rng.shuffle(order)
+        else:
+            random.Random(self.seed * 1_000_003 + epoch_index).shuffle(order)
         # sort within shuffled windows so batches have similar lengths
         window = self.batch_size * 16
         for start in range(0, len(order), window):

@@ -306,6 +306,10 @@ def run_training(
 
     step_partial = partial(train_step, hp=hp, cfg=cfg)
     eval_partial = partial(train_step, hp=hp, cfg=cfg, eval_mode=True)
+    # Per-step keys are fold_in(base, step) — a pure function of the
+    # global step, never a chained split: a resumed run must draw the
+    # exact noise sequence the uninterrupted run would have
+    # (checkpoint-resume bit-equivalence; preemptible-TPU safety).
     rng = jax.random.PRNGKey(seed + 1)
 
     state_formats = None
@@ -364,11 +368,15 @@ def run_training(
     # prefetch below would then overlap nothing). Synced once here for
     # checkpoint resume.
     step = int(state.step)
+    # checkpoints are written at epoch boundaries, so a restored step
+    # lands exactly on one; epoch-indexed shuffles + step-indexed rng
+    # make the continuation identical to the uninterrupted run
+    start_epoch = step // max(len(train_loader), 1)
     metrics = None
-    for epoch in range(max_epochs):
+    for epoch in range(start_epoch, max_epochs):
         epoch_start = time.time()
-        for batch in train_loader.epoch(prefetch=2):
-            rng, sub = jax.random.split(rng)
+        for batch in train_loader.epoch(prefetch=2, epoch_index=epoch):
+            sub = jax.random.fold_in(rng, step)
             if profile_dir is not None and not profiling and step >= 2:
                 # trace after the compile step so the trace is pure
                 # device time (view with xprof / tensorboard)

@@ -208,6 +208,82 @@ def test_trainer_loop_auto_layouts(preprocessed, tmp_path, caplog):
     assert ckpts, "trainer should have written a checkpoint"
 
 
+@pytest.mark.slow
+def test_checkpoint_resume_bit_equivalence(preprocessed, tmp_path):
+    """train(2 epochs) == train(1 epoch) + save + restore + train(1):
+    params, both optimizer states, rng folding, and the LR-schedule step
+    must all be identical — the property that makes preemptible-TPU
+    training safe (Lightning resume semantics,
+    phoonnx_train/train.py:91). Compares the step-6 checkpoints of the
+    continuous and the resumed run array-for-array."""
+    import shutil
+
+    from phoonnx_tpu.train.trainer import run_training
+
+    def fresh_dataset(name):
+        d = tmp_path / name
+        d.mkdir()
+        shutil.copy(preprocessed / "config.json", d / "config.json")
+        shutil.copy(preprocessed / "dataset.jsonl", d / "dataset.jsonl")
+        return d
+
+    kwargs = dict(
+        quality="micro", batch_size=2, checkpoint_epochs=1,
+        validation_split=0.0, num_test_examples=0, log_every=100,
+        disc_periods=(2,), disc_channel_scale=4, seed=77,
+    )
+
+    cont = fresh_dataset("continuous")
+    run_training(dataset_dir=str(cont), max_epochs=2, **kwargs)
+
+    resumed = fresh_dataset("resumed")
+    run_training(dataset_dir=str(resumed), max_epochs=1, **kwargs)
+    mid = resumed / "checkpoints" / "step_3.npz"
+    assert mid.exists(), "epoch-1 checkpoint missing"
+    run_training(dataset_dir=str(resumed), max_epochs=2,
+                 resume_from_checkpoint=str(mid), **kwargs)
+
+    a = np.load(cont / "checkpoints" / "step_6.npz")
+    b = np.load(resumed / "checkpoints" / "step_6.npz")
+    assert sorted(a.files) == sorted(b.files)
+    mismatched = [k for k in a.files
+                  if not np.array_equal(a[k], b[k], equal_nan=True)]
+    assert not mismatched, (
+        f"{len(mismatched)}/{len(a.files)} leaves differ after resume, "
+        f"e.g. {mismatched[:8]}")
+
+
+def test_epoch_indexed_shuffle_is_stateless(preprocessed):
+    """epoch(epoch_index=N) must be a pure function of (seed, N) — the
+    loader's stateful rng must not leak into indexed epochs."""
+    from phoonnx_tpu.train.dataset import BucketedLoader, load_dataset
+
+    utts = load_dataset([preprocessed / "dataset.jsonl"])
+    mk = lambda: BucketedLoader(  # noqa: E731
+        utts, batch_size=2, segment_size_frames=64, hop_length=16,
+        seed=5, spec_pad_multiple=32)
+
+    l1, l2 = mk(), mk()
+    list(l1.epoch())  # advance l1's stateful rng
+    for e in range(2):
+        b1 = [b["phoneme_ids"] for b in l1.epoch(epoch_index=e)]
+        b2 = [b["phoneme_ids"] for b in l2.epoch(epoch_index=e)]
+        for x, y in zip(b1, b2):
+            np.testing.assert_array_equal(x, y)
+    # different epochs shuffle differently. 6 utts fit one length-sort
+    # window (batch_size*16) where sorting cancels the shuffle, so
+    # replicate to 120 utts -> 4 windows whose membership (and thus the
+    # sorted length profile) depends on the epoch permutation.
+    big = BucketedLoader(
+        utts * 20, batch_size=2, segment_size_frames=64, hop_length=16,
+        seed=5, spec_pad_multiple=32)
+    e0 = np.concatenate([b["phoneme_lengths"]
+                         for b in big.epoch(epoch_index=0)])
+    e1 = np.concatenate([b["phoneme_lengths"]
+                         for b in big.epoch(epoch_index=1)])
+    assert not np.array_equal(e0, e1)
+
+
 def test_mb_istft_decoder_train_and_reload():
     """Multi-band iSTFT decoder (arXiv:2210.15975): train step, flat
     round-trip with band inference, inference length contract."""
