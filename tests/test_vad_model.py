@@ -65,3 +65,89 @@ def test_fake_vad_all_silence_returns_full_range(fake_vad):
     audio = np.zeros(_CHUNK * 4, np.float32)
     start, end = trim_silence(audio, detector=fake_vad)
     assert (start, end) == (0, len(audio))
+
+
+# -- speech-shaped validation (reference trim behavior: trim.py:8-54,
+#    threshold 0.2, keep 2 chunks of context) --------------------------------
+
+
+def _speech_like(n_lead, n_speech, n_trail, noise_amp=0.01, seed=0):
+    """Synthetic utterance: noise floor, AM-modulated tone burst
+    (speech-like 3 Hz envelope over a 180 Hz carrier + harmonics),
+    noise floor. Returns (audio, speech_start_sample, speech_end_sample).
+    """
+    rng = np.random.default_rng(seed)
+    total = (n_lead + n_speech + n_trail) * _CHUNK
+    audio = noise_amp * rng.standard_normal(total).astype(np.float32)
+    t = np.arange(n_speech * _CHUNK) / 16000.0
+    env = 0.55 + 0.45 * np.sin(2 * np.pi * 3.0 * t + 0.7)
+    voiced = (np.sin(2 * np.pi * 180 * t)
+              + 0.5 * np.sin(2 * np.pi * 360 * t)
+              + 0.25 * np.sin(2 * np.pi * 720 * t))
+    s0 = n_lead * _CHUNK
+    s1 = s0 + n_speech * _CHUNK
+    audio[s0:s1] += (0.3 * env * voiced).astype(np.float32)
+    return audio, s0, s1
+
+
+@pytest.mark.parametrize("n_lead,n_speech,n_trail", [(20, 40, 30),
+                                                     (8, 25, 8)])
+def test_fake_vad_speech_shaped_trim_bounds(fake_vad, n_lead, n_speech,
+                                            n_trail):
+    """Fake-silero path on speech-shaped audio: the trim must keep every
+    speech sample and start/end within keep-context +/- 2 chunks of the
+    true burst boundaries (reference keeps exactly 2, trim.py:46-47)."""
+    audio, s0, s1 = _speech_like(n_lead, n_speech, n_trail)
+    start, end = trim_silence(audio, detector=fake_vad)
+    assert start <= s0 and end >= s1, "speech samples were cut"
+    assert s0 - start <= 4 * _CHUNK  # 2 context + 2 tolerance
+    assert end - s1 <= 4 * _CHUNK
+
+
+@pytest.mark.parametrize("n_lead,n_speech,n_trail", [(20, 40, 30),
+                                                     (8, 25, 8)])
+def test_energy_fallback_speech_shaped_trim_bounds(n_lead, n_speech,
+                                                   n_trail):
+    """The energy fallback (no silero model) must find the same burst.
+
+    Its adaptive normalization maps the noise floor to ~0 and voiced
+    peaks to ~1, so boundaries land within the same +/- 2-chunk
+    tolerance — the AM envelope's low-energy dips sit INSIDE the burst
+    and cannot move first/last speech chunks by more than the dip width.
+    """
+    detector = SileroVoiceActivityDetector(model_path=None)
+    assert detector._executor is None
+    audio, s0, s1 = _speech_like(n_lead, n_speech, n_trail)
+    start, end = trim_silence(audio, detector=detector)
+    assert start <= s0 and end >= s1, "speech samples were cut"
+    assert s0 - start <= 4 * _CHUNK
+    assert end - s1 <= 4 * _CHUNK
+
+
+def test_energy_fallback_matches_fake_vad_on_speech(fake_vad):
+    """On clean speech-shaped input the two paths agree to +/- 2 chunks."""
+    audio, _, _ = _speech_like(15, 30, 25)
+    s_sil, e_sil = trim_silence(audio, detector=fake_vad)
+    s_en, e_en = trim_silence(
+        audio, detector=SileroVoiceActivityDetector(model_path=None))
+    assert abs(s_sil - s_en) <= 2 * _CHUNK
+    assert abs(e_sil - e_en) <= 2 * _CHUNK
+
+
+def test_energy_fallback_divergence_documented():
+    """Where the energy fallback DIVERGES from a speech detector, by
+    design: its normalization is relative, so any loud non-speech
+    segment (music, a door slam) reads as 'speech' and is kept, where
+    silero would score it low. Conversely pure steady noise (peak ==
+    floor) returns all-ones probs -> untrimmed, never a bogus trim."""
+    detector = SileroVoiceActivityDetector(model_path=None)
+    # loud noise burst amid quiet noise: energy VAD keeps the burst
+    rng = np.random.default_rng(1)
+    audio = 0.005 * rng.standard_normal(60 * _CHUNK).astype(np.float32)
+    audio[20 * _CHUNK:30 * _CHUNK] *= 60.0  # non-speech transient
+    start, end = trim_silence(audio, detector=detector)
+    assert start >= 16 * _CHUNK and end <= 34 * _CHUNK  # trimmed to burst
+    # steady noise: adaptive floor == peak -> full range kept
+    steady = 0.005 * rng.standard_normal(40 * _CHUNK).astype(np.float32)
+    s2, e2 = trim_silence(steady, detector=detector)
+    assert s2 == 0 and e2 >= 38 * _CHUNK
