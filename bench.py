@@ -90,7 +90,41 @@ def main() -> None:
 
     rtt = _measure_rtt()
 
-    def chained_seconds(run_params, ids_c, lengths_c) -> float:
+    # Matmul-calibrated chip peak (the practically achievable ceiling on
+    # this chip/stack; ~225 f32 TFLOP/s on v5e) for the MFU extras.
+    n_cal = 4096
+    a_cal = jnp.asarray(
+        np.random.default_rng(1).standard_normal((n_cal, n_cal)),
+        jnp.float32)
+
+    @jax.jit
+    def cal_chain(a):
+        def body(i, acc):
+            m = acc @ a
+            return m / (jnp.abs(m).max() + 1.0)
+
+        return jax.lax.fori_loop(0, 8, body, a)[0, 0]
+
+    _fetch(cal_chain(a_cal))
+    cal_best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _fetch(cal_chain(a_cal))
+        cal_best = min(cal_best, time.perf_counter() - t0)
+    peak_flops = 8 * 2 * n_cal ** 3 / max(cal_best - rtt, 1e-9)
+
+    def graph_flops(chain_fn, *inputs) -> float:
+        """XLA's own FLOP estimate for one chained step."""
+        try:
+            cost = chain_fn.lower(*inputs).compile().cost_analysis()
+            if isinstance(cost, list):
+                cost = cost[0] if cost else {}
+            return float((cost or {}).get("flops", 0.0)) / N_CHAIN
+        except Exception:
+            return 0.0
+
+    def chained_seconds(run_params, ids_c, lengths_c,
+                        want_flops: bool = False):
         """Best-of-3 device seconds per synthesis step (RTT-corrected)."""
 
         @jax.jit
@@ -104,6 +138,8 @@ def main() -> None:
 
             return jax.lax.fori_loop(0, N_CHAIN, body, jnp.float32(0.0))
 
+        flops = graph_flops(chain, run_params, ids_c, lengths_c,
+                            jax.random.PRNGKey(0)) if want_flops else 0.0
         _fetch(chain(run_params, ids_c, lengths_c, jax.random.PRNGKey(0)))
         best = float("inf")
         # best-of-3: the bench chip is shared; transient contention
@@ -113,14 +149,21 @@ def main() -> None:
             _fetch(chain(run_params, ids_c, lengths_c,
                          jax.random.PRNGKey(rep + 1)))
             best = min(best, time.perf_counter() - t0)
-        return max(best - rtt, 1e-9) / N_CHAIN
+        per_step = max(best - rtt, 1e-9) / N_CHAIN
+        return (per_step, flops) if want_flops else per_step
 
     # Headline: single-utterance fp32 RTF (device compute per audio second)
-    step_s = chained_seconds(packed, ids, lengths)
+    step_s, step_flops = chained_seconds(packed, ids, lengths,
+                                         want_flops=True)
     rtf = step_s / audio_seconds
+    # MFU: the graph's XLA-estimated FLOPs over the measured step time,
+    # against the matmul-calibrated peak. Single-stream synthesis is
+    # latency- and bandwidth-bound (tiny tensors), so this is honest
+    # context for the RTF number, not a target to maximize.
+    mfu_single = step_flops / step_s / peak_flops if step_flops else None
 
     # Secondary: batched serving throughput (fp32 and bf16)
-    def throughput(batch: int, dtype) -> float:
+    def throughput(batch: int, dtype):
         run_params = packed
         if dtype == jnp.bfloat16:
             from phoonnx_tpu.infer.engine import cast_floating
@@ -129,11 +172,13 @@ def main() -> None:
                 cast_floating(params, jnp.bfloat16), hp, max_frames)
         ids_b = jnp.tile(ids, (batch, 1))
         lengths_b = jnp.full((batch,), t_text, jnp.int32)
-        per_step = chained_seconds(run_params, ids_b, lengths_b)
-        return batch * audio_seconds / per_step
+        per_step, flops = chained_seconds(run_params, ids_b, lengths_b,
+                                          want_flops=True)
+        mfu = flops / per_step / peak_flops if flops else None
+        return batch * audio_seconds / per_step, mfu
 
-    batch16_fp32 = throughput(16, jnp.float32)
-    batch16_bf16 = throughput(16, jnp.bfloat16)
+    batch16_fp32, mfu_batch16 = throughput(16, jnp.float32)
+    batch16_bf16, _ = throughput(16, jnp.bfloat16)
 
     # Client-visible single-call latency (dispatch + compute + full audio
     # fetch; on a remote-tunnel TPU the round-trip dominates)
@@ -173,6 +218,8 @@ def main() -> None:
 
         return jax.lax.fori_loop(0, N_CHAIN, body, jnp.float32(0.0))
 
+    flops_high = graph_flops(chain_high, params_high, ids, lengths,
+                             jax.random.PRNGKey(0))
     _fetch(chain_high(params_high, ids, lengths, jax.random.PRNGKey(0)))
     best_high = float("inf")
     for rep in range(3):
@@ -180,7 +227,9 @@ def main() -> None:
         _fetch(chain_high(params_high, ids, lengths,
                           jax.random.PRNGKey(rep + 1)))
         best_high = min(best_high, time.perf_counter() - t0)
-    rtf_high = max(best_high - rtt, 1e-9) / N_CHAIN / audio_seconds
+    step_high = max(best_high - rtt, 1e-9) / N_CHAIN
+    rtf_high = step_high / audio_seconds
+    mfu_high = flops_high / step_high / peak_flops if flops_high else None
 
     # Streaming: time-to-first-audio via the chunked vocoder decode
     # (wall clock to the first fetched chunk — already an honest barrier)
@@ -215,6 +264,14 @@ def main() -> None:
             "batch16_fp32_audio_sec_per_sec": round(batch16_fp32, 1),
             "batch16_bf16_audio_sec_per_sec": round(batch16_bf16, 1),
             "rtf_high_preset_fp32": round(rtf_high, 6),
+            "calibrated_peak_tflops": round(peak_flops / 1e12, 1),
+            "model_gflop_per_utterance": round(step_flops / 1e9, 3),
+            "mfu": (round(mfu_single, 4)
+                    if mfu_single is not None else None),
+            "mfu_batch16_fp32": (round(mfu_batch16, 4)
+                                 if mfu_batch16 is not None else None),
+            "mfu_high_preset": (round(mfu_high, 4)
+                                if mfu_high is not None else None),
             "streaming_ttfa_ms": round(ttfa_ms, 2),
             "frames": max_frames,
             "device": str(jax.devices()[0]),

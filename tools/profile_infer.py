@@ -1,15 +1,21 @@
 """Per-stage device timing of the single-stream synthesis graph.
 
-Times each stage of ``vits_model.infer`` (medium preset, text 128 /
-frames 512 — the bench.py workload) as its own chained program, plus the
-full graph, using the chained-execution + data-fetch-barrier methodology
-(see bench.py: ``block_until_ready`` under-measures on tunnel backends).
+Times each stage of ``vits_model.infer`` (text 128 / frames 512 — the
+bench.py workload) as its own chained program, plus the full graph,
+using the chained-execution + data-fetch-barrier methodology (see
+bench.py: ``block_until_ready`` under-measures on tunnel backends).
+
+Each stage also reports XLA's own FLOP estimate
+(``compiled.cost_analysis()``), the achieved TFLOP/s, and the roofline
+fraction against a matmul-calibrated chip peak — so "is this stage
+actually fast" is answered in FLOPs-vs-achieved, not just wall time.
 
 Stage sums will not exactly match the full graph (XLA fuses across
 stage boundaries and overlaps independent work), but the split shows
 where optimization effort pays.
 
-Usage: python tools/profile_infer.py [--chain 20] [--reps 3]
+Usage: python tools/profile_infer.py [--preset medium] [--chain 20]
+       [--reps 3] [--dtype float32]
 """
 
 import argparse
@@ -26,6 +32,8 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--preset", default="medium",
+                    choices=["micro", "medium", "high"])
     args = ap.parse_args()
 
     import jax
@@ -41,7 +49,7 @@ def main() -> None:
     )
     from phoonnx_tpu.models.vits.model import VitsHParams
 
-    hp = VitsHParams.preset("medium", n_vocab=161)
+    hp = VitsHParams.preset(args.preset, n_vocab=161)
     params = vits_model.random_params(jax.random.PRNGKey(0), hp)
     if args.dtype == "bfloat16":
         from phoonnx_tpu.infer.engine import cast_floating
@@ -84,6 +92,34 @@ def main() -> None:
     rtt = float(np.median(rtts))
     print(f"rtt: {rtt * 1e3:.1f} ms")
 
+    # matmul-calibrated chip peak for the roofline column (the v5e spec
+    # sheet number is not achievable through the tunnel stack; a big
+    # square matmul is the practical ceiling — ~225 f32 / ~320 bf16
+    # TFLOP/s measured on this chip)
+    n_cal = 4096
+    a_cal = jnp.asarray(rng0.standard_normal((n_cal, n_cal)), dtype)
+
+    @jax.jit
+    def cal_chain(a):
+        def body(i, acc):
+            m = acc @ a
+            return m / (jnp.abs(m).max() + 1.0)
+
+        return jax.lax.fori_loop(0, 8, body, a)[0, 0]
+
+    _fetch(cal_chain(a_cal))
+    cal_best = float("inf")
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        _fetch(cal_chain(a_cal))
+        cal_best = min(cal_best, time.perf_counter() - t0)
+    peak = 8 * 2 * n_cal ** 3 / max(cal_best - rtt, 1e-9)
+    print(f"calibrated peak: {peak / 1e12:.1f} TFLOP/s ({args.dtype})")
+
+    print(f"{'stage':28s} {'ms':>8s} {'GFLOP':>8s} {'TFLOP/s':>8s} "
+          f"{'roofline':>9s}")
+    results = {}
+
     def timed(name, fn, *inputs):
         """fn(i, *inputs) -> scalar contribution; chained args.chain x."""
 
@@ -95,6 +131,14 @@ def main() -> None:
             return jax.lax.fori_loop(
                 0, args.chain, body, jnp.float32(0.0))
 
+        try:
+            cost = chain.lower(*inputs).compile().cost_analysis()
+            if isinstance(cost, list):  # one dict per device on old jax
+                cost = cost[0] if cost else {}
+            flops = float((cost or {}).get("flops", 0.0)) / args.chain
+        except Exception:  # backend without a cost model
+            flops = 0.0
+
         _fetch(chain(*inputs))
         best = float("inf")
         for _ in range(args.reps):
@@ -102,7 +146,11 @@ def main() -> None:
             _fetch(chain(*inputs))
             best = min(best, time.perf_counter() - t0)
         per = max(best - rtt, 0.0) / args.chain
-        print(f"{name:28s} {per * 1e3:8.3f} ms")
+        achieved = flops / per if per > 0 else 0.0
+        print(f"{name:28s} {per * 1e3:8.3f} {flops / 1e9:8.2f} "
+              f"{achieved / 1e12:8.2f} {achieved / peak:8.1%}")
+        results[name] = {"ms": per * 1e3, "gflop": flops / 1e9,
+                         "roofline": achieved / peak}
         return per
 
     # jitter an input per iteration so no step can be relay-cached
