@@ -302,11 +302,19 @@ class VitsEngine:
             prec = self.matmul_precision
 
             @jax.jit
-            def decode_chunk(params, z, start, offset, g):
+            def decode_chunk(params, z, start, offset, y_len, g):
                 with _prec_scope(prec):
                     zc = jax.lax.dynamic_slice_in_dim(z, start, window,
                                                       axis=1)
-                    audio = vits_model.decode_audio(params, hp, zc, g=g)
+                    # frames past the true utterance length are masked in
+                    # the decoder so chunked output matches the
+                    # exact-length monolithic decode (decode_audio's
+                    # frame_lengths contract)
+                    valid = jnp.broadcast_to(
+                        jnp.clip(y_len - start, 0, window).astype(jnp.int32),
+                        (zc.shape[0],))
+                    audio = vits_model.decode_audio(params, hp, zc, g=g,
+                                                    frame_lengths=valid)
                     return jax.lax.dynamic_slice_in_dim(
                         audio, offset * up, chunk * up, axis=1)
 
@@ -443,7 +451,8 @@ class VitsEngine:
             audio = self._get_decode_chunk(1, t_total, t_total, 0)(
                 self._params_for_frames(t_total), z,
                 jnp.asarray(0, jnp.int32),
-                jnp.asarray(0, jnp.int32), g,
+                jnp.asarray(0, jnp.int32),
+                jnp.asarray(n_frames, jnp.int32), g,
             )
             if self.fetch_pcm16:
                 audio = self._to_pcm16(audio)
@@ -474,7 +483,8 @@ class VitsEngine:
                 offset = window - chunk
                 skip = (i * chunk - (start + offset)) * up
             audio = decode(dec_params, z, jnp.asarray(start, jnp.int32),
-                           jnp.asarray(offset, jnp.int32), g)
+                           jnp.asarray(offset, jnp.int32),
+                           jnp.asarray(n_frames, jnp.int32), g)
             if self.fetch_pcm16:
                 audio = self._to_pcm16(audio)
             in_flight.append((audio, skip))

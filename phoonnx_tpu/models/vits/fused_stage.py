@@ -210,10 +210,10 @@ def usable(spec, pack_r: int, x: Array) -> bool:
             and (x.dtype == jnp.float32 or x.shape[0] == 1))
 
 
-def _kernel(xm_ref, xc_ref, xp_ref, w_ref, b_ref, out_ref,
+def _kernel(len_ref, xm_ref, xc_ref, xp_ref, w_ref, b_ref, out_ref,
             asm, cur, act, tmp, acc, *, branches, tile, hb, max_off,
-            slope, n_blocks, out_dtype, t_true, precision=None,
-            pw_ref=None, pb_ref=None, post_offsets=None,
+            slope, n_blocks, out_dtype, t_true, pack_r, lane_c,
+            precision=None, pw_ref=None, pb_ref=None, post_offsets=None,
             post_slope=None):
     from jax.experimental import pallas as pl
 
@@ -226,19 +226,36 @@ def _kernel(xm_ref, xc_ref, xp_ref, w_ref, b_ref, out_ref,
     asm[hb:hb + tile, :] = xc_ref[0, :, :]
     asm[hb + tile:rows, :] = xp_ref[0, 0:hb, :]
 
-    # XLA-path parity at the true array edges: every conv zero-pads its
-    # OWN input, so intermediate rows outside [0, t_true) must read as
-    # zeros — zero-extended x alone lets biases/residuals propagate into
-    # the edge region (same effect engine._get_decode_chunk documents)
+    # XLA-path parity at the true edges: every conv zero-pads its OWN
+    # input, so intermediate time positions outside [0, valid) must read
+    # as zeros — zero-extended x alone lets biases/residuals propagate
+    # into the edge region (same effect engine._get_decode_chunk
+    # documents). ``valid`` is the per-batch-element true length in TIME
+    # positions (callers pass t_true * pack_r when unmasked), so a
+    # bucket-padded decode is bit-equal to the exact-length decode.
+    valid = len_ref[pl.program_id(0)]
     g = (jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
          + pl.program_id(1) * tile - hb)
     # float multiply-mask: [rows, 1] i1 broadcasts hit Mosaic relayout
     # limits, a dtype-matched multiplicand doesn't. Select in f32 (the
     # i32 compare's native (8,128) tiling) and cast — selecting straight
     # into bf16's (16,128) tiling is itself an unsupported i1 relayout.
-    bound = jnp.where((g >= 0) & (g < t_true),
-                      jnp.ones((rows, 1), jnp.float32),
-                      jnp.zeros((rows, 1), jnp.float32)).astype(out_dtype)
+    if pack_r == 1:
+        keep = (g >= 0) & (g < jnp.minimum(valid, t_true))
+        bound = jnp.where(keep, jnp.ones((rows, 1), jnp.float32),
+                          jnp.zeros((rows, 1), jnp.float32)).astype(
+                              out_dtype)
+    else:
+        # packed rows carry pack_r time positions across the lane dim
+        # (lane block phi = lane // C): mask at sample granularity
+        lanes = xc_ref.shape[-1]
+        phi = (jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
+               // lane_c)
+        pos = g * pack_r + phi
+        keep = (g >= 0) & (g < t_true) & (pos < valid)
+        bound = jnp.where(keep, jnp.ones((rows, lanes), jnp.float32),
+                          jnp.zeros((rows, lanes), jnp.float32)).astype(
+                              out_dtype)
 
     def lrelu(v):
         # max form, exact for 0 < slope < 1 (bf16 vector compares are
@@ -270,7 +287,10 @@ def _kernel(xm_ref, xc_ref, xp_ref, w_ref, b_ref, out_ref,
             first = False
         else:
             acc[:, :] = acc[:, :] + cur[:, :]
-    mean = acc[:, :] / jnp.asarray(n_blocks, out_dtype)
+    # mask the OUTPUT rows too: the residual path carries biases into
+    # positions >= valid, and the NEXT stage's transposed conv (or the
+    # iSTFT head's convs) would tap them back into the valid span
+    mean = (acc[:, :] / jnp.asarray(n_blocks, out_dtype)) * bound
     if pw_ref is None:
         out_ref[0, :, :] = mean[hb:hb + tile, :]
         return
@@ -289,17 +309,28 @@ def _kernel(xm_ref, xc_ref, xp_ref, w_ref, b_ref, out_ref,
     out_ref[0, :, :] = audio[lo:lo + tile, :]
 
 
-def apply_group(spec, x: Array) -> Array:
-    """Fused mean-of-resblocks over a packed stage tensor [B, Tp, L]."""
+def apply_group(spec, x: Array, valid: Optional[Array] = None) -> Array:
+    """Fused mean-of-resblocks over a packed stage tensor [B, Tp, L].
+
+    valid: optional [B] per-element true length in TIME positions
+    (t_len * r units); positions past it are re-zeroed between convs so
+    bucket-padded decodes match exact-length decodes (see
+    nn.time_mask_lanes). Defaults to the full array.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     batch, t_len, lanes = x.shape
     hb = int(spec["hb"])
     tile = int(spec["tile"])
+    pack_r = int(spec["r"])
     n_tiles = -(-t_len // tile)
     t_pad = n_tiles * tile
     xp = jnp.pad(x, ((0, 0), (tile, tile + t_pad - t_len), (0, 0)))
+    if valid is None:
+        lengths = jnp.full((batch,), t_len * pack_r, jnp.int32)
+    else:
+        lengths = valid.astype(jnp.int32)
 
     from phoonnx_tpu.models.vits.fused_encoder import resolve_precision
 
@@ -318,44 +349,44 @@ def apply_group(spec, x: Array) -> Array:
         extra_specs = [pl.BlockSpec(memory_space=pltpu.VMEM),
                        pl.BlockSpec(memory_space=pltpu.VMEM)]
 
-    def kernel(xm, xc, xn, w, b, *rest):
+    def kernel(lens, xm, xc, xn, w, b, *rest):
         if has_post:
             pw, pb, out = rest[0], rest[1], rest[2]
             scratch = rest[3:]
-            _kernel(xm, xc, xn, w, b, out, *scratch,
+            _kernel(lens, xm, xc, xn, w, b, out, *scratch,
                     branches=tuple(spec["branches"]), tile=tile, hb=hb,
                     max_off=int(spec["max_off"]),
                     slope=float(spec["slope"]),
                     n_blocks=len(spec["branches"]), out_dtype=x.dtype,
-                    t_true=t_len, precision=precision,
-                    pw_ref=pw, pb_ref=pb, **kw)
+                    t_true=t_len, pack_r=pack_r, lane_c=lanes // pack_r,
+                    precision=precision, pw_ref=pw, pb_ref=pb, **kw)
         else:
             out = rest[0]
             scratch = rest[1:]
-            _kernel(xm, xc, xn, w, b, out, *scratch,
+            _kernel(lens, xm, xc, xn, w, b, out, *scratch,
                     branches=tuple(spec["branches"]), tile=tile, hb=hb,
                     max_off=int(spec["max_off"]),
                     slope=float(spec["slope"]),
                     n_blocks=len(spec["branches"]), out_dtype=x.dtype,
-                    t_true=t_len, precision=precision)
+                    t_true=t_len, pack_r=pack_r, lane_c=lanes // pack_r,
+                    precision=precision)
 
-    out = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # lengths [B] lands whole in SMEM
         grid=(batch, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, tile, lanes), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, tile, lanes), lambda b, t, *_: (b, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, lanes), lambda b, t: (b, t + 1, 0),
+            pl.BlockSpec((1, tile, lanes), lambda b, t, *_: (b, t + 1, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, lanes), lambda b, t: (b, t + 2, 0),
+            pl.BlockSpec((1, tile, lanes), lambda b, t, *_: (b, t + 2, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # taps
             pl.BlockSpec(memory_space=pltpu.VMEM),   # biases
         ] + extra_specs,
         out_specs=pl.BlockSpec((1, tile, out_lanes),
-                               lambda b, t: (b, t, 0),
+                               lambda b, t, *_: (b, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((batch, t_pad, out_lanes), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((rows, lanes), x.dtype),  # asm
             pltpu.VMEM((rows, lanes), x.dtype),  # cur
@@ -363,6 +394,11 @@ def apply_group(spec, x: Array) -> Array:
             pltpu.VMEM((rows, lanes), x.dtype),  # tmp
             pltpu.VMEM((rows, lanes), x.dtype),  # acc
         ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((batch, t_pad, out_lanes), x.dtype),
         interpret=FORCE_INTERPRET and jax.default_backend() != "tpu",
-    )(xp, xp, xp, spec["W"], spec["b"], *extra_in)
+    )(lengths, xp, xp, xp, spec["W"], spec["b"], *extra_in)
     return out[:, :t_len]

@@ -72,7 +72,8 @@ def init_generator(rng, initial_channel: int, resblock: str,
 
 
 def generator(params, x: Array, g: Optional[Array] = None,
-              pack_channels: Optional[bool] = None) -> Array:
+              pack_channels: Optional[bool] = None,
+              frame_lengths: Optional[Array] = None) -> Array:
     """Latent frames [B, T, C] -> waveform [B, T * prod(rates)].
 
     pack_channels: run the low-channel late stages with channel-packed
@@ -80,6 +81,14 @@ def generator(params, x: Array, g: Optional[Array] = None,
     128-wide TPU lanes stay occupied — same math, different summation
     grouping. None = auto: on for TPU backends, off elsewhere (on CPU
     the packed form costs strictly more FLOPs).
+
+    frame_lengths: optional [B] true frame counts. When given, time
+    positions past each element's valid length are re-zeroed after every
+    conv, which makes a bucket-padded decode BIT-EQUAL on the valid span
+    to decoding the exact-length latents (the reference slices z to the
+    true length before ``dec``, models.py:721 — without masking, conv
+    biases turn the padded region nonzero and later taps bleed it back
+    into the valid span, measured at ~0.05 waveform deviation).
     """
     if pack_channels is None:
         pack_channels = jax.default_backend() == "tpu"
@@ -90,13 +99,19 @@ def generator(params, x: Array, g: Optional[Array] = None,
     x = nn.apply_conv(params["conv_pre"], x, padding=3)
     if g is not None:
         x = x + nn.apply_conv(params["cond"], g)
+    valid = None
+    if frame_lengths is not None:
+        valid = frame_lengths.astype(jnp.int32)
+        x = x * nn.time_mask_packed(valid, x.shape[1], 1, x.dtype)
 
     # Running packing factor of x's current view ([B, T/r, r*C]); the
     # whole tail — upsample convs included — chains packed views so no
     # tensor ever materializes in a partially-occupied lane layout.
     pack_r = 1
+    cum_up = 1  # cumulative upsample factor (frame -> current resolution)
     for i, up in enumerate(params["ups"]):
         rate = params["upsample_rates"][i]
+        cum_up *= rate
         kernel = params["upsample_kernel_sizes"][i]
         padding = (kernel - rate) // 2
         x = nn.leaky_relu(x, modules.LRELU_SLOPE)
@@ -130,10 +145,18 @@ def generator(params, x: Array, g: Optional[Array] = None,
             pack_r = stage_r
             if pack_r > 1:
                 x = x.reshape(batch, t_out // pack_r, pack_r * out_ch)
+        stage_valid = None
+        stage_mask = None
+        if valid is not None:
+            stage_valid = valid * cum_up
+            stage_mask = nn.time_mask_lanes(
+                stage_valid, x.shape[1], pack_r,
+                x.shape[2] // pack_r, x.dtype)
+            x = x * stage_mask
         fused = params.get("fused_stages")
         fused = fused[i] if fused is not None else None
         if fused is not None and fused_stage.usable(fused, pack_r, x):
-            x = fused_stage.apply_group(fused, x)
+            x = fused_stage.apply_group(fused, x, valid=stage_valid)
             if "postW" in fused:  # epilogue produced packed audio
                 batch, rows, r_out = x.shape
                 return x.reshape(batch, rows * r_out)
@@ -141,8 +164,8 @@ def generator(params, x: Array, g: Optional[Array] = None,
             acc = None
             for j in range(num_kernels):
                 block = params["resblocks"][i * num_kernels + j]
-                out = resblock_fn(block, x, pack_r=pack_r,
-                                  packed_io=pack_r > 1)
+                out = resblock_fn(block, x, x_mask=stage_mask,
+                                  pack_r=pack_r, packed_io=pack_r > 1)
                 acc = out if acc is None else acc + out
             x = acc / num_kernels
 

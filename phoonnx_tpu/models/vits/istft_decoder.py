@@ -70,11 +70,15 @@ def init_istft_generator(rng, initial_channel: int, resblock: str,
 
 
 def istft_generator(params, x: Array, g: Optional[Array] = None,
-                    pack_channels: Optional[bool] = None) -> Array:
+                    pack_channels: Optional[bool] = None,
+                    frame_lengths: Optional[Array] = None) -> Array:
     """Latent frames [B, T, C] -> waveform [B, T * prod(rates) * hop].
 
     pack_channels: channel-pack the low-channel stages (see
     hifigan.generator / nn.conv1d_packed_io); None = auto (TPU only).
+    frame_lengths: optional [B] true frame counts — padded time positions
+    are re-zeroed after every conv so bucket-padded decodes match
+    exact-length decodes (see hifigan.generator).
     """
     if pack_channels is None:
         pack_channels = jax.default_backend() == "tpu"
@@ -87,10 +91,16 @@ def istft_generator(params, x: Array, g: Optional[Array] = None,
     x = nn.apply_conv(params["conv_pre"], x, padding=3)
     if g is not None and "cond" in params:
         x = x + nn.apply_conv(params["cond"], g)
+    valid = None
+    if frame_lengths is not None:
+        valid = frame_lengths.astype(jnp.int32)
+        x = x * nn.time_mask_packed(valid, x.shape[1], 1, x.dtype)
 
+    cum_up = 1
     for i, up in enumerate(params["ups"]):
         rate = params["upsample_rates"][i]
         kernel = params["upsample_kernel_sizes"][i]
+        cum_up *= rate
         x = nn.leaky_relu(x, modules.LRELU_SLOPE)
         x = nn.conv_transpose1d(
             x, nn.resolve_weight(up), up.get("bias"),
@@ -100,16 +110,23 @@ def istft_generator(params, x: Array, g: Optional[Array] = None,
         pack_r = nn.pack_ratio(ch, t_len) if pack_channels else 1
         if pack_r > 1:
             x = x.reshape(batch, t_len // pack_r, pack_r * ch)
+        stage_valid = None
+        stage_mask = None
+        if valid is not None:
+            stage_valid = valid * cum_up
+            stage_mask = nn.time_mask_lanes(
+                stage_valid, x.shape[1], pack_r, ch, x.dtype)
+            x = x * stage_mask
         fused = params.get("fused_stages")
         fused = fused[i] if fused is not None else None
         if fused is not None and fused_stage.usable(fused, pack_r, x):
-            x = fused_stage.apply_group(fused, x)
+            x = fused_stage.apply_group(fused, x, valid=stage_valid)
         else:
             acc = None
             for j in range(num_kernels):
                 block = params["resblocks"][i * num_kernels + j]
-                out = resblock_fn(block, x, pack_r=pack_r,
-                                  packed_io=pack_r > 1)
+                out = resblock_fn(block, x, x_mask=stage_mask,
+                                  pack_r=pack_r, packed_io=pack_r > 1)
                 acc = out if acc is None else acc + out
             x = acc / num_kernels
         if pack_r > 1:
@@ -121,6 +138,18 @@ def istft_generator(params, x: Array, g: Optional[Array] = None,
     )
     phase = math.pi * jnp.sin(nn.apply_conv(params["conv_phase"], x,
                                             padding=3))
+    istft_lengths = None
+    if valid is not None:
+        # the iSTFT's overlap-add would bleed padded frames' spectra
+        # (exp(bias) != 0) back into the valid tail; zero magnitude kills
+        # their contribution. The envelope denominator must then count
+        # exactly valid*cum_up + 1 frames (the exact decode's frame count
+        # including its one silent pad frame below).
+        tail_mask = nn.time_mask_packed(valid * cum_up, x.shape[1], 1,
+                                        magnitude.dtype)
+        magnitude = magnitude * tail_mask
+        phase = phase * tail_mask
+        istft_lengths = valid * cum_up + 1
     # pad one silent frame so the output is exactly T*hop samples
     magnitude = jnp.pad(magnitude, [(0, 0), (0, 1), (0, 0)])
     phase = jnp.pad(phase, [(0, 0), (0, 1), (0, 0)])
@@ -128,7 +157,8 @@ def istft_generator(params, x: Array, g: Optional[Array] = None,
     n_bands = int(params.get("istft_bands", 1))
     if n_bands == 1:
         audio = istft(magnitude.astype(jnp.float32),
-                      phase.astype(jnp.float32), n_fft, hop, n_fft)
+                      phase.astype(jnp.float32), n_fft, hop, n_fft,
+                      frame_lengths=istft_lengths)
         return audio.astype(x.dtype)
 
     # multi-band: fold bands into the batch, invert each subband, then
@@ -144,7 +174,18 @@ def istft_generator(params, x: Array, g: Optional[Array] = None,
         return jnp.swapaxes(spec, 1, 2).reshape(b * n_bands, t_up, n_freqs)
 
     sub = istft(fold(magnitude).astype(jnp.float32),
-                fold(phase).astype(jnp.float32), n_fft, hop, n_fft)
+                fold(phase).astype(jnp.float32), n_fft, hop, n_fft,
+                frame_lengths=(None if istft_lengths is None else
+                               jnp.repeat(istft_lengths, n_bands)))
+    if istft_lengths is not None:
+        # the exact-length decode's iSTFT crop ends at (t_frames-1)*hop
+        # (center=True semantics with win == n_fft), discarding the last
+        # windows' overlap spill; the padded buffer keeps that spill
+        # inside its larger crop, and the centered PQMF filter would
+        # read it back into the valid tail — zero it
+        keep = (jnp.arange(sub.shape[-1])[None, :]
+                < ((jnp.repeat(istft_lengths, n_bands) - 1) * hop)[:, None])
+        sub = sub * keep.astype(sub.dtype)
     sub = sub.reshape(b, n_bands, sub.shape[-1])
     _, synthesis = pqmf_filters(n_bands)
     audio = pqmf_synthesis(jnp.swapaxes(sub, 1, 2), synthesis, n_bands)

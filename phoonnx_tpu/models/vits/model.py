@@ -192,13 +192,24 @@ def _init_decoder(rng: Array, hp: VitsHParams):
 
 
 def decode_audio(params, hp: VitsHParams, z: Array,
-                 g: Optional[Array] = None) -> Array:
-    """Latent frames -> waveform via the configured decoder family."""
+                 g: Optional[Array] = None,
+                 frame_lengths: Optional[Array] = None) -> Array:
+    """Latent frames -> waveform via the configured decoder family.
+
+    frame_lengths: [B] true frame counts when z is bucket-padded — the
+    decoders re-zero padded time positions after every conv so the valid
+    span is bit-equal to decoding the exact-length latents (the
+    reference slices z before ``dec``, models.py:721; without this,
+    conv biases leak ~5e-2 of garbage back into the tail of the valid
+    span through later layers' taps).
+    """
     if hp.decoder_type == "istft":
         from phoonnx_tpu.models.vits.istft_decoder import istft_generator
 
-        return istft_generator(params["dec"], z, g=g)
-    return hifigan.generator(params["dec"], z, g=g)
+        return istft_generator(params["dec"], z, g=g,
+                               frame_lengths=frame_lengths)
+    return hifigan.generator(params["dec"], z, g=g,
+                             frame_lengths=frame_lengths)
 
 
 def pack_decoder_params(params, hp: VitsHParams, t_frames: int):
@@ -454,7 +465,8 @@ def infer(params, hp: VitsHParams,
         * jnp.asarray(noise_scale, dtype)
     z = posterior.coupling_flow(params["flow"], z_p, y_mask, g=g,
                                 reverse=True)
-    audio = decode_audio(params, hp, z * y_mask, g=g)
+    audio = decode_audio(params, hp, z * y_mask, g=g,
+                         frame_lengths=y_lengths)
     return audio, y_lengths, attn
 
 
@@ -488,7 +500,8 @@ def voice_conversion(params, hp: VitsHParams, spec: Array,
     z_p = posterior.coupling_flow(params["flow"], z, y_mask, g=g_src)
     z_hat = posterior.coupling_flow(params["flow"], z_p, y_mask, g=g_tgt,
                                     reverse=True)
-    audio = decode_audio(params, hp, z_hat * y_mask, g=g_tgt)
+    audio = decode_audio(params, hp, z_hat * y_mask, g=g_tgt,
+                         frame_lengths=spec_lengths)
     return audio, y_mask
 
 
@@ -571,5 +584,5 @@ def infer_decode(params, hp: VitsHParams, m_p: Array, logs_p: Array,
         params, hp, m_p, logs_p, w_ceil, x_mask, max_frames, noise_scale,
         g=g, prior_noise=prior_noise, rng=rng,
     )
-    audio = decode_audio(params, hp, z, g=g)
+    audio = decode_audio(params, hp, z, g=g, frame_lengths=y_lengths)
     return audio, y_lengths

@@ -409,6 +409,40 @@ def sequence_mask(lengths: Array, max_length: int) -> Array:
     return positions < lengths[:, None]
 
 
+def time_mask_packed(valid: Array, rows: int, r: int, dtype) -> Array:
+    """Time-validity mask for a channel-packed view.
+
+    valid [B] counts valid TIME positions at the current resolution; the
+    tensor being masked is the packed [B, rows, r*C] view where lane
+    block ``phi`` of row ``t`` holds time position ``t*r + phi``.
+    Returns [B, rows, 1] when the boundary falls on whole rows (r == 1,
+    the common case) — otherwise [B, rows, r, 1], to be applied through
+    the free [B, rows, r, C] view (see apply_time_mask).
+    """
+    if r == 1:
+        return sequence_mask(valid, rows)[..., None].astype(dtype)
+    pos = (jnp.arange(rows)[:, None] * r + jnp.arange(r)[None, :])
+    return (pos[None] < valid[:, None, None]).astype(dtype)[..., None]
+
+
+def time_mask_lanes(valid: Array, rows: int, r: int, c: int,
+                    dtype) -> Array:
+    """Directly-multiplicable validity mask for a packed [B, rows, r*C]
+    tensor: [B, rows, 1] when r == 1, else the expanded [B, rows, r*C]
+    lane mask (a fused broadcast, not a materialised constant).
+
+    Exactness contract: zeroing padded time positions after every conv
+    makes a bucket-padded decode bit-equal to the exact-length decode —
+    each conv's boundary taps then read zeros, exactly the zero padding
+    the conv itself would have applied at the true edge.
+    """
+    mask = time_mask_packed(valid, rows, r, dtype)
+    if r == 1:
+        return mask
+    b = mask.shape[0]
+    return jnp.broadcast_to(mask, (b, rows, r, c)).reshape(b, rows, r * c)
+
+
 def generate_path(duration: Array, attn_mask: Array) -> Array:
     """Monotonic alignment from integer durations.
 

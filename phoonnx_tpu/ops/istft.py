@@ -27,12 +27,20 @@ def _ola_kernel(win_size: int) -> np.ndarray:
 
 
 def istft(magnitude: Array, phase: Array, n_fft: int, hop: int,
-          win_size: int) -> Array:
+          win_size: int, frame_lengths: Array = None) -> Array:
     """(mag, phase) [B, T, F=n_fft//2+1] -> waveform [B, T*hop].
 
     Matches torch.istft with a periodic Hann window and center=True
     cropping of n_fft//2 samples on both ends, up to the window-envelope
     normalisation (computed exactly below).
+
+    frame_lengths: optional [B] per-element valid frame counts. The
+    window-envelope denominator then sums only the first
+    ``frame_lengths[b]`` frames' windows, so a bucket-padded inversion
+    (with the padded frames' magnitudes zeroed by the caller) is
+    bit-equal to inverting exactly that many frames — without this the
+    exact decode's PARTIAL tail envelope (fewer overlapping windows near
+    its buffer end) diverges from the padded buffer's full envelope.
     """
     spec = magnitude * jnp.exp(1j * phase.astype(jnp.complex64))
     frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)  # [B, T, n_fft]
@@ -52,9 +60,14 @@ def istft(magnitude: Array, phase: Array, n_fft: int, hop: int,
     # multiplies by the window once, so feed plain window frames)
     t_frames = frames.shape[1]
     window = jnp.asarray(hann_window(win_size))
-    env_frames = jnp.broadcast_to(
-        window[None, None, :], (1, t_frames, win_size)
-    )
+    if frame_lengths is None:
+        env_frames = jnp.broadcast_to(
+            window[None, None, :], (1, t_frames, win_size)
+        )
+    else:
+        keep = (jnp.arange(t_frames)[None, :]
+                < frame_lengths[:, None]).astype(window.dtype)
+        env_frames = window[None, None, :] * keep[..., None]
     envelope = jax.lax.conv_general_dilated(
         env_frames,
         jnp.flip(kernel, axis=-1),
