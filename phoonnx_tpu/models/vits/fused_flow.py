@@ -327,10 +327,17 @@ def apply(spec, x: Array, x_mask: Array, g=None, precision=None) -> Array:
         scratch_shapes=[pltpu.VMEM((t, c // 2), jnp.float32),
                         pltpu.VMEM((t, c // 2), jnp.float32)],
     )
+    # Mosaic's default scoped-VMEM limit is 16 MB; the per-flow streamed
+    # weight stack alone (w_in [n_layers, k, h, 2h], double-buffered) is
+    # ~12 MB at hidden 192, so a T=512 block trips the default (observed
+    # on v5e: "18.10M and limit 16.00M"). v5e has 128 MB of VMEM — raise
+    # the scoped limit to the gate's budget with headroom.
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=2 * _VMEM_BUDGET),
         interpret=FORCE_INTERPRET and jax.default_backend() != "tpu",
     )(lengths, x, g_all, *weights)
     return out
