@@ -150,6 +150,61 @@ def _route_dp(parts) -> Optional[Tuple]:
 
 _STRIP_PREFIXES = ("model_g.", "_orig_mod.")
 
+_WEIGHT_CONSUMERS = ("Conv", "ConvTranspose", "Gemm", "MatMul")
+
+
+def recover_anonymous_weights(model) -> Dict[str, np.ndarray]:
+    """Initializers re-keyed by state-dict name, recovering the names
+    torch's exporter erased.
+
+    ``torch.onnx.export`` constant-folds by default, which collapses
+    every weight-norm (v, g -> Mul/Div) chain into a fresh initializer
+    named ``onnx::Conv_NNNN`` — the state-dict name is GONE from the
+    tensor (observed on the reference exporter recipe: all 32 of the
+    flow's WN conv weights). Identical tensors are also deduplicated
+    into one initializer consumed by several nodes. A by-name import
+    would silently leave those leaves at random init (and the untrained
+    reference's zero post projections make the resulting parity LOOK
+    fine — the coupling degenerates to identity — so only trained
+    weights expose it).
+
+    Recovery uses the graph itself: the consuming node's bias input
+    still carries the state-dict name (``X.bias`` -> the weight is
+    ``X.weight``), and failing that the torchscript node name encodes
+    the module path (``/flow/flows.6/enc/in_layers.0/Conv``). Anonymous
+    names that were recovered are dropped from the result; everything
+    else passes through unchanged.
+    """
+    named = dict(model.initializers)
+    recovered_sources = set()
+    for node in model.nodes:
+        if node.op_type not in _WEIGHT_CONSUMERS or len(node.inputs) < 2:
+            continue
+        w_name = node.inputs[1]
+        value = named.get(w_name)
+        if value is None or _route(w_name) is not None:
+            continue
+        base = None
+        if (len(node.inputs) > 2 and node.inputs[2] in named
+                and node.inputs[2].endswith(".bias")
+                and _route(node.inputs[2]) is not None):
+            base = node.inputs[2][: -len(".bias")]
+        elif getattr(node, "name", None):
+            # '/flow/flows.6/enc/in_layers.0/Conv' -> module path
+            parts = [p for p in node.name.split("/") if p]
+            if len(parts) >= 2:
+                base = ".".join(parts[:-1])
+        if base is None:
+            continue
+        new_name = base + ".weight"
+        if new_name in named or _route(new_name) is None:
+            continue
+        named[new_name] = value
+        recovered_sources.add(w_name)
+    for w_name in recovered_sources:
+        named.pop(w_name, None)
+    return named
+
 
 def routed_fraction(named: Mapping[str, np.ndarray]) -> float:
     """Fraction of flat names the importer can route into the VITS tree.

@@ -174,7 +174,13 @@ class TTSVoice:
         )
 
         onnx_model = read_onnx(str(model_path))
-        named = onnx_model.initializers
+        # torch.onnx.export's constant folding erases the state-dict
+        # names of weight-normed convs (anonymous onnx::Conv_* folds,
+        # plus deduplication); recover them from the consuming nodes so
+        # real reference exports import losslessly by name
+        from phoonnx_tpu.models.vits.load import recover_anonymous_weights
+
+        named = recover_anonymous_weights(onnx_model)
         # int8-quantized exports (onnxruntime quantize_dynamic — the
         # reference feeds them to its InferenceSession unchanged) keep
         # the state-dict names as X_quantized/X_scale/X_zero_point
