@@ -78,9 +78,22 @@ class OnnxFallbackEngine:
         # padding ids is only sound when the graph masks by lengths
         self._bucket = "input_lengths" in self.input_names
 
+    def _reseed(self, seed: int) -> None:
+        """Reseed the Random*-node RNG on every execution path.
+
+        Graph-internal noise then repeats for a repeated seed, which (a)
+        makes synthesis reproducible — the reference's onnxruntime path
+        cannot do this — and (b) keeps tensor shapes downstream of the
+        noise-dependent duration math stable, so XLA replays cached
+        compiled segments instead of recompiling."""
+        self.executor.reseed(seed)
+        if self.runner is not None:
+            self.runner.executor.reseed(seed)
+
     def _run_one(self, ids: Sequence[int], noise_scale: float,
                  length_scale: float, noise_w: float,
-                 speaker_id: int, lang_id: Optional[int]) -> np.ndarray:
+                 speaker_id: int, lang_id: Optional[int],
+                 seed: Optional[int] = None) -> np.ndarray:
         ids = list(ids)
         true_len = len(ids)
         padded = ids
@@ -108,8 +121,17 @@ class OnnxFallbackEngine:
                 "input/input_lengths/scales[/sid/langid] signature)"
             )
         outputs = ([self.output_name] if self.output_name else None)
+        if seed is not None:
+            self._reseed(int(seed))
         if self.runner is not None:
             try:
+                if seed is not None and not self.runner.has_plan(feeds):
+                    # the first call per signature is the planning pass
+                    # (a pure interpreter run); discard it and return the
+                    # compiled replay so every seeded call produces BIT-
+                    # IDENTICAL audio regardless of call order
+                    self.runner.run(feeds, outputs=outputs)
+                    self._reseed(int(seed))
                 audio = self.runner.run(feeds, outputs=outputs)[0]
                 return np.asarray(audio, np.float32).reshape(-1)
             except Exception as exc:
@@ -138,14 +160,8 @@ class OnnxFallbackEngine:
         seed: Optional[int] = None,
         lang_id: Optional[int] = None,
     ) -> np.ndarray:
-        if seed is not None:
-            LOG.warning(
-                "seed is not supported by the ONNX fallback engine "
-                "(graph-internal RandomNormalLike nodes draw their own "
-                "noise); output will not be reproducible"
-            )
         return self._run_one(phoneme_ids, noise_scale, length_scale,
-                             noise_w, speaker_id, lang_id)
+                             noise_w, speaker_id, lang_id, seed=seed)
 
     def synthesize_batch(
         self,
@@ -161,17 +177,14 @@ class OnnxFallbackEngine:
         ``total_upsample`` is 1 for this engine, so the returned lengths
         are already sample counts (TTSVoice multiplies by upsample).
         """
-        if seed is not None:
-            LOG.warning(
-                "seed is not supported by the ONNX fallback engine "
-                "(graph-internal RandomNormalLike nodes draw their own "
-                "noise); output will not be reproducible"
-            )
         wavs = []
         for i, ids in enumerate(batch_ids):
+            # per-item seed fold keeps item i's audio independent of how
+            # many items precede it in the batch
+            item_seed = None if seed is None else int(seed) + i
             sid = speaker_ids[i] if speaker_ids is not None else 0
             wavs.append(self._run_one(ids, noise_scale, length_scale,
-                                      noise_w, sid, None))
+                                      noise_w, sid, None, seed=item_seed))
         lengths = [len(w) for w in wavs]
         out = np.zeros((len(wavs), max(lengths) if lengths else 0),
                        np.float32)

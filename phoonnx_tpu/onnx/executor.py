@@ -55,6 +55,15 @@ class OnnxExecutor:
     def __init__(self, model: OnnxModel):
         self.model = model
         self.initializers = dict(model.initializers)
+        # instance RNG for Random* nodes that carry no 'seed' attribute;
+        # reseed() makes a synthesis run reproducible (the reference's
+        # onnxruntime path has no equivalent — graph-internal noise there
+        # is never seedable, reference voice.py:350-377)
+        self.rng = np.random.default_rng()
+
+    def reseed(self, seed: Optional[int]) -> None:
+        """Reset the instance RNG (None -> fresh OS entropy)."""
+        self.rng = np.random.default_rng(seed)
 
     def run(self, feeds: Dict[str, np.ndarray],
             outputs: Optional[Sequence[str]] = None) -> List[np.ndarray]:
@@ -74,6 +83,10 @@ class OnnxExecutor:
                 continue
             if node.op_type == "Loop":
                 self._exec_loop(node, env)
+                continue
+            if node.op_type == "RandomNormalLike":
+                x = env.get(node.inputs[0])
+                env[node.outputs[0]] = self._random_normal_like(node, x)
                 continue
             handler = _OPS.get(node.op_type)
             if handler is None:
@@ -106,6 +119,17 @@ class OnnxExecutor:
         for out_name, g_out in zip(node.outputs, branch.outputs):
             if out_name:
                 env[out_name] = child[g_out]
+
+    def _random_normal_like(self, node, x) -> np.ndarray:
+        """Node-level 'seed' attribute wins; otherwise the instance RNG
+        draws, so reseed() makes whole-graph runs reproducible."""
+        scale = _attr(node, "scale", 1.0)
+        mean = _attr(node, "mean", 0.0)
+        seed = _attr(node, "seed")
+        rng = (np.random.default_rng(int(seed)) if seed is not None
+               else self.rng)
+        return (mean + scale * rng.standard_normal(x.shape)).astype(
+            np.float32)
 
     def _exec_loop(self, node, env: Dict[str, Any]) -> None:
         """ONNX Loop: inputs [M, cond, v...]; body (iter, cond, v...) ->

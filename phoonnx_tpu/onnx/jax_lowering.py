@@ -720,12 +720,21 @@ class JaxGraphRunner:
 
     # -- public -----------------------------------------------------------
 
+    @staticmethod
+    def _key(feeds: Dict[str, np.ndarray]) -> Tuple:
+        return tuple(sorted(
+            (k, np.asarray(v).shape, np.asarray(v).dtype.str)
+            for k, v in feeds.items()
+        ))
+
+    def has_plan(self, feeds: Dict[str, np.ndarray]) -> bool:
+        """True when this feed signature would replay a cached plan."""
+        return self._key(feeds) in self._plans
+
     def run(self, feeds: Dict[str, np.ndarray],
             outputs: Optional[Sequence[str]] = None) -> List[np.ndarray]:
         feeds = {k: np.asarray(v) for k, v in feeds.items()}
-        key = tuple(sorted(
-            (k, v.shape, v.dtype.str) for k, v in feeds.items()
-        ))
+        key = self._key(feeds)
         plan = self._plans.get(key)
         if plan is None:
             plan, results = self._plan(feeds, outputs)
