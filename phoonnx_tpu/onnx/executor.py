@@ -28,17 +28,30 @@ def _sigmoid(x):
     return 1.0 / (1.0 + np.exp(-x))
 
 
-def _check_seq_lens(seq_lens, x) -> None:
-    """Per-row sequence lengths are not implemented — running padded
-    rows to full length would silently corrupt their states, so refuse
-    unless every row uses the full time dimension."""
+def _norm_seq_lens(seq_lens, x) -> Optional[np.ndarray]:
+    """Normalize an optional ``sequence_lens`` input to an int64 [B]
+    array, or None when every row uses the full time dimension (the
+    unmasked fast path)."""
     if seq_lens is None:
-        return
-    lens = np.asarray(seq_lens).reshape(-1)
-    if lens.size and not np.all(lens == x.shape[0]):
-        raise NotImplementedError(
-            "per-row sequence_lens not supported by this executor"
-        )
+        return None
+    lens = np.asarray(seq_lens).astype(np.int64).reshape(-1)
+    if lens.size == 0 or np.all(lens == x.shape[0]):
+        return None
+    return lens
+
+
+def _reverse_rows(arr: np.ndarray, lens: Optional[np.ndarray]) -> np.ndarray:
+    """Reverse each batch row's valid time prefix in place-layout
+    [T, B, ...]; padding rows (t >= lens[b]) stay put. With lens None
+    the whole time axis flips. Involution: applying twice is identity."""
+    if lens is None:
+        return arr[::-1]
+    out = np.array(arr, copy=True)
+    for b, n in enumerate(lens):
+        n = int(n)
+        if n > 0:
+            out[:n, b] = arr[n - 1:: -1, b]
+    return out
 
 
 def _int_div(a, b):
@@ -317,13 +330,18 @@ def _op_slice(node, data, starts=None, ends=None, axes=None, steps=None):
 
 
 def _op_lstm(node, x, w, r, b=None, seq_lens=None, h0=None, c0=None, p=None):
-    """Single-direction LSTM, gates iofc (ONNX spec), layout [T, B, I]."""
-    _check_seq_lens(seq_lens, x)
+    """Single-direction LSTM, gates iofc (ONNX spec), layout [T, B, I].
+
+    ``sequence_lens`` follows the ONNX masked semantics: past a row's
+    length the state freezes (Y_h/Y_c hold the last valid step) and the
+    per-step output Y is zero; the reverse direction processes each
+    row's *valid prefix* reversed (padding never enters the recurrence).
+    """
+    lens = _norm_seq_lens(seq_lens, x)
     if p is not None and np.asarray(p).size:
         raise NotImplementedError("LSTM peephole weights not supported")
     hidden = int(_attr(node, "hidden_size"))
     direction = _attr(node, "direction", "forward")
-    num_dir = w.shape[0]
     t_len, batch, _ = x.shape
 
     def run_dir(d, reverse):
@@ -334,20 +352,28 @@ def _op_lstm(node, x, w, r, b=None, seq_lens=None, h0=None, c0=None, p=None):
              np.zeros((batch, hidden), np.float32))
         c = (c0[d] if c0 is not None else
              np.zeros((batch, hidden), np.float32))
+        xs = _reverse_rows(x, lens) if reverse else x
         outs = []
-        time_range = range(t_len - 1, -1, -1) if reverse else range(t_len)
-        for t in time_range:
-            gates = x[t] @ wd.T + wb + h @ rd.T + rb
+        for t in range(t_len):
+            gates = xs[t] @ wd.T + wb + h @ rd.T + rb
             i = _sigmoid(gates[:, :hidden])
             o = _sigmoid(gates[:, hidden:2 * hidden])
             f = _sigmoid(gates[:, 2 * hidden:3 * hidden])
             g = np.tanh(gates[:, 3 * hidden:])
-            c = f * c + i * g
-            h = o * np.tanh(c)
-            outs.append(h)
+            c_new = f * c + i * g
+            h_new = o * np.tanh(c_new)
+            if lens is None:
+                h, c = h_new, c_new
+                outs.append(h_new)
+            else:
+                mask = (t < lens)[:, None]
+                h = np.where(mask, h_new, h)
+                c = np.where(mask, c_new, c)
+                outs.append(np.where(mask, h_new, np.float32(0.0)))
+        y = np.stack(outs)
         if reverse:
-            outs = outs[::-1]
-        return np.stack(outs), h, c
+            y = _reverse_rows(y, lens)
+        return y, h, c
 
     results = []
     if direction in ("forward", "bidirectional"):
@@ -361,8 +387,9 @@ def _op_lstm(node, x, w, r, b=None, seq_lens=None, h0=None, c0=None, p=None):
 
 
 def _op_gru(node, x, w, r, b=None, seq_lens=None, h0=None):
-    """Single/bi-directional GRU, gates zrh."""
-    _check_seq_lens(seq_lens, x)
+    """Single/bi-directional GRU, gates zrh (masked ``sequence_lens``
+    semantics as in :func:`_op_lstm`)."""
+    lens = _norm_seq_lens(seq_lens, x)
     hidden = int(_attr(node, "hidden_size"))
     direction = _attr(node, "direction", "forward")
     linear_before_reset = _attr(node, "linear_before_reset", 0)
@@ -374,10 +401,10 @@ def _op_gru(node, x, w, r, b=None, seq_lens=None, h0=None):
         wb, rb = bd[:3 * hidden], bd[3 * hidden:]
         h = (h0[d] if h0 is not None else
              np.zeros((batch, hidden), np.float32))
+        xs = _reverse_rows(x, lens) if reverse else x
         outs = []
-        time_range = range(t_len - 1, -1, -1) if reverse else range(t_len)
-        for t in time_range:
-            gx = x[t] @ wd.T + wb
+        for t in range(t_len):
+            gx = xs[t] @ wd.T + wb
             gh = h @ rd.T + rb
             z = _sigmoid(gx[:, :hidden] + gh[:, :hidden])
             rr = _sigmoid(gx[:, hidden:2 * hidden] + gh[:, hidden:2 * hidden])
@@ -391,11 +418,18 @@ def _op_gru(node, x, w, r, b=None, seq_lens=None, h0=None):
                     + (rr * h) @ rd[2 * hidden:].T
                     + rb[2 * hidden:]
                 )
-            h = (1 - z) * n + z * h
-            outs.append(h)
+            h_new = (1 - z) * n + z * h
+            if lens is None:
+                h = h_new
+                outs.append(h_new)
+            else:
+                mask = (t < lens)[:, None]
+                h = np.where(mask, h_new, h)
+                outs.append(np.where(mask, h_new, np.float32(0.0)))
+        y = np.stack(outs)
         if reverse:
-            outs = outs[::-1]
-        return np.stack(outs), h
+            y = _reverse_rows(y, lens)
+        return y, h
 
     results = []
     if direction in ("forward", "bidirectional"):
@@ -745,13 +779,16 @@ def _op_dequantize_linear(node, x, scale, zp=None):
 
 
 def _op_dynamic_quantize_linear(node, x):
+    # All scale math in f32, per the ONNX spec (and so the XLA lowering
+    # in onnx/jax_lowering.py — same IEEE f32 single-rounding ops — is
+    # bit-equal to this interpreter).
     x = np.asarray(x, np.float32)
-    rmin = min(float(x.min()) if x.size else 0.0, 0.0)
-    rmax = max(float(x.max()) if x.size else 0.0, 0.0)
-    scale = (rmax - rmin) / 255.0
+    rmin = np.minimum(x.min() if x.size else np.float32(0), np.float32(0))
+    rmax = np.maximum(x.max() if x.size else np.float32(0), np.float32(0))
+    scale = np.float32(rmax - rmin) / np.float32(255)
     if scale == 0.0:
-        scale = 1.0
-    zp = np.uint8(np.clip(np.rint(0 - rmin / scale), 0, 255))
+        scale = np.float32(1)
+    zp = np.uint8(np.clip(np.rint(np.float32(0) - rmin / scale), 0, 255))
     y = _saturate(np.rint(x / scale).astype(np.int32) + np.int32(zp),
                   np.uint8)
     return y, np.float32(scale), zp

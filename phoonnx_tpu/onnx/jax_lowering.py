@@ -40,7 +40,28 @@ Design — plan-based hybrid execution:
 Numerical contract: jitted segments mirror the interpreter's op
 semantics (same dtype rules, same rounding); floating-point results may
 differ from the interpreter only by reassociation-level error (XLA vs
-numpy kernels). Integer/bool ops are bit-exact.
+numpy kernels) — plus the backend's matmul precision: on TPU the
+default f32 dot/conv runs on the MXU at bf16 input precision (~1e-3
+relative), the same engine-wide policy as the native VITS path
+(voice.py `matmul_precision`); construct the runner with
+``matmul_precision="highest"`` for full-f32 dots. Integer/bool ops are
+bit-exact, with documented exceptions:
+
+* ``DynamicQuantizeLinear`` uses the spec's f32 scale math in both
+  implementations (bit-equal where XLA's f32 divide is correctly
+  rounded — always on CPU; a 1-ulp divide difference on an accelerator
+  can flip a value sitting exactly on a rounding boundary).
+* ``MatMulInteger`` accumulates in int32 on device (the interpreter
+  uses int64) — identical unless a dot product exceeds int32, which
+  needs a contraction length beyond ~33k at extreme int8 values.
+* Plain-assignment scatters stay eager unless the plan-time indices are
+  signature-static and duplicate-free (XLA's duplicate-write order is
+  unspecified; see the ``ScatterND``/``ScatterElements`` guards).
+
+Recurrent ops (LSTM/GRU) lower to ``lax.scan`` with the ONNX masked
+``sequence_lens`` semantics (state frozen and outputs zeroed past each
+row's length; the reverse direction processes each row's valid prefix
+reversed), matching the interpreter's implementation.
 """
 
 import functools
@@ -459,6 +480,309 @@ def _j_dequantize_linear(node, x, scale, zp=None):
     return ((x.astype(jnp.int32) - z) * s).astype(jnp.float32)
 
 
+def _j_saturate(values, dtype):
+    jnp = _jnp()
+    info = np.iinfo(dtype)
+    return jnp.clip(values, info.min, info.max).astype(dtype)
+
+
+def _j_per_axis(a, ndim, axis):
+    """Reshape a scalar / per-axis quant parameter for broadcasting
+    (mirrors executor._per_axis)."""
+    jnp = _jnp()
+    a = jnp.asarray(a)
+    if a.ndim == 0 or a.size == 1:
+        return jnp.reshape(a, ())
+    shape = [1] * ndim
+    shape[axis] = a.size
+    return jnp.reshape(a, shape)
+
+
+def _j_quantize_linear(node, x, scale, zp=None):
+    jnp = _jnp()
+    axis = _attr(node, "axis", 1)
+    s = _j_per_axis(scale, x.ndim, axis)
+    dtype = np.dtype(zp.dtype) if zp is not None else np.dtype(np.uint8)
+    z = (_j_per_axis(zp, x.ndim, axis).astype(jnp.int32)
+         if zp is not None else 0)
+    return _j_saturate(jnp.rint(x / s).astype(jnp.int32) + z, dtype)
+
+
+def _j_dynamic_quantize_linear(node, x):
+    jnp = _jnp()
+    x = jnp.asarray(x, jnp.float32)
+    if x.size:
+        rmin = jnp.minimum(x.min(), jnp.float32(0))
+        rmax = jnp.maximum(x.max(), jnp.float32(0))
+    else:
+        rmin = rmax = jnp.float32(0)
+    scale = (rmax - rmin) / jnp.float32(255)
+    scale = jnp.where(scale == 0, jnp.float32(1), scale)
+    zp = jnp.clip(jnp.rint(jnp.float32(0) - rmin / scale),
+                  0, 255).astype(jnp.uint8)
+    y = _j_saturate(jnp.rint(x / scale).astype(jnp.int32)
+                    + zp.astype(jnp.int32), np.uint8)
+    return y, scale.astype(jnp.float32), zp
+
+
+def _j_matmul_integer(node, a, b, a_zp=None, b_zp=None):
+    jnp = _jnp()
+    a32 = jnp.asarray(a).astype(jnp.int32)
+    b32 = jnp.asarray(b).astype(jnp.int32)
+    if a_zp is not None:
+        z = jnp.asarray(a_zp).astype(jnp.int32)
+        a32 = a32 - (z.reshape(-1, 1) if z.ndim == 1 and z.size > 1
+                     else z.reshape(()))
+    if b_zp is not None:
+        z = jnp.asarray(b_zp).astype(jnp.int32)
+        b32 = b32 - (z.reshape(1, -1) if z.ndim == 1 and z.size > 1
+                     else z.reshape(()))
+    return jnp.matmul(a32, b32)  # int32 accumulation (see module doc)
+
+
+def _j_gather_nd(node, data, indices):
+    jnp = _jnp()
+    idx = jnp.asarray(indices).astype(jnp.int32)
+    last = idx.shape[-1]
+    dims = np.asarray(data.shape[:last], np.int32)
+    idx = jnp.where(idx < 0, idx + dims, idx)
+    return data[tuple(jnp.moveaxis(idx, -1, 0))]
+
+
+def _scatter_ref(node, data, ix, updates):
+    jnp = _jnp()
+    at = data.at[ix]
+    red = _attr(node, "reduction", "none")
+    fn = {"none": at.set, "add": at.add, "mul": at.multiply,
+          "max": at.max, "min": at.min}[red]
+    return fn(jnp.asarray(updates).astype(data.dtype))
+
+
+def _j_scatter_nd(node, data, indices, updates):
+    jnp = _jnp()
+    idx = jnp.asarray(indices).astype(jnp.int32)
+    last = idx.shape[-1]
+    dims = np.asarray(data.shape[:last], np.int32)
+    idx = jnp.where(idx < 0, idx + dims, idx)
+    return _scatter_ref(node, data, tuple(jnp.moveaxis(idx, -1, 0)),
+                        updates)
+
+
+def _j_scatter_elements(node, data, indices, updates):
+    jnp = _jnp()
+    axis = _attr(node, "axis", 0)
+    idx = jnp.asarray(indices).astype(jnp.int32)
+    idx = jnp.where(idx < 0, idx + data.shape[axis], idx)
+    grid = [jnp.asarray(g) for g in np.indices(idx.shape)]
+    grid[axis] = idx
+    return _scatter_ref(node, data, tuple(grid), updates)
+
+
+_SCATTER_REDUCTIONS = ("none", "add", "mul", "max", "min")
+
+
+def _guard_scatter_nd(node, vals, in_vs):
+    """Stage ScatterND only when XLA's result is well-defined: reducing
+    scatters always (duplicates combine associatively), plain-assignment
+    only with signature-static, duplicate-free indices (numpy applies
+    the *last* write; XLA's order is unspecified)."""
+    red = _attr(node, "reduction", "none")
+    if red not in _SCATTER_REDUCTIONS:
+        return False
+    if red != "none":
+        return True
+    if len(in_vs) < 2 or not in_vs[1]:
+        return False
+    idx = np.asarray(vals[1]).reshape(-1, np.asarray(vals[1]).shape[-1])
+    return len(np.unique(idx, axis=0)) == len(idx)
+
+
+def _guard_scatter_elements(node, vals, in_vs):
+    red = _attr(node, "reduction", "none")
+    if red not in _SCATTER_REDUCTIONS:
+        return False
+    if red != "none":
+        return True
+    if len(in_vs) < 2 or not in_vs[1]:
+        return False
+    # writes collide iff two entries share every coordinate but the
+    # scatter axis AND carry the same index value there
+    axis = _attr(node, "axis", 0)
+    idx = np.asarray(vals[1])
+    if idx.size == 0:
+        return True
+    idx = np.where(idx < 0, idx + np.asarray(vals[0]).shape[axis], idx)
+    s = np.sort(idx, axis=axis)
+    return not (np.diff(s, axis=axis) == 0).any()
+
+
+def _j_reverse_rows(arr, lens):
+    """Reverse each row's valid time prefix, layout [T, B, ...]
+    (involution; jnp mirror of executor._reverse_rows)."""
+    jnp = _jnp()
+    if lens is None:
+        return jnp.flip(arr, axis=0)
+    t_len = arr.shape[0]
+    t = jnp.arange(t_len, dtype=jnp.int32)[:, None]
+    lens = jnp.asarray(lens).astype(jnp.int32)[None, :]
+    idx = jnp.where(t < lens, lens - 1 - t, t)  # [T, B]
+    idx = idx.reshape(idx.shape + (1,) * (arr.ndim - 2))
+    return jnp.take_along_axis(arr, jnp.broadcast_to(idx, arr.shape),
+                               axis=0)
+
+
+def _j_reverse_sequence(node, x, sequence_lens):
+    jnp = _jnp()
+    batch_axis = _attr(node, "batch_axis", 1)
+    time_axis = _attr(node, "time_axis", 0)
+    lens = jnp.asarray(sequence_lens).astype(jnp.int32).reshape(-1)
+    xm = jnp.moveaxis(x, (time_axis, batch_axis), (0, 1))
+    out = _j_reverse_rows(xm, lens)
+    return jnp.moveaxis(out, (0, 1), (time_axis, batch_axis))
+
+
+def _j_norm_lens(seq_lens, t_len):
+    """None for the unmasked fast path, else a [B] int32 lens vector.
+    Plan-baked (concrete) lens equal to the full time dimension compile
+    to the fast path; traced lens always take the masked path."""
+    if seq_lens is None:
+        return None
+    if isinstance(seq_lens, np.ndarray):
+        lens = seq_lens.astype(np.int64).reshape(-1)
+        if lens.size == 0 or np.all(lens == t_len):
+            return None
+        return _jnp().asarray(lens, dtype=_jnp().int32)
+    return _jnp().asarray(seq_lens).astype(_jnp().int32).reshape(-1)
+
+
+def _j_sigmoid(x):
+    jnp = _jnp()
+    return 1.0 / (1.0 + jnp.exp(-x))  # same formula as the interpreter
+
+
+def _j_lstm(node, x, w, r, b=None, seq_lens=None, h0=None, c0=None, p=None):
+    """LSTM via lax.scan, gates iofc, layout [T, B, I]. The input
+    projection for all steps runs as one batched matmul (MXU-friendly);
+    only the [B, H] recurrence stays sequential."""
+    import jax
+
+    jnp = _jnp()
+    if p is not None and np.asarray(p).size:
+        raise NotImplementedError("LSTM peephole weights not supported")
+    hidden = int(_attr(node, "hidden_size"))
+    direction = _attr(node, "direction", "forward")
+    t_len, batch = x.shape[0], x.shape[1]
+    lens = _j_norm_lens(seq_lens, t_len)
+    x = jnp.asarray(x, jnp.float32)
+
+    def run_dir(d, reverse):
+        wd = jnp.asarray(w[d], jnp.float32)
+        rd = jnp.asarray(r[d], jnp.float32)
+        bd = (jnp.asarray(b[d], jnp.float32) if b is not None
+              else jnp.zeros(8 * hidden, jnp.float32))
+        wb, rb = bd[:4 * hidden], bd[4 * hidden:]
+        h = (jnp.asarray(h0[d], jnp.float32) if h0 is not None
+             else jnp.zeros((batch, hidden), jnp.float32))
+        c = (jnp.asarray(c0[d], jnp.float32) if c0 is not None
+             else jnp.zeros((batch, hidden), jnp.float32))
+        xs = _j_reverse_rows(x, lens) if reverse else x
+        gx = xs @ wd.T + wb  # [T, B, 4H]
+
+        def step(carry, inp):
+            h, c = carry
+            gxt, t = inp
+            gates = gxt + h @ rd.T + rb
+            i = _j_sigmoid(gates[:, :hidden])
+            o = _j_sigmoid(gates[:, hidden:2 * hidden])
+            f = _j_sigmoid(gates[:, 2 * hidden:3 * hidden])
+            g = jnp.tanh(gates[:, 3 * hidden:])
+            c_new = f * c + i * g
+            h_new = o * jnp.tanh(c_new)
+            if lens is None:
+                return (h_new, c_new), h_new
+            mask = (t < lens)[:, None]
+            return (
+                jnp.where(mask, h_new, h),
+                jnp.where(mask, c_new, c),
+            ), jnp.where(mask, h_new, jnp.float32(0))
+
+        (h, c), ys = jax.lax.scan(
+            step, (h, c), (gx, jnp.arange(t_len, dtype=jnp.int32)))
+        if reverse:
+            ys = _j_reverse_rows(ys, lens)
+        return ys, h, c
+
+    results = []
+    if direction in ("forward", "bidirectional"):
+        results.append(run_dir(0, False))
+    if direction in ("reverse", "bidirectional"):
+        results.append(run_dir(0 if direction == "reverse" else 1, True))
+    y = jnp.stack([res[0] for res in results], axis=1)  # [T, D, B, H]
+    y_h = jnp.stack([res[1] for res in results])
+    y_c = jnp.stack([res[2] for res in results])
+    return y, y_h, y_c
+
+
+def _j_gru(node, x, w, r, b=None, seq_lens=None, h0=None):
+    """GRU via lax.scan, gates zrh (masked semantics as in _j_lstm)."""
+    import jax
+
+    jnp = _jnp()
+    hidden = int(_attr(node, "hidden_size"))
+    direction = _attr(node, "direction", "forward")
+    linear_before_reset = _attr(node, "linear_before_reset", 0)
+    t_len, batch = x.shape[0], x.shape[1]
+    lens = _j_norm_lens(seq_lens, t_len)
+    x = jnp.asarray(x, jnp.float32)
+
+    def run_dir(d, reverse):
+        wd = jnp.asarray(w[d], jnp.float32)
+        rd = jnp.asarray(r[d], jnp.float32)
+        bd = (jnp.asarray(b[d], jnp.float32) if b is not None
+              else jnp.zeros(6 * hidden, jnp.float32))
+        wb, rb = bd[:3 * hidden], bd[3 * hidden:]
+        h = (jnp.asarray(h0[d], jnp.float32) if h0 is not None
+             else jnp.zeros((batch, hidden), jnp.float32))
+        xs = _j_reverse_rows(x, lens) if reverse else x
+        gx_all = xs @ wd.T + wb  # [T, B, 3H]
+
+        def step(h, inp):
+            gx, t = inp
+            gh = h @ rd.T + rb
+            z = _j_sigmoid(gx[:, :hidden] + gh[:, :hidden])
+            rr = _j_sigmoid(gx[:, hidden:2 * hidden]
+                            + gh[:, hidden:2 * hidden])
+            if linear_before_reset:
+                n = jnp.tanh(gx[:, 2 * hidden:] + rr * gh[:, 2 * hidden:])
+            else:
+                n = jnp.tanh(
+                    gx[:, 2 * hidden:]
+                    + (rr * h) @ rd[2 * hidden:].T
+                    + rb[2 * hidden:]
+                )
+            h_new = (1 - z) * n + z * h
+            if lens is None:
+                return h_new, h_new
+            mask = (t < lens)[:, None]
+            return (jnp.where(mask, h_new, h),
+                    jnp.where(mask, h_new, jnp.float32(0)))
+
+        h, ys = jax.lax.scan(
+            step, h, (gx_all, jnp.arange(t_len, dtype=jnp.int32)))
+        if reverse:
+            ys = _j_reverse_rows(ys, lens)
+        return ys, h
+
+    results = []
+    if direction in ("forward", "bidirectional"):
+        results.append(run_dir(0, False))
+    if direction in ("reverse", "bidirectional"):
+        results.append(run_dir(0 if direction == "reverse" else 1, True))
+    y = jnp.stack([res[0] for res in results], axis=1)
+    y_h = jnp.stack([res[1] for res in results])
+    return y, y_h
+
+
 def _build_jax_ops() -> Dict[str, Any]:
     import jax.numpy as jnp
 
@@ -553,6 +877,15 @@ def _build_jax_ops() -> Dict[str, Any]:
         "OneHot": _j_one_hot,
         "Trilu": _j_trilu,
         "DequantizeLinear": _j_dequantize_linear,
+        "QuantizeLinear": _j_quantize_linear,
+        "DynamicQuantizeLinear": _j_dynamic_quantize_linear,
+        "MatMulInteger": _j_matmul_integer,
+        "GatherND": _j_gather_nd,
+        "ScatterND": _j_scatter_nd,
+        "ScatterElements": _j_scatter_elements,
+        "ReverseSequence": _j_reverse_sequence,
+        "LSTM": _j_lstm,
+        "GRU": _j_gru,
     }
     return ops
 
@@ -594,9 +927,24 @@ _STATIC_REQ: Dict[str, Tuple[int, ...]] = {
 _SHAPE_FROM_VALUE = {"NonZero", "Range", "ConstantOfShape", "If", "Loop"}
 
 # Never constant-folded at plan time (stochastic: each run must re-draw,
-# matching interpreter behavior).
+# matching interpreter behavior). Their output *shapes* are still
+# signature-pure (from input shapes / attributes), so downstream shape
+# arithmetic keeps folding.
 _NEVER_FOLD = {"RandomNormalLike", "RandomNormal", "RandomUniform",
-               "RandomUniformLike", "Multinomial", "DynamicQuantizeLinear"}
+               "RandomUniformLike", "Multinomial"}
+
+# Value-dependent staging decisions, checked at plan time with the
+# interpreter's concrete inputs: guard(node, input_values, input
+# value-static flags) -> bool. False routes the node to an eager step.
+_LOWER_GUARDS: Dict[str, Any] = {
+    "ScatterND": _guard_scatter_nd,
+    "ScatterElements": _guard_scatter_elements,
+    # interpreter raises on batch_dims > 0; keep the refusal eager
+    "GatherND": lambda node, vals, vs: not _attr(node, "batch_dims", 0),
+    # peephole LSTMs raise in the interpreter; keep the refusal eager
+    "LSTM": lambda node, vals, vs: not (
+        len(vals) > 7 and vals[7] is not None and np.asarray(vals[7]).size),
+}
 
 
 # static arrays at or below this size are baked into the XLA program as
@@ -835,8 +1183,7 @@ class JaxGraphRunner:
                 req = _STATIC_REQ.get(node.op_type, ())
                 req_ok = all(in_vs[i] for i in req if i < len(in_vs))
                 out_ss = (all(in_ss) and req_ok
-                          and node.op_type not in _SHAPE_FROM_VALUE
-                          and node.op_type not in _NEVER_FOLD)
+                          and node.op_type not in _SHAPE_FROM_VALUE)
             for out in node.outputs:
                 if out:
                     value_static[out] = out_vs
@@ -851,6 +1198,11 @@ class JaxGraphRunner:
                 and node.op_type not in ("If", "Loop")
                 and all(in_vs[i] for i in req if i < len(in_vs))
             )
+            if jittable:
+                guard = _LOWER_GUARDS.get(node.op_type)
+                if guard is not None:
+                    jittable = bool(guard(
+                        node, [env.get(n) for n in node.inputs], in_vs))
             if jittable:
                 pending.append((node_index, node))
             else:

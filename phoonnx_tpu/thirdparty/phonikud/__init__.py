@@ -91,6 +91,8 @@ class PhonikudDiacritizer:
             "~/.local/share/phoonnx/phonikud-1.0.int8.onnx"
         )
         self._executor = None
+        self._runner = None  # compiled path (bucket-padded lengths)
+        self._pad_checked = False
         self._vocab: Optional[Dict[str, int]] = None
         self._output_names: List[str] = []
         self._tried = False
@@ -142,6 +144,7 @@ class PhonikudDiacritizer:
         self._tried = True
         if not os.path.exists(self.model_path) and not self._download():
             return False
+        from phoonnx_tpu.onnx.aux_compile import compiled_runner
         from phoonnx_tpu.onnx.executor import OnnxExecutor
         from phoonnx_tpu.onnx.reader import read_onnx
 
@@ -156,21 +159,60 @@ class PhonikudDiacritizer:
             return False
         self._vocab = vocab
         self._executor = OnnxExecutor(model)
+        self._runner = compiled_runner(model, matmul_precision="highest")
+        self._pad_checked = False
         self._output_names = list(model.outputs)
         return True
 
     # -- inference ---------------------------------------------------------
+
+    def _feeds(self, ids: List[int], pad_to: int) -> Dict[str, np.ndarray]:
+        arr = np.full((1, pad_to), self._vocab.get("[PAD]", 0), np.int64)
+        arr[0, :len(ids)] = ids
+        mask = np.zeros((1, pad_to), np.int64)
+        mask[0, :len(ids)] = 1
+        return {"input_ids": arr, "attention_mask": mask}
+
+    def _execute(self, ids: List[int]) -> List[np.ndarray]:
+        """Compiled path with bucket-padded lengths (bounded XLA compile
+        count; sound because BERT-style models mask attention by the
+        ``attention_mask`` input — self-checked once against an
+        exact-length interpreter run), interpreter otherwise."""
+        n = len(ids)
+        if self._runner is None:
+            return self._executor.run(self._feeds(ids, n))
+        from phoonnx_tpu.onnx.aux_compile import bucket_len
+
+        pad_to = bucket_len(n)
+
+        def trim(o):
+            o = np.asarray(o)
+            return (o[:, :n] if o.ndim >= 2 and o.shape[1] == pad_to
+                    else o)
+
+        outs = [trim(o) for o in self._runner.run(self._feeds(ids, pad_to))]
+        if self._pad_checked or pad_to == n:
+            return outs
+        self._pad_checked = True
+        exact = self._executor.run(self._feeds(ids, n))
+        ok = all(np.allclose(a, b, rtol=1e-3, atol=1e-3)
+                 for a, b in zip(outs, exact)
+                 if np.issubdtype(np.asarray(a).dtype, np.floating))
+        if ok:
+            return outs
+        LOG.warning(
+            "phonikud model output changes under length padding "
+            "(attention_mask not honored?) — disabling the compiled "
+            "bucketed path for this session")
+        self._runner = None
+        return [np.asarray(o) for o in exact]
 
     def _run(self, plain: str):
         ids = [self._vocab.get("[CLS]", 2)]
         unk = self._vocab.get("[UNK]", 1)
         ids += [self._vocab.get(ch, unk) for ch in plain]
         ids.append(self._vocab.get("[SEP]", 3))
-        arr = np.asarray([ids], np.int64)
-        outs = self._executor.run({
-            "input_ids": arr,
-            "attention_mask": np.ones_like(arr),
-        })
+        outs = self._execute(ids)
         by_name = dict(zip(self._output_names, outs))
         nikud = np.asarray(by_name.get("nikud_logits", outs[0]),
                            np.float32)[0]

@@ -53,6 +53,8 @@ class TashkeelDiacritizer:
             self.hint_id_map: Dict[str, int] = json.load(f)
 
         self._executor = None
+        self._runner = None  # compiled path (bucket-padded lengths)
+        self._pad_checked = False
         self._load_attempted = False
 
     # -- model ----------------------------------------------------------
@@ -62,10 +64,13 @@ class TashkeelDiacritizer:
             self._load_attempted = True
             model_path = self.model_dir / "model.onnx"
             if model_path.exists():
+                from phoonnx_tpu.onnx.aux_compile import compiled_runner
                 from phoonnx_tpu.onnx.executor import OnnxExecutor
                 from phoonnx_tpu.onnx.reader import read_onnx
 
-                self._executor = OnnxExecutor(read_onnx(str(model_path)))
+                model = read_onnx(str(model_path))
+                self._executor = OnnxExecutor(model)
+                self._runner = compiled_runner(model, matmul_precision="highest")
             else:
                 LOG.warning(
                     "tashkeel model.onnx not found in %s — diacritization "
@@ -73,19 +78,68 @@ class TashkeelDiacritizer:
                 )
         return self._executor
 
+    def _feeds(self, input_ids: List[int], diac_ids: List[int],
+               seq_length: int, pad_to: int) -> Dict[str, np.ndarray]:
+        pad_id = self.input_id_map.get(PAD, 0)
+        char = np.full((1, pad_to), pad_id, np.int64)
+        char[0, :seq_length] = input_ids
+        diac = np.zeros((1, pad_to), np.int64)
+        diac[0, :seq_length] = diac_ids
+        return {"char_inputs": char, "diac_inputs": diac,
+                "input_lengths": np.asarray([seq_length], np.int64)}
+
+    @staticmethod
+    def _slice_outputs(outputs, pad_to: int,
+                       seq_length: int) -> Tuple[List[int], List[float]]:
+        def trim(arr):
+            arr = np.asarray(arr)
+            if pad_to != seq_length and arr.ndim and \
+                    arr.shape[-1] == pad_to:
+                arr = arr[..., :seq_length]
+            return arr
+        target_ids = trim(outputs[0]).flatten().astype(np.uint8).tolist()
+        logits = trim(outputs[1]).flatten().astype(np.float32).tolist()
+        return target_ids, logits
+
     def _infer(self, input_ids: List[int], diac_ids: List[int],
                seq_length: int) -> Tuple[List[int], List[float]]:
+        """Run the model; on the compiled path the sequence is padded to
+        a length bucket (bounded XLA compile count) and the outputs
+        sliced back.
+
+        Padding soundness rests on the model masking by its
+        ``input_lengths`` input (the libtashkeel contract) — verified
+        once per process by comparing the first bucketed result against
+        an exact-length interpreter run; on mismatch the compiled path
+        is dropped for the session.
+        """
         executor = self._get_executor()
-        outputs = executor.run({
-            "char_inputs": np.asarray(input_ids, np.int64).reshape(
-                1, seq_length),
-            "diac_inputs": np.asarray(diac_ids, np.int64).reshape(
-                1, seq_length),
-            "input_lengths": np.asarray([seq_length], np.int64),
-        })
-        target_ids = np.asarray(outputs[0]).flatten().astype(np.uint8).tolist()
-        logits = np.asarray(outputs[1]).flatten().astype(np.float32).tolist()
-        return target_ids, logits
+        if self._runner is not None:
+            from phoonnx_tpu.onnx.aux_compile import bucket_len
+
+            pad_to = bucket_len(seq_length)
+            outs = self._runner.run(
+                self._feeds(input_ids, diac_ids, seq_length, pad_to))
+            got = self._slice_outputs(outs, pad_to, seq_length)
+            if self._pad_checked or pad_to == seq_length:
+                return got
+            self._pad_checked = True
+            exact = self._slice_outputs(
+                executor.run(self._feeds(input_ids, diac_ids,
+                                         seq_length, seq_length)),
+                seq_length, seq_length)
+            if got[0] == exact[0] and np.allclose(
+                    got[1], exact[1], rtol=1e-3, atol=1e-3):
+                return got
+            LOG.warning(
+                "tashkeel model output changes under length padding "
+                "(input_lengths not honored?) — disabling the compiled "
+                "bucketed path for this session")
+            self._runner = None
+            return exact
+        outputs = executor.run(
+            self._feeds(input_ids, diac_ids, seq_length, seq_length))
+        return self._slice_outputs(outputs, seq_length, seq_length)
 
     # -- public API -----------------------------------------------------
 

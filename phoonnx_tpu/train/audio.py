@@ -80,10 +80,17 @@ class SileroVoiceActivityDetector:
         self._executor = None
         if model_path and os.path.exists(model_path):
             try:
+                from phoonnx_tpu.onnx.aux_compile import compiled_runner
                 from phoonnx_tpu.onnx.executor import OnnxExecutor
                 from phoonnx_tpu.onnx.reader import read_onnx
 
-                self._executor = OnnxExecutor(read_onnx(model_path))
+                model = read_onnx(model_path)
+                # fixed [1, chunk] signature: the compiled runner plans
+                # once and replays per chunk (the reference runs silero
+                # through onnxruntime; PHOONNX_AUX_COMPILE=0 keeps the
+                # interpreter)
+                self._executor = (compiled_runner(model, matmul_precision="highest")
+                                  or OnnxExecutor(model))
             except Exception as exc:
                 LOG.warning("silero VAD unavailable (%s); using energy VAD",
                             exc)

@@ -216,9 +216,9 @@ def test_seeded_random_matches_interpreter():
     assert_parity(model, {"x": x})
 
 
-def test_lstm_graph_hybrid():
-    """LSTM has no jax lowering -> eager step; surrounding dense ops
-    still jit. Mirrors the mimic3/silero-style recurrent graphs."""
+def test_lstm_graph_fully_jitted():
+    """LSTM lowers to lax.scan: the whole recurrent graph (mimic3/
+    silero-style) lands in one jitted segment, zero eager nodes."""
     rng = np.random.default_rng(5)
     hidden, inp = 6, 4
     b = GraphBuilder()
@@ -233,8 +233,9 @@ def test_lstm_graph_hybrid():
     x = rng.standard_normal((7, 2, inp)).astype(np.float32)
     runner = assert_parity(model, {"x": x}, rtol=1e-4, atol=1e-5)
     stats = runner.plan_stats()
-    assert stats["eager"] == 1
-    assert stats["jitted"] >= 2
+    assert stats["eager"] == 0
+    assert stats["segments"] == 1
+    assert stats["jitted"] == 3
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,314 @@
+"""Lowering coverage for recurrent, quantized, and scatter/gather ops.
+
+Extends the plan-based ONNX -> JAX lowering tests
+(test_onnx_jax_lowering.py) to the op families the bundled auxiliary
+models need on the compiled path: LSTM/GRU (silero VAD, tashkeel),
+DynamicQuantizeLinear/MatMulInteger (phonikud int8), scatter/gather and
+ReverseSequence (scripted torch exports). Every test pins parity with
+the numpy interpreter — bit-exact for integer ops, reassociation-level
+for floats — plus the plan-shape invariants (what jits vs what stays
+eager).
+"""
+
+import numpy as np
+import pytest
+
+from phoonnx_tpu.onnx.builder import GraphBuilder
+from phoonnx_tpu.onnx.executor import OnnxExecutor
+from phoonnx_tpu.onnx.jax_lowering import JaxGraphRunner
+
+from tests.test_onnx_jax_lowering import assert_parity, build_model
+
+
+def _rnn_weights(rng, n_dir, n_gates, hidden, inp):
+    w = rng.standard_normal((n_dir, n_gates * hidden, inp)).astype(
+        np.float32) * 0.3
+    r = rng.standard_normal((n_dir, n_gates * hidden, hidden)).astype(
+        np.float32) * 0.3
+    b = rng.standard_normal((n_dir, 2 * n_gates * hidden)).astype(
+        np.float32) * 0.1
+    return w, r, b
+
+
+# -- LSTM / GRU -------------------------------------------------------------
+
+
+@pytest.mark.parametrize("direction,n_dir", [
+    ("forward", 1), ("reverse", 1), ("bidirectional", 2)])
+def test_lstm_directions_with_bias_and_state(direction, n_dir):
+    rng = np.random.default_rng(0)
+    hidden, inp, t_len, batch = 5, 3, 9, 2
+    b = GraphBuilder()
+    w, r, bias = _rnn_weights(rng, n_dir, 4, hidden, inp)
+    wn, rn, bn = b.init("w", w), b.init("r", r), b.init("b", bias)
+    h0 = b.init("h0", rng.standard_normal(
+        (n_dir, batch, hidden)).astype(np.float32) * 0.2)
+    c0 = b.init("c0", rng.standard_normal(
+        (n_dir, batch, hidden)).astype(np.float32) * 0.2)
+    y, yh, yc = b.n("LSTM", ["x", wn, rn, bn, "", h0, c0], n_out=3,
+                    hidden_size=hidden, direction=direction)
+    model = build_model(b, ["x"], [y, yh, yc])
+    x = rng.standard_normal((t_len, batch, inp)).astype(np.float32)
+    runner = assert_parity(model, {"x": x}, rtol=1e-4, atol=1e-5)
+    assert runner.plan_stats()["eager"] == 0
+
+
+@pytest.mark.parametrize("direction,n_dir", [
+    ("forward", 1), ("reverse", 1), ("bidirectional", 2)])
+@pytest.mark.parametrize("lbr", [0, 1])
+def test_gru_directions(direction, n_dir, lbr):
+    rng = np.random.default_rng(1)
+    hidden, inp, t_len, batch = 4, 3, 7, 2
+    b = GraphBuilder()
+    w, r, bias = _rnn_weights(rng, n_dir, 3, hidden, inp)
+    wn, rn, bn = b.init("w", w), b.init("r", r), b.init("b", bias)
+    y, yh = b.n("GRU", ["x", wn, rn, bn], n_out=2, hidden_size=hidden,
+                direction=direction, linear_before_reset=lbr)
+    model = build_model(b, ["x"], [y, yh])
+    x = rng.standard_normal((t_len, batch, inp)).astype(np.float32)
+    runner = assert_parity(model, {"x": x}, rtol=1e-4, atol=1e-5)
+    assert runner.plan_stats()["eager"] == 0
+
+
+@pytest.mark.parametrize("op,n_gates,n_out", [("LSTM", 4, 3),
+                                              ("GRU", 3, 2)])
+@pytest.mark.parametrize("direction", ["forward", "reverse",
+                                       "bidirectional"])
+def test_rnn_masked_sequence_lens(op, n_gates, n_out, direction):
+    """Dynamic per-row lengths: ONNX masked semantics on both paths.
+
+    Per row b: Y[t >= len_b] == 0, Y_h == the state at row b's last
+    valid step, and each row's result equals running that row alone at
+    its exact length (padding never leaks into the recurrence).
+    """
+    rng = np.random.default_rng(2)
+    n_dir = 2 if direction == "bidirectional" else 1
+    hidden, inp, t_len = 4, 3, 8
+    lens = np.asarray([8, 5, 1], np.int64)
+    batch = len(lens)
+    b = GraphBuilder()
+    w, r, bias = _rnn_weights(rng, n_dir, n_gates, hidden, inp)
+    wn, rn, bn = b.init("w", w), b.init("r", r), b.init("b", bias)
+    outs = b.n(op, ["x", wn, rn, bn, "lens"], n_out=n_out,
+               hidden_size=hidden, direction=direction)
+    model = build_model(b, ["x"], list(outs))
+    x = rng.standard_normal((t_len, batch, inp)).astype(np.float32)
+    feeds = {"x": x, "lens": lens}
+    assert_parity(model, feeds, rtol=1e-4, atol=1e-5)
+
+    y, y_h = OnnxExecutor(model).run(feeds)[:2]
+    # zeros past each row's length
+    for row, n in enumerate(lens):
+        assert np.all(y[int(n):, :, row] == 0.0)
+    # each row == solo run at its exact length
+    for row, n in enumerate(lens):
+        n = int(n)
+        solo = OnnxExecutor(model).run(
+            {"x": x[:n, row:row + 1], "lens": np.asarray([n], np.int64)})
+        np.testing.assert_allclose(y[:n, :, row], solo[0][:, :, 0],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(y_h[:, row], solo[1][:, 0],
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_rnn_uniform_static_lens_fold_to_fast_path():
+    """sequence_lens as a full-length initializer compiles the unmasked
+    path and matches the no-lens graph bit-for-bit."""
+    rng = np.random.default_rng(3)
+    hidden, inp, t_len, batch = 4, 3, 6, 2
+    w, r, bias = _rnn_weights(rng, 1, 4, hidden, inp)
+    x = rng.standard_normal((t_len, batch, inp)).astype(np.float32)
+
+    def run(with_lens):
+        b = GraphBuilder()
+        wn, rn, bn = b.init("w", w), b.init("r", r), b.init("b", bias)
+        inputs = ["x", wn, rn, bn]
+        if with_lens:
+            inputs.append(b.init(
+                "lens", np.full(batch, t_len, np.int64)))
+        y, _, _ = b.n("LSTM", inputs, n_out=3, hidden_size=hidden)
+        model = build_model(b, ["x"], [y])
+        runner = JaxGraphRunner(model)
+        runner.run({"x": x})
+        return np.asarray(runner.run({"x": x})[0])
+
+    np.testing.assert_array_equal(run(False), run(True))
+
+
+# -- quantized ops ------------------------------------------------------------
+
+
+def test_dynamic_quantize_matmul_integer_jits_bit_exact():
+    """The standard ort dynamic-quantization block (DQL -> MatMulInteger
+    -> rescale) jits end-to-end; quantized ints are bit-exact vs the
+    interpreter and shape-static downstream of DQL keeps folding."""
+    rng = np.random.default_rng(4)
+    w = rng.standard_normal((16, 8)).astype(np.float32) * 0.3
+    w_scale = np.float32(np.abs(w).max() / 127.0)
+    w_q = np.clip(np.rint(w / w_scale), -127, 127).astype(np.int8)
+    b = GraphBuilder()
+    wq = b.init("wq", w_q)
+    ws = b.init("ws", w_scale)
+    xq, xs, xz = b.n("DynamicQuantizeLinear", ["x"], n_out=3)
+    acc = b.n("MatMulInteger", [xq, wq, xz])
+    accf = b.cast(acc, 1)
+    y = b.mul(accf, b.mul(xs, ws))
+    # Shape of the DQL output must still fold (shapes stay static)
+    sh = b.shape_of(xq)
+    y2 = b.reshape(y, [2, -1])
+    model = build_model(b, ["x"], [y, xq, sh, y2])
+    x = rng.standard_normal((4, 16)).astype(np.float32)
+    runner = assert_parity(model, {"x": x})
+    stats = runner.plan_stats()
+    assert stats["eager"] == 0
+    assert stats["folded"] >= 1  # the Shape node
+    # and the float result approximates the unquantized product
+    got = runner.run({"x": x})[0]
+    assert np.abs(got - x @ w).max() < 0.05
+
+
+def test_quantize_linear_per_axis_parity():
+    rng = np.random.default_rng(5)
+    b = GraphBuilder()
+    scale = b.init("s", np.asarray([0.02, 0.05, 0.1], np.float32))
+    zp = b.init("z", np.asarray([10, -20, 3], np.int8))
+    q = b.n("QuantizeLinear", ["x", scale, zp], axis=1)
+    deq = b.n("DequantizeLinear", [q, scale, zp], axis=1)
+    model = build_model(b, ["x"], [q, deq])
+    x = (rng.standard_normal((4, 3, 5)) * 2).astype(np.float32)
+    runner = assert_parity(model, {"x": x})
+    assert runner.plan_stats()["eager"] == 0
+
+
+# -- scatter / gather / reverse-sequence --------------------------------------
+
+
+def test_gather_nd_parity_and_negative_indices():
+    rng = np.random.default_rng(6)
+    b = GraphBuilder()
+    out = b.n("GatherND", ["x", "idx"])
+    model = build_model(b, ["x"], [out])
+    x = rng.standard_normal((4, 5, 6)).astype(np.float32)
+    idx = np.asarray([[0, -1], [3, 2], [-4, 0]], np.int64)
+    runner = assert_parity(model, {"x": x, "idx": idx})
+    assert runner.plan_stats()["eager"] == 0
+
+
+def test_reverse_sequence_parity():
+    rng = np.random.default_rng(7)
+    b = GraphBuilder()
+    out = b.n("ReverseSequence", ["x", "lens"], batch_axis=0, time_axis=1)
+    model = build_model(b, ["x"], [out])
+    x = rng.standard_normal((3, 7, 2)).astype(np.float32)
+    lens = np.asarray([7, 4, 1], np.int64)
+    runner = assert_parity(model, {"x": x, "lens": lens})
+    assert runner.plan_stats()["eager"] == 0
+
+
+@pytest.mark.parametrize("reduction", ["add", "mul", "max", "min"])
+def test_scatter_nd_reductions_jit(reduction):
+    rng = np.random.default_rng(8)
+    b = GraphBuilder()
+    out = b.n("ScatterND", ["x", "idx", "upd"], reduction=reduction)
+    model = build_model(b, ["x"], [out])
+    x = rng.standard_normal((6, 3)).astype(np.float32)
+    # duplicate rows on purpose: reductions combine them associatively
+    idx = np.asarray([[1], [4], [1]], np.int64)
+    upd = rng.standard_normal((3, 3)).astype(np.float32)
+    runner = assert_parity(model, {"x": x, "idx": idx, "upd": upd},
+                           rtol=1e-5, atol=1e-6)
+    assert runner.plan_stats()["eager"] == 0
+
+
+def test_scatter_nd_plain_static_unique_jits():
+    rng = np.random.default_rng(9)
+    b = GraphBuilder()
+    idx = b.init("idx", np.asarray([[4], [0], [2]], np.int64))
+    out = b.n("ScatterND", ["x", idx, "upd"])
+    model = build_model(b, ["x"], [out])
+    x = rng.standard_normal((6, 3)).astype(np.float32)
+    upd = rng.standard_normal((3, 3)).astype(np.float32)
+    runner = assert_parity(model, {"x": x, "upd": upd})
+    assert runner.plan_stats()["eager"] == 0
+
+
+def test_scatter_nd_plain_duplicates_stay_eager():
+    """numpy applies the LAST duplicate write; XLA's order is
+    unspecified — the guard must route this to the interpreter."""
+    rng = np.random.default_rng(10)
+    b = GraphBuilder()
+    idx = b.init("idx", np.asarray([[2], [2]], np.int64))
+    out = b.n("ScatterND", ["x", idx, "upd"])
+    model = build_model(b, ["x"], [out])
+    x = np.zeros((4, 2), np.float32)
+    upd = np.asarray([[1.0, 1.0], [9.0, 9.0]], np.float32)
+    runner = assert_parity(model, {"x": x, "upd": upd})
+    assert runner.plan_stats()["eager"] == 1
+    np.testing.assert_array_equal(
+        runner.run({"x": x, "upd": upd})[0][2], [9.0, 9.0])
+
+
+def test_scatter_nd_plain_dynamic_indices_stay_eager():
+    """Dynamic plain-assignment indices can collide on a later call with
+    the same signature — never staged."""
+    b = GraphBuilder()
+    out = b.n("ScatterND", ["x", "idx", "upd"])
+    model = build_model(b, ["x"], [out])
+    x = np.zeros((4, 2), np.float32)
+    upd = np.asarray([[1.0, 1.0]], np.float32)
+    runner = JaxGraphRunner(model)
+    runner.run({"x": x, "idx": np.asarray([[1]], np.int64), "upd": upd})
+    assert runner.plan_stats()["eager"] == 1
+    got = runner.run(
+        {"x": x, "idx": np.asarray([[3]], np.int64), "upd": upd})[0]
+    np.testing.assert_array_equal(got[3], [1.0, 1.0])
+
+
+@pytest.mark.parametrize("reduction,expect_eager", [
+    ("add", 0), ("none", 1)])
+def test_scatter_elements_guard(reduction, expect_eager):
+    """ScatterElements with colliding indices: reductions jit, plain
+    assignment goes eager."""
+    rng = np.random.default_rng(11)
+    b = GraphBuilder()
+    idx = b.init("idx", np.asarray([[1, 1], [0, 2]], np.int64))
+    kwargs = {"axis": 1}
+    if reduction != "none":
+        kwargs["reduction"] = reduction
+    out = b.n("ScatterElements", ["x", idx, "upd"], **kwargs)
+    model = build_model(b, ["x"], [out])
+    x = rng.standard_normal((2, 3)).astype(np.float32)
+    upd = rng.standard_normal((2, 2)).astype(np.float32)
+    runner = assert_parity(model, {"x": x, "upd": upd},
+                           rtol=1e-6, atol=1e-7)
+    assert runner.plan_stats()["eager"] == expect_eager
+
+
+def test_scatter_elements_unique_plain_jits():
+    rng = np.random.default_rng(12)
+    b = GraphBuilder()
+    idx = b.init("idx", np.asarray([[1, 0], [0, 2]], np.int64))
+    out = b.n("ScatterElements", ["x", idx, "upd"], axis=1)
+    model = build_model(b, ["x"], [out])
+    x = rng.standard_normal((2, 3)).astype(np.float32)
+    upd = rng.standard_normal((2, 2)).astype(np.float32)
+    runner = assert_parity(model, {"x": x, "upd": upd})
+    assert runner.plan_stats()["eager"] == 0
+
+
+def test_random_output_shapes_stay_static_downstream():
+    """Random draws are never folded, but their shapes ARE signature-
+    pure: Shape -> Reshape downstream of a draw must keep jitting."""
+    rng = np.random.default_rng(13)
+    b = GraphBuilder()
+    noise = b.n("RandomNormalLike", ["x"], seed=11.0)
+    sh = b.shape_of(noise)
+    flat = b.n("Reshape", [b.add("x", noise), b.i64([-1])])
+    model = build_model(b, ["x"], [flat, sh])
+    x = rng.standard_normal((3, 4)).astype(np.float32)
+    runner = assert_parity(model, {"x": x})
+    stats = runner.plan_stats()
+    # the draw stays eager; Shape folds; Add + Reshape jit
+    assert stats["eager"] == 1
+    assert stats["folded"] >= 1
+    assert stats["jitted"] >= 2
