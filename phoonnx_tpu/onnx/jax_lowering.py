@@ -29,10 +29,16 @@ Design — plan-based hybrid execution:
 * **Segmentation**: consecutive nodes that (a) have a JAX lowering and
   (b) need no dynamic value in a static-required slot (reshape targets,
   slice bounds, pad widths ...) are grouped into maximal segments, each
-  compiled with ``jax.jit``. Everything else (control flow, stochastic
-  ops, unsupported ops, data-dependent shape math) replays on the numpy
-  interpreter between segments. ``jax.jit`` retraces automatically when
-  a segment downstream of a data-dependent boundary sees new shapes.
+  compiled with ``jax.jit``. Everything else (control flow, unsupported
+  ops, data-dependent shape math) replays on the numpy interpreter
+  between segments. ``jax.jit`` retraces automatically when a segment
+  downstream of a data-dependent boundary sees new shapes.
+  ``RandomNormalLike`` draws stay on the host RNG (bit-identical,
+  seedable draws — the reference's onnxruntime path cannot reproduce
+  graph noise at all) but do NOT split segments: a draw depends only on
+  its input's signature-static shape, so it runs as a prologue-style
+  host step feeding the one surrounding segment (see ``_HostDraw``) —
+  a noise-injecting VITS graph compiles to a single XLA program.
 
 * **Replay**: later calls with the same signature skip planning and run
   the recorded steps; jitted segments hit the XLA executable cache.
@@ -1002,6 +1008,17 @@ class _Segment:
             env[name] = value
 
 
+def _graph_has_random(graph: OnnxModel) -> bool:
+    for node in graph.nodes:
+        if (node.op_type.startswith("Random")
+                or node.op_type == "Multinomial"):
+            return True
+        for sub in node.attributes.values():
+            if isinstance(sub, OnnxModel) and _graph_has_random(sub):
+                return True
+    return False
+
+
 def _prec_scope(name: Optional[str]):
     """Trace-time matmul-precision scope (no-op when name is None)."""
     import contextlib
@@ -1032,14 +1049,46 @@ class _EagerStep:
         executor._exec_nodes([node], env)
 
 
+class _ShapeOnly:
+    """Stand-in for a tensor whose shape alone is needed."""
+
+    def __init__(self, shape):
+        self.shape = shape
+
+
+class _HostDraw:
+    """A RandomNormalLike draw on the host RNG that does NOT split the
+    surrounding jitted segment.
+
+    The draw depends only on its input's *shape* (signature-static) and
+    the executor's RNG stream, never on device values — so it needs no
+    transfer from the device, the consuming segment simply takes the
+    noise as an argument, and the drawn values are bit-identical to a
+    pure interpreter run (same numpy RNG, same node-order stream
+    consumption). Segments merge across draws: a noise-injecting VITS
+    voice graph compiles to ONE XLA program instead of one per
+    noise-separated region, saving a device round trip per boundary.
+    """
+
+    def __init__(self, node: OnnxNode, shape: Tuple[int, ...]):
+        self.node = node
+        self.shape = shape
+
+    def run(self, env: Dict[str, Any], executor: OnnxExecutor) -> None:
+        env[self.node.outputs[0]] = executor._random_normal_like(
+            self.node, _ShapeOnly(self.shape))
+
+
 class _Plan:
     def __init__(self, steps: List[Any], static_vals: Dict[str, np.ndarray],
-                 n_jitted: int, n_eager: int, n_folded: int):
+                 n_jitted: int, n_eager: int, n_folded: int,
+                 n_draws: int = 0):
         self.steps = steps
         self.static_vals = static_vals
         self.n_jitted = n_jitted
         self.n_eager = n_eager
         self.n_folded = n_folded
+        self.n_draws = n_draws
         # device buffers for this plan's signature-constant segment args
         # (computed statics are per-signature; initializer buffers are
         # seeded from the runner-level cache and shared across plans)
@@ -1065,6 +1114,14 @@ class JaxGraphRunner:
         self._dev_init: Dict[str, Any] = {}
         ops = _jax_ops()
         self._supported = set(ops)
+        # Host draws keep segments whole only when nothing else can
+        # consume the executor's RNG stream between them (an If/Loop
+        # body drawing noise would interleave differently at replay).
+        self._draws_hoistable = not any(
+            isinstance(sub, OnnxModel) and _graph_has_random(sub)
+            for node in model.nodes if node.op_type in ("If", "Loop")
+            for sub in node.attributes.values()
+        )
 
     # -- public -----------------------------------------------------------
 
@@ -1091,13 +1148,15 @@ class JaxGraphRunner:
         return self._replay(plan, feeds, outputs)
 
     def plan_stats(self) -> Dict[str, int]:
-        """Aggregate (jitted, eager, folded) node counts over all plans."""
+        """Aggregate (jitted, eager, folded, host-draw) node counts over
+        all plans."""
         stats = {"plans": len(self._plans), "jitted": 0, "eager": 0,
-                 "folded": 0, "segments": 0}
+                 "folded": 0, "segments": 0, "host_draws": 0}
         for plan in self._plans.values():
             stats["jitted"] += plan.n_jitted
             stats["eager"] += plan.n_eager
             stats["folded"] += plan.n_folded
+            stats["host_draws"] += plan.n_draws
             stats["segments"] += sum(
                 1 for s in plan.steps if isinstance(s, _Segment))
         return stats
@@ -1125,7 +1184,7 @@ class JaxGraphRunner:
         steps: List[Any] = []
         pending: List[Tuple[int, OnnxNode]] = []  # current jittable run
         big_statics: set = set()  # static values passed as device args
-        n_jitted = n_eager = n_folded = 0
+        n_jitted = n_eager = n_folded = n_draws = 0
 
         def flush():
             nonlocal n_jitted
@@ -1192,6 +1251,15 @@ class JaxGraphRunner:
             if out_vs:
                 n_folded += 1  # constant under this signature: baked
                 continue
+            if (node.op_type == "RandomNormalLike" and in_ss[0]
+                    and self._draws_hoistable):
+                # host draw without a segment split (see _HostDraw):
+                # appended before the surrounding segment flushes, which
+                # is sound — the draw consumes no dynamic value
+                n_draws += 1
+                steps.append(_HostDraw(node, tuple(
+                    np.asarray(env[node.inputs[0]]).shape)))
+                continue
             req = _STATIC_REQ.get(node.op_type, ())
             jittable = (
                 node.op_type in self._supported
@@ -1235,12 +1303,13 @@ class JaxGraphRunner:
                             for name in self._subgraph_captures(sub):
                                 record_static(name)
 
-        plan = _Plan(steps, static_vals, n_jitted, n_eager, n_folded)
+        plan = _Plan(steps, static_vals, n_jitted, n_eager, n_folded,
+                     n_draws)
         LOG.debug(
             "lowered graph: %d nodes jitted in %d segments, %d eager, "
-            "%d folded",
+            "%d folded, %d host draws",
             n_jitted, sum(1 for s in steps if isinstance(s, _Segment)),
-            n_eager, n_folded,
+            n_eager, n_folded, n_draws,
         )
         results = [np.asarray(env[name]) for name in wanted]
         return plan, results

@@ -204,7 +204,11 @@ def test_random_normal_like_redraws_per_call():
     a = runner.run({"x": x})[0]
     c = runner.run({"x": x})[0]
     assert not np.array_equal(a, c), "noise must be re-drawn at replay"
-    assert runner.plan_stats()["eager"] == 1
+    # the draw is a host step that does NOT split the segment
+    stats = runner.plan_stats()
+    assert stats["host_draws"] == 1
+    assert stats["eager"] == 0
+    assert stats["segments"] == 1
 
 
 def test_seeded_random_matches_interpreter():

@@ -296,6 +296,53 @@ def test_scatter_elements_unique_plain_jits():
     assert runner.plan_stats()["eager"] == 0
 
 
+def test_subgraph_noise_disables_draw_hoisting():
+    """An If branch that draws from the shared RNG stream would
+    interleave differently against hoisted top-level draws — the runner
+    must keep every draw as an ordinary eager step (bit-exact parity
+    with the interpreter's stream order)."""
+    from phoonnx_tpu.onnx.reader import OnnxModel, OnnxNode
+
+    def branch(with_noise):
+        nodes = [OnnxNode(op_type="RandomNormalLike", name="bn",
+                          inputs=["x"], outputs=["bnoise"], attributes={}),
+                 OnnxNode(op_type="Add", name="ba", inputs=["x", "bnoise"],
+                          outputs=["bout"], attributes={})]
+        if not with_noise:
+            nodes = [OnnxNode(op_type="Identity", name="bi", inputs=["x"],
+                              outputs=["bout"], attributes={})]
+        return OnnxModel(initializers={}, metadata={}, inputs=[],
+                         outputs=["bout"], nodes=nodes)
+
+    b = GraphBuilder()
+    top = b.n("RandomNormalLike", ["x"])
+    mixed = b.add("x", top)
+    iff = b.n("If", ["cond"], then_branch=branch(True),
+              else_branch=branch(False))
+    out = b.add(mixed, iff)
+    model = build_model(b, ["x"], [out])
+    x = np.ones((2, 3), np.float32)
+    feeds = {"x": x, "cond": np.asarray(True)}
+
+    runner = JaxGraphRunner(model)
+    assert not runner._draws_hoistable
+    # seeded RNG: replay must reproduce the interpreter's stream order
+    runner.executor.reseed(11)
+    got = runner.run(feeds)
+    runner.executor.reseed(11)
+    got2 = runner.run(feeds)  # replay path
+    interp = OnnxExecutor(model)
+    interp.reseed(11)
+    ref = interp.run(feeds)
+    np.testing.assert_allclose(ref[0], np.asarray(got2[0]),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(ref[0], np.asarray(got[0]),
+                               rtol=1e-6, atol=1e-7)
+    stats = runner.plan_stats()
+    assert stats["host_draws"] == 0
+    assert stats["eager"] >= 2  # the top-level draw AND the If
+
+
 def test_random_output_shapes_stay_static_downstream():
     """Random draws are never folded, but their shapes ARE signature-
     pure: Shape -> Reshape downstream of a draw must keep jitting."""
@@ -308,7 +355,10 @@ def test_random_output_shapes_stay_static_downstream():
     x = rng.standard_normal((3, 4)).astype(np.float32)
     runner = assert_parity(model, {"x": x})
     stats = runner.plan_stats()
-    # the draw stays eager; Shape folds; Add + Reshape jit
-    assert stats["eager"] == 1
+    # the draw is a segment-preserving host step; Shape folds;
+    # Add + Reshape jit in ONE segment
+    assert stats["host_draws"] == 1
+    assert stats["eager"] == 0
+    assert stats["segments"] == 1
     assert stats["folded"] >= 1
     assert stats["jitted"] >= 2
