@@ -5,6 +5,7 @@ realised as input-dilated MXU convolutions (see nn.conv_transpose1d); the
 whole stack compiles to one fused XLA program per frame bucket.
 """
 
+from functools import partial
 from typing import Optional, Sequence
 
 import jax
@@ -15,6 +16,20 @@ from phoonnx_tpu.models.vits import fused_stage, modules, nn
 from phoonnx_tpu.models.vits.statics import StaticInt, StaticStr, StaticTuple
 
 Array = jax.Array
+
+
+def _bleed_extent(params) -> int:
+    """Max right receptive-field extent (time positions past ``valid``)
+    of any conv consuming a zero_time_tail-masked tensor: the dilated
+    resblock convs ((K-1)*d/2), the K=7 pre/post convs (3), and the
+    transposed convs (ceil(p/s) <= 1). Static — kernel sizes/dilations
+    are StaticInt/StaticTuple params."""
+    extent = 3
+    for block in params["resblocks"]:
+        k = int(block["kernel_size"])
+        for d in block["dilations"]:
+            extent = max(extent, (k * int(d) - int(d)) // 2)
+    return extent
 
 
 def init_generator(rng, initial_channel: int, resblock: str,
@@ -82,19 +97,25 @@ def generator(params, x: Array, g: Optional[Array] = None,
     grouping. None = auto: on for TPU backends, off elsewhere (on CPU
     the packed form costs strictly more FLOPs).
 
-    frame_lengths: optional [B] true frame counts. When given, time
-    positions past each element's valid length are re-zeroed after every
-    conv, which makes a bucket-padded decode BIT-EQUAL on the valid span
-    to decoding the exact-length latents (the reference slices z to the
-    true length before ``dec``, models.py:721 — without masking, conv
-    biases turn the padded region nonzero and later taps bleed it back
-    into the valid span, measured at ~0.05 waveform deviation).
+    frame_lengths: optional [B] true frame counts. When given, the bleed
+    window past each element's valid length is re-zeroed after every
+    conv (nn.zero_time_tail), which makes a bucket-padded decode
+    BIT-EQUAL on the valid span to decoding the exact-length latents
+    (the reference slices z to the true length before ``dec``,
+    models.py:721 — without masking, conv biases turn the padded region
+    nonzero and later taps bleed it back into the valid span, measured
+    at ~0.05 waveform deviation). The fused Pallas stages mask their own
+    input taps and output rows from the per-batch length, so the fused
+    path needs no XLA-level masking at all beyond conv_pre's window.
     """
     if pack_channels is None:
         pack_channels = jax.default_backend() == "tpu"
     num_kernels = params["num_kernels"]
     resblock_fn = (modules.resblock1 if params["resblock_type"] == "1"
                    else modules.resblock2)
+    # max right receptive-field extent (time positions) any conv reads
+    # past `valid` — sizes every zero_time_tail window below
+    extent = _bleed_extent(params)
 
     x = nn.apply_conv(params["conv_pre"], x, padding=3)
     if g is not None:
@@ -102,7 +123,8 @@ def generator(params, x: Array, g: Optional[Array] = None,
     valid = None
     if frame_lengths is not None:
         valid = frame_lengths.astype(jnp.int32)
-        x = x * nn.time_mask_packed(valid, x.shape[1], 1, x.dtype)
+        x = nn.zero_time_tail(x, valid, 1,
+                              nn.bleed_window_rows(extent, 1))
 
     # Running packing factor of x's current view ([B, T/r, r*C]); the
     # whole tail — upsample convs included — chains packed views so no
@@ -145,26 +167,29 @@ def generator(params, x: Array, g: Optional[Array] = None,
             pack_r = stage_r
             if pack_r > 1:
                 x = x.reshape(batch, t_out // pack_r, pack_r * out_ch)
-        stage_valid = None
-        stage_mask = None
-        if valid is not None:
-            stage_valid = valid * cum_up
-            stage_mask = nn.time_mask_lanes(
-                stage_valid, x.shape[1], pack_r,
-                x.shape[2] // pack_r, x.dtype)
-            x = x * stage_mask
+        stage_valid = None if valid is None else valid * cum_up
         fused = params.get("fused_stages")
         fused = fused[i] if fused is not None else None
         if fused is not None and fused_stage.usable(fused, pack_r, x):
+            # the kernel masks its own input taps AND its output rows
+            # from the scalar-prefetch lengths — no XLA-level zeroing
+            # needed around it (its output is fully masked, so the next
+            # transposed conv's boundary taps read exact zeros)
             x = fused_stage.apply_group(fused, x, valid=stage_valid)
             if "postW" in fused:  # epilogue produced packed audio
                 batch, rows, r_out = x.shape
                 return x.reshape(batch, rows * r_out)
         else:
+            mask_fn = None
+            if stage_valid is not None:
+                w_rows = nn.bleed_window_rows(extent, pack_r)
+                mask_fn = partial(nn.zero_time_tail, valid=stage_valid,
+                                  r=pack_r, window_rows=w_rows)
+                x = mask_fn(x)
             acc = None
             for j in range(num_kernels):
                 block = params["resblocks"][i * num_kernels + j]
-                out = resblock_fn(block, x, x_mask=stage_mask,
+                out = resblock_fn(block, x, mask_fn=mask_fn,
                                   pack_r=pack_r, packed_io=pack_r > 1)
                 acc = out if acc is None else acc + out
             x = acc / num_kernels

@@ -21,6 +21,7 @@ note claimed istft was 1.7x slower; that was shared-chip contention.)
 """
 
 import math
+from functools import partial
 from typing import Optional, Sequence
 
 import jax
@@ -87,6 +88,8 @@ def istft_generator(params, x: Array, g: Optional[Array] = None,
                    else modules.resblock2)
     n_fft = params["istft_n_fft"]
     hop = params["istft_hop"]
+    from phoonnx_tpu.models.vits.hifigan import _bleed_extent
+    extent = _bleed_extent(params)
 
     x = nn.apply_conv(params["conv_pre"], x, padding=3)
     if g is not None and "cond" in params:
@@ -94,7 +97,8 @@ def istft_generator(params, x: Array, g: Optional[Array] = None,
     valid = None
     if frame_lengths is not None:
         valid = frame_lengths.astype(jnp.int32)
-        x = x * nn.time_mask_packed(valid, x.shape[1], 1, x.dtype)
+        x = nn.zero_time_tail(x, valid, 1,
+                              nn.bleed_window_rows(extent, 1))
 
     cum_up = 1
     for i, up in enumerate(params["ups"]):
@@ -110,22 +114,24 @@ def istft_generator(params, x: Array, g: Optional[Array] = None,
         pack_r = nn.pack_ratio(ch, t_len) if pack_channels else 1
         if pack_r > 1:
             x = x.reshape(batch, t_len // pack_r, pack_r * ch)
-        stage_valid = None
-        stage_mask = None
-        if valid is not None:
-            stage_valid = valid * cum_up
-            stage_mask = nn.time_mask_lanes(
-                stage_valid, x.shape[1], pack_r, ch, x.dtype)
-            x = x * stage_mask
+        stage_valid = None if valid is None else valid * cum_up
         fused = params.get("fused_stages")
         fused = fused[i] if fused is not None else None
         if fused is not None and fused_stage.usable(fused, pack_r, x):
+            # in-kernel masking from the scalar-prefetch lengths; output
+            # rows fully masked (see hifigan.generator)
             x = fused_stage.apply_group(fused, x, valid=stage_valid)
         else:
+            mask_fn = None
+            if stage_valid is not None:
+                w_rows = nn.bleed_window_rows(extent, pack_r)
+                mask_fn = partial(nn.zero_time_tail, valid=stage_valid,
+                                  r=pack_r, window_rows=w_rows)
+                x = mask_fn(x)
             acc = None
             for j in range(num_kernels):
                 block = params["resblocks"][i * num_kernels + j]
-                out = resblock_fn(block, x, x_mask=stage_mask,
+                out = resblock_fn(block, x, mask_fn=mask_fn,
                                   pack_r=pack_r, packed_io=pack_r > 1)
                 acc = out if acc is None else acc + out
             x = acc / num_kernels

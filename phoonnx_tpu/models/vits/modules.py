@@ -197,46 +197,39 @@ def pack_resblock(block: dict, pack_r: int) -> dict:
     return packed
 
 
-def _pack_mask(x_mask: Optional[Array], pack_r: int, channels: int):
-    """[B, T, 1] mask -> [B, T/r, r*C] (phi-major packed lanes)."""
-    if x_mask is None:
-        return None
-    b, t, _ = x_mask.shape
-    return jnp.repeat(x_mask.reshape(b, t // pack_r, pack_r), channels,
-                      axis=-1)
-
-
-def resblock1(params, x: Array, x_mask: Optional[Array] = None,
+def resblock1(params, x: Array, mask_fn=None,
               pack_r: int = 1, packed_io: bool = False) -> Array:
+    """mask_fn: optional post-conv re-zeroing of padded tail positions
+    (nn.zero_time_tail closure from the decoder). Applied to every conv
+    OUTPUT: the residual chain then stays zero on the bleed window, so
+    each conv's boundary taps read exactly the zeros the exact-length
+    decode's own padding would supply (decode padding-invariance)."""
     k = params["kernel_size"]
     if pack_r > 1:
         # Channel-packed stage: every tensor (residuals included) lives as
         # [B, T/r, r*C] so the whole stage reads/writes full 128-lane
         # tiles instead of 1/r-occupied ones. Same math, grouped sums.
-        # packed_io: caller already holds the packed view (and the packed
-        # mask) — the [T, C] <-> [T/r, r*C] boundary is NOT free on TPU
-        # (the layouts differ physically), so stages that chain packed
-        # blocks should pack once outside.
+        # packed_io: caller already holds the packed view — the
+        # [T, C] <-> [T/r, r*C] boundary is NOT free on TPU (the layouts
+        # differ physically), so stages that chain packed blocks should
+        # pack once outside.
         if packed_io:
-            x_p, m_p = x, x_mask
+            x_p = x
         else:
             b, t, c = x.shape
             x_p = x.reshape(b, t // pack_r, pack_r * c)
-            m_p = _pack_mask(x_mask, pack_r, c)
         for conv1, conv2, dilation in zip(
             params["convs1"], params["convs2"], params["dilations"]
         ):
             xt = nn.leaky_relu(x_p, LRELU_SLOPE)
-            if m_p is not None:
-                xt = xt * m_p
             xt = _wn_conv_packed(conv1, xt, k, dilation, pack_r)
+            if mask_fn is not None:
+                xt = mask_fn(xt)
             xt = nn.leaky_relu(xt, LRELU_SLOPE)
-            if m_p is not None:
-                xt = xt * m_p
             xt = _wn_conv_packed(conv2, xt, k, 1, pack_r)
+            if mask_fn is not None:
+                xt = mask_fn(xt)
             x_p = xt + x_p
-        if m_p is not None:
-            x_p = x_p * m_p
         if packed_io:
             return x_p
         return x_p.reshape(b, t, c)
@@ -244,17 +237,15 @@ def resblock1(params, x: Array, x_mask: Optional[Array] = None,
         params["convs1"], params["convs2"], params["dilations"]
     ):
         xt = nn.leaky_relu(x, LRELU_SLOPE)
-        if x_mask is not None:
-            xt = xt * x_mask
         xt = nn.apply_wn_conv(conv1, xt, dilation=dilation,
                               padding=(k * dilation - dilation) // 2)
+        if mask_fn is not None:
+            xt = mask_fn(xt)
         xt = nn.leaky_relu(xt, LRELU_SLOPE)
-        if x_mask is not None:
-            xt = xt * x_mask
         xt = nn.apply_wn_conv(conv2, xt, padding=(k - 1) // 2)
+        if mask_fn is not None:
+            xt = mask_fn(xt)
         x = xt + x
-    if x_mask is not None:
-        x = x * x_mask
     return x
 
 
@@ -268,36 +259,32 @@ def init_resblock2(rng, channels: int, kernel_size: int, dilations):
             "dilations": StaticTuple(dilations)}
 
 
-def resblock2(params, x: Array, x_mask: Optional[Array] = None,
+def resblock2(params, x: Array, mask_fn=None,
               pack_r: int = 1, packed_io: bool = False) -> Array:
+    """mask_fn: see :func:`resblock1`."""
     k = params["kernel_size"]
     if pack_r > 1:
         if packed_io:
-            x_p, m_p = x, x_mask
+            x_p = x
         else:
             b, t, c = x.shape
             x_p = x.reshape(b, t // pack_r, pack_r * c)
-            m_p = _pack_mask(x_mask, pack_r, c)
         for conv, dilation in zip(params["convs"], params["dilations"]):
             xt = nn.leaky_relu(x_p, LRELU_SLOPE)
-            if m_p is not None:
-                xt = xt * m_p
             xt = _wn_conv_packed(conv, xt, k, dilation, pack_r)
+            if mask_fn is not None:
+                xt = mask_fn(xt)
             x_p = xt + x_p
-        if m_p is not None:
-            x_p = x_p * m_p
         if packed_io:
             return x_p
         return x_p.reshape(b, t, c)
     for conv, dilation in zip(params["convs"], params["dilations"]):
         xt = nn.leaky_relu(x, LRELU_SLOPE)
-        if x_mask is not None:
-            xt = xt * x_mask
         xt = nn.apply_wn_conv(conv, xt, dilation=dilation,
                               padding=(k * dilation - dilation) // 2)
+        if mask_fn is not None:
+            xt = mask_fn(xt)
         x = xt + x
-    if x_mask is not None:
-        x = x * x_mask
     return x
 
 

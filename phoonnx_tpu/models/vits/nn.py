@@ -443,6 +443,59 @@ def time_mask_lanes(valid: Array, rows: int, r: int, c: int,
     return jnp.broadcast_to(mask, (b, rows, r, c)).reshape(b, rows, r * c)
 
 
+def zero_time_tail(x: Array, valid: Array, r: int,
+                   window_rows: int) -> Array:
+    """Zero time positions ``[valid, valid + window_rows*r)`` of a packed
+    ``[B, rows, r*C]`` tensor (r == 1: plain ``[B, T, C]``).
+
+    Cheap form of the full ``x * time_mask_lanes(...)`` multiply, exact
+    for the decoder's padding-invariance contract: a stride-1 conv's
+    valid outputs read at most its right receptive-field extent
+    ``(K-1)*d/2`` past ``valid`` (a transposed conv reads at most
+    ``ceil(p/s)``), so zeroing only that bleed window after each conv
+    keeps a bucket-padded decode bit-equal to the exact-length decode —
+    every boundary tap still reads the zeros the conv itself would have
+    padded at the true edge (reference slices z before ``dec``,
+    phoonnx_train/vits/models.py:721). Positions past the window keep
+    garbage no valid output ever reads; callers must size
+    ``window_rows * r`` >= the consumer's extent. Touches
+    O(B * window * lanes) elements instead of O(B * rows * lanes) —
+    the full-tensor masks cost +42% single-stream decode device time
+    on v5e (BENCH_r02 vs r01).
+    """
+    b, rows, lanes = x.shape
+    if rows <= window_rows:
+        # tiny buffer: the window covers everything, full mask is exact
+        # (and avoids clamping edge cases)
+        return x * time_mask_lanes(valid, rows, r, lanes // r, x.dtype)
+    valid = valid.astype(jnp.int32)
+    starts = jnp.clip(valid // r, 0, rows - window_rows)  # [B]
+    row_idx = jnp.arange(window_rows, dtype=jnp.int32)
+    win_rows = starts[:, None] + row_idx[None, :]  # [B, W]
+    if r == 1:
+        keep = (win_rows < valid[:, None])[..., None]  # [B, W, 1]
+    else:
+        phi = jnp.arange(lanes, dtype=jnp.int32) // (lanes // r)
+        pos = win_rows[:, :, None] * r + phi  # [B, W, lanes]
+        keep = pos < valid[:, None, None]
+    out = x
+    # unrolled per-element dynamic-update-slice: lowers to in-place
+    # windowed writes (the buffer dies), unlike a batched scatter
+    for i in range(b):
+        win = jax.lax.dynamic_slice(
+            out, (i, starts[i], 0), (1, window_rows, lanes))
+        win = jnp.where(keep[i][None], win, jnp.zeros((), x.dtype))
+        out = jax.lax.dynamic_update_slice(out, win, (i, starts[i], 0))
+    return out
+
+
+def bleed_window_rows(max_extent: int, r: int) -> int:
+    """Rows a :func:`zero_time_tail` window must span so that
+    ``window_rows * r`` covers a consumer reading ``max_extent`` time
+    positions past ``valid`` (+1 row because ``valid`` may fall mid-row)."""
+    return -(-max_extent // r) + 1
+
+
 def generate_path(duration: Array, attn_mask: Array) -> Array:
     """Monotonic alignment from integer durations.
 

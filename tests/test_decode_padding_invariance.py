@@ -120,10 +120,11 @@ def test_fused_stage_kernel_respects_valid_lengths():
         x_pad = nprng.standard_normal((1, rows * r, c)).astype(np.float32)
         x_pad[0, :valid] = x_true[0]
         x_pad[0, valid:] = 7.0  # loud garbage: masking must kill it
+        # pass the garbage UNMASKED: the kernel must mask its own input
+        # taps from the scalar-prefetch lengths (the decoders no longer
+        # zero anything ahead of a fused stage)
         packed = jnp.asarray(x_pad.reshape(1, rows, r * c))
-        mask = nn.time_mask_lanes(jnp.asarray([valid]), rows, r, c,
-                                  jnp.float32)
-        out = fused_stage.apply_group(spec, packed * mask,
+        out = fused_stage.apply_group(spec, packed,
                                       valid=jnp.asarray([valid]))
         out = np.asarray(out).reshape(1, rows * r, c)
         np.testing.assert_allclose(out[:, :valid], exact[:, :valid],

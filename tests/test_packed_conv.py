@@ -76,23 +76,41 @@ def test_conv_transpose_packed_io_rejects_bad_geometry():
 
 @pytest.mark.parametrize("which", ["resblock1", "resblock2"])
 def test_packed_resblock_matches_with_mask(which):
+    """Packed vs unpacked resblock under the zero_time_tail mask_fn
+    contract: each path re-zeroes the bleed window after every conv, so
+    the VALID spans must agree bit-for-bit with an exact-length run."""
+    from functools import partial
+
     rng_np = np.random.default_rng(0)
-    x = jnp.asarray(rng_np.standard_normal((2, 64, 32)) * 0.3, jnp.float32)
-    mask = jnp.asarray(
-        (np.arange(64)[None, :, None]
-         < np.asarray([40, 64])[:, None, None]).astype(np.float32))
+    lens = [40, 64]
+    x_np = (rng_np.standard_normal((2, 64, 32)) * 0.3).astype(np.float32)
+    for i, n in enumerate(lens):
+        x_np[i, n:] = 0.0
+    x = jnp.asarray(x_np)
+    valid = jnp.asarray(lens, jnp.int32)
     if which == "resblock1":
         params = modules.init_resblock1(jax.random.PRNGKey(3), 32, 3,
                                         (1, 3, 5))
         fn = modules.resblock1
+        extent = (3 * 5 - 5) // 2
     else:
         params = modules.init_resblock2(jax.random.PRNGKey(4), 32, 5,
                                         (2, 6))
         fn = modules.resblock2
-    ref = fn(params, x, mask, pack_r=1)
-    out = fn(params, x, mask, pack_r=4)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               atol=2e-5, rtol=1e-4)
+        extent = (5 * 6 - 6) // 2
+    mask1 = partial(nn.zero_time_tail, valid=valid, r=1,
+                    window_rows=nn.bleed_window_rows(extent, 1))
+    mask4 = partial(nn.zero_time_tail, valid=valid, r=4,
+                    window_rows=nn.bleed_window_rows(extent, 4))
+    ref = fn(params, x, mask_fn=mask1, pack_r=1)
+    out = fn(params, x, mask_fn=mask4, pack_r=4)
+    # exact-length single decode pins the padding-invariance contract
+    for i, n in enumerate(lens):
+        solo = fn(params, x[i:i + 1, :n], pack_r=1)
+        np.testing.assert_allclose(np.asarray(out)[i:i + 1, :n],
+                                   np.asarray(solo), atol=2e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(ref)[i:i + 1, :n],
+                                   np.asarray(solo), atol=2e-5, rtol=1e-4)
 
 
 def test_generator_packed_matches_unpacked():
