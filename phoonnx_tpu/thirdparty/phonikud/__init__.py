@@ -190,7 +190,16 @@ class PhonikudDiacritizer:
             return (o[:, :n] if o.ndim >= 2 and o.shape[1] == pad_to
                     else o)
 
-        outs = [trim(o) for o in self._runner.run(self._feeds(ids, pad_to))]
+        try:
+            raw = self._runner.run(self._feeds(ids, pad_to))
+        except Exception as exc:
+            # construction guards don't cover runtime trace/plan
+            # failures — degrade to the interpreter, don't crash
+            LOG.warning("compiled phonikud runner failed at runtime "
+                        "(%s); falling back to the interpreter", exc)
+            self._runner = None
+            return self._executor.run(self._feeds(ids, n))
+        outs = [trim(o) for o in raw]
         if self._pad_checked or pad_to == n:
             return outs
         self._pad_checked = True

@@ -118,8 +118,19 @@ class TashkeelDiacritizer:
             from phoonnx_tpu.onnx.aux_compile import bucket_len
 
             pad_to = bucket_len(seq_length)
-            outs = self._runner.run(
-                self._feeds(input_ids, diac_ids, seq_length, pad_to))
+            try:
+                outs = self._runner.run(
+                    self._feeds(input_ids, diac_ids, seq_length, pad_to))
+            except Exception as exc:
+                # construction guards don't cover runtime trace/plan
+                # failures — degrade to the interpreter, don't crash
+                LOG.warning("compiled tashkeel runner failed at runtime "
+                            "(%s); falling back to the interpreter", exc)
+                self._runner = None
+                outputs = executor.run(
+                    self._feeds(input_ids, diac_ids, seq_length,
+                                seq_length))
+                return self._slice_outputs(outputs, seq_length, seq_length)
             got = self._slice_outputs(outs, pad_to, seq_length)
             if self._pad_checked or pad_to == seq_length:
                 return got

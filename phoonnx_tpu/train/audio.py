@@ -78,6 +78,7 @@ class SileroVoiceActivityDetector:
     def __init__(self, model_path: Optional[str] = None):
         self.model_path = model_path
         self._executor = None
+        self._model = None
         if model_path and os.path.exists(model_path):
             try:
                 from phoonnx_tpu.onnx.aux_compile import compiled_runner
@@ -85,6 +86,7 @@ class SileroVoiceActivityDetector:
                 from phoonnx_tpu.onnx.reader import read_onnx
 
                 model = read_onnx(model_path)
+                self._model = model
                 # fixed [1, chunk] signature: the compiled runner plans
                 # once and replays per chunk (the reference runs silero
                 # through onnxruntime; PHOONNX_AUX_COMPILE=0 keeps the
@@ -98,6 +100,24 @@ class SileroVoiceActivityDetector:
     def speech_probs(self, audio_16k: np.ndarray) -> np.ndarray:
         if self._executor is None:
             return _energy_speech_probs(audio_16k)
+        try:
+            return self._speech_probs_model(audio_16k)
+        except Exception as exc:
+            # construction-time guards don't cover runtime trace/planning
+            # failures in the compiled runner — degrade to the pure
+            # interpreter (which handles everything the plan may not)
+            # rather than crash the preprocess worker
+            from phoonnx_tpu.onnx.executor import OnnxExecutor
+
+            if self._model is None or isinstance(self._executor,
+                                                 OnnxExecutor):
+                raise
+            LOG.warning("compiled silero VAD failed at runtime (%s); "
+                        "falling back to the interpreter", exc)
+            self._executor = OnnxExecutor(self._model)
+            return self._speech_probs_model(audio_16k)
+
+    def _speech_probs_model(self, audio_16k: np.ndarray) -> np.ndarray:
         n_chunks = len(audio_16k) // _CHUNK
         probs = np.zeros(max(n_chunks, 1), np.float32)
         h = np.zeros((2, 1, 64), np.float32)

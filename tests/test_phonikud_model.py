@@ -202,3 +202,19 @@ def test_no_external_phonikud_import():
     src = inspect.getsource(mod)
     assert "phonikud_onnx" not in src.replace(
         "phonikud_onnx.Phonikud.add_diacritics", "")  # docstring mention ok
+
+
+def test_runtime_runner_failure_falls_back_to_interpreter(model_path):
+    """A compiled-runner crash mid-call must degrade to the interpreter
+    (ADVICE r2), not propagate to the caller."""
+    d = PhonikudDiacritizer(model_path=model_path)
+    d.diacritize(ALEF)  # force the lazy model load first
+
+    class Boom:
+        def run(self, feeds):
+            raise RuntimeError("trace failed")
+
+    d._runner = Boom()
+    out = d.diacritize(ALEF + BET)
+    assert d._runner is None
+    assert out == ALEF + PATAH + HATAMA + BET + DAGESH + PATAH

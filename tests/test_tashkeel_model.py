@@ -98,3 +98,24 @@ def test_fake_model_out_of_vocab_chars_stay_bare(model_dir):
     assert out.startswith("abc")          # no diacritic after a/b/c
     assert FATHA not in out[:3]
     assert out.count(FATHA) > 0           # digits are in-vocab
+
+
+def test_runtime_runner_failure_falls_back_to_interpreter(model_dir):
+    """A compiled-runner crash mid-call must degrade to the interpreter
+    (ADVICE r2), not propagate to the caller."""
+    from phoonnx_tpu.thirdparty.tashkeel import TashkeelDiacritizer
+
+    d = TashkeelDiacritizer(model_dir=model_dir)
+    d._get_executor()
+    if d._runner is None:  # compiled path disabled in this env
+        d._runner = object()
+
+    class Boom:
+        def run(self, feeds):
+            raise RuntimeError("trace failed")
+
+    d._runner = Boom()
+    text = "مرحبا"
+    out = d.diacritize(text)
+    assert d._runner is None
+    assert out == "".join(c + FATHA for c in text)

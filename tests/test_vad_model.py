@@ -151,3 +151,38 @@ def test_energy_fallback_divergence_documented():
     steady = 0.005 * rng.standard_normal(40 * _CHUNK).astype(np.float32)
     s2, e2 = trim_silence(steady, detector=detector)
     assert s2 == 0 and e2 >= 38 * _CHUNK
+
+
+def test_runtime_runner_failure_falls_back_to_interpreter(tmp_path):
+    """A compiled-runner crash mid-call must degrade to the interpreter
+    (ADVICE r2), not propagate out of the preprocess worker."""
+    from phoonnx_tpu.onnx.executor import OnnxExecutor
+
+    path = tmp_path / "silero_vad.onnx"
+    write_onnx(
+        str(path),
+        initializers={"gain": np.asarray(20.0, np.float32)},
+        inputs=["input", "sr", "h", "c"],
+        outputs=["prob", "h_out", "c_out"],
+        nodes=[
+            ("Abs", ["input"], ["absin"]),
+            ("ReduceMean", ["absin"], ["mean"]),
+            ("Mul", ["mean", "gain"], ["prob"]),
+            ("Identity", ["h"], ["h_out"]),
+            ("Identity", ["c"], ["c_out"]),
+        ],
+    )
+    det = SileroVoiceActivityDetector(model_path=str(path))
+    assert det._executor is not None
+
+    class Boom:
+        def run(self, feeds):
+            raise RuntimeError("trace failed")
+
+    det._executor = Boom()
+    tone = (0.3 * np.sin(2 * np.pi * 220 * np.arange(_CHUNK * 3) / 16000)
+            ).astype(np.float32)
+    probs = det.speech_probs(tone)
+    assert isinstance(det._executor, OnnxExecutor)
+    assert probs.shape == (3,)
+    assert (probs > 0.2).all()
