@@ -813,10 +813,12 @@ def _op_matmul_integer(node, a, b, a_zp=None, b_zp=None):
 
 def _op_qlinear_matmul(node, a, a_scale, a_zp, b, b_scale, b_zp,
                        y_scale, y_zp):
-    acc = _int_matmul(a, b, a_zp, b_zp).astype(np.float64)
-    scale = (np.asarray(a_scale, np.float64)
-             * np.asarray(b_scale, np.float64)
-             / np.asarray(y_scale, np.float64))
+    # f32 single-rounding requant (like ort's MlasRequantize and the XLA
+    # lowering in onnx/jax_lowering.py — same IEEE ops, bit-equal)
+    acc = _int_matmul(a, b, a_zp, b_zp).astype(np.float32)
+    scale = (np.asarray(a_scale, np.float32)
+             * np.asarray(b_scale, np.float32)
+             / np.asarray(y_scale, np.float32))
     y = np.rint(acc * scale).astype(np.int64) + np.asarray(y_zp, np.int64)
     return _saturate(y, np.asarray(y_zp).dtype)
 
@@ -886,11 +888,12 @@ def _op_qlinear_conv(node, x, x_scale, x_zp, w, w_scale, w_zp,
     if b is not None:  # int32 bias at scale x_scale*w_scale
         acc = acc + np.asarray(b, np.int64).reshape(
             (1, -1) + (1,) * (acc.ndim - 2))
-    scale = (np.asarray(x_scale, np.float64)
-             * np.asarray(w_scale, np.float64)
-             / np.asarray(y_scale, np.float64))
+    # f32 single-rounding requant (see _op_qlinear_matmul)
+    scale = (np.asarray(x_scale, np.float32)
+             * np.asarray(w_scale, np.float32)
+             / np.asarray(y_scale, np.float32))
     s = _per_axis(scale, acc.ndim, 1)
-    y = (np.rint(acc.astype(np.float64) * s).astype(np.int64)
+    y = (np.rint(acc.astype(np.float32) * s).astype(np.int64)
          + np.asarray(y_zp, np.int64))
     return _saturate(y, np.asarray(y_zp).dtype)
 

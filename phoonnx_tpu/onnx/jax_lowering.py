@@ -29,10 +29,16 @@ Design — plan-based hybrid execution:
 * **Segmentation**: consecutive nodes that (a) have a JAX lowering and
   (b) need no dynamic value in a static-required slot (reshape targets,
   slice bounds, pad widths ...) are grouped into maximal segments, each
-  compiled with ``jax.jit``. Everything else (control flow, unsupported
-  ops, data-dependent shape math) replays on the numpy interpreter
-  between segments. ``jax.jit`` retraces automatically when a segment
-  downstream of a data-dependent boundary sees new shapes.
+  compiled with ``jax.jit``. ``If`` nodes whose branches trial-trace to
+  matching shapes stage as ``lax.cond``, and ``Loop`` nodes with a
+  plan-time-static trip count and a provably-True condition stage as
+  ``lax.scan`` — inside the surrounding segment (the decision is made
+  per node by ``jax.eval_shape`` over the signature's abstract values;
+  see ``_control_flow_stageable``). Everything else (dynamic-termination
+  loops, unsupported ops, data-dependent shape math) replays on the
+  numpy interpreter between segments. ``jax.jit`` retraces automatically
+  when a segment downstream of a data-dependent boundary sees new
+  shapes.
   ``RandomNormalLike`` draws stay on the host RNG (bit-identical,
   seedable draws — the reference's onnxruntime path cannot reproduce
   graph noise at all) but do NOT split segments: a draw depends only on
@@ -546,6 +552,78 @@ def _j_matmul_integer(node, a, b, a_zp=None, b_zp=None):
     return jnp.matmul(a32, b32)  # int32 accumulation (see module doc)
 
 
+def _j_qlinear_matmul(node, a, a_scale, a_zp, b, b_scale, b_zp,
+                      y_scale, y_zp):
+    """Statically-quantized matmul: int32 dot + f32 single-rounding
+    requant — bit-equal to the interpreter (same IEEE f32 ops; the
+    reference feeds such graphs to ort's compiled int8 kernels,
+    voice.py:167)."""
+    jnp = _jnp()
+    acc = _j_matmul_integer(node, a, b, a_zp, b_zp).astype(jnp.float32)
+    scale = (jnp.asarray(a_scale).astype(jnp.float32)
+             * jnp.asarray(b_scale).astype(jnp.float32)
+             / jnp.asarray(y_scale).astype(jnp.float32))
+    zp = jnp.asarray(y_zp)
+    y = jnp.rint(acc * scale).astype(jnp.int32) + zp.astype(jnp.int32)
+    return _j_saturate(y, np.dtype(zp.dtype))
+
+
+def _j_int_conv(node, x, w, x_zp=None, w_zp=None):
+    """(x - x_zp) conv (w - w_zp), int32 accumulation, ONNX NCHW layout
+    (1D or 2D, groups) — mirrors executor._int_conv_exact."""
+    import jax
+
+    jnp = _jnp()
+    spatial = x.ndim - 2
+    group = _attr(node, "group", 1)
+    strides = tuple(_attr(node, "strides", [1] * spatial))
+    dilations = tuple(_attr(node, "dilations", [1] * spatial))
+    pads = list(_attr(node, "pads", [0] * (2 * spatial)))
+    x32 = jnp.asarray(x).astype(jnp.int32)
+    w32 = jnp.asarray(w).astype(jnp.int32)
+    if x_zp is not None:  # per-tensor scalar (ONNX spec)
+        x32 = x32 - jnp.asarray(x_zp).astype(jnp.int32).reshape(())
+    if w_zp is not None:
+        z = jnp.asarray(w_zp).astype(jnp.int32)
+        if z.ndim == 1 and z.size > 1:  # per output channel
+            z = z.reshape((-1,) + (1,) * (w32.ndim - 1))
+        else:
+            z = z.reshape(())
+        w32 = w32 - z
+    dn = (("NCH", "OIH", "NCH") if spatial == 1
+          else ("NCHW", "OIHW", "NCHW"))
+    out = jax.lax.conv_general_dilated(
+        x32, w32, window_strides=strides,
+        padding=[(pads[i], pads[i + spatial]) for i in range(spatial)],
+        rhs_dilation=dilations, dimension_numbers=dn,
+        feature_group_count=group, preferred_element_type=jnp.int32,
+    )
+    return out
+
+
+def _j_conv_integer(node, x, w, x_zp=None, w_zp=None):
+    return _j_int_conv(node, x, w, x_zp, w_zp)
+
+
+def _j_qlinear_conv(node, x, x_scale, x_zp, w, w_scale, w_zp,
+                    y_scale, y_zp, b=None):
+    """Statically-quantized conv: int32 conv + int32 bias + f32
+    single-rounding requant (per-tensor or per-channel scales)."""
+    jnp = _jnp()
+    acc = _j_int_conv(node, x, w, x_zp, w_zp)
+    if b is not None:  # int32 bias at scale x_scale*w_scale
+        acc = acc + jnp.asarray(b).astype(jnp.int32).reshape(
+            (1, -1) + (1,) * (acc.ndim - 2))
+    scale = (jnp.asarray(x_scale).astype(jnp.float32)
+             * jnp.asarray(w_scale).astype(jnp.float32)
+             / jnp.asarray(y_scale).astype(jnp.float32))
+    s = _j_per_axis(scale, acc.ndim, 1)
+    zp = jnp.asarray(y_zp)
+    y = (jnp.rint(acc.astype(jnp.float32) * s).astype(jnp.int32)
+         + zp.astype(jnp.int32))
+    return _j_saturate(y, np.dtype(zp.dtype))
+
+
 def _j_gather_nd(node, data, indices):
     jnp = _jnp()
     idx = jnp.asarray(indices).astype(jnp.int32)
@@ -600,6 +678,11 @@ def _guard_scatter_nd(node, vals, in_vs):
     if len(in_vs) < 2 or not in_vs[1]:
         return False
     idx = np.asarray(vals[1]).reshape(-1, np.asarray(vals[1]).shape[-1])
+    # normalize negatives before the duplicate check, mirroring
+    # _j_scatter_nd — raw [-1] and [n-1] address the same element and
+    # must be judged colliding
+    dims = np.asarray(np.asarray(vals[0]).shape[:idx.shape[-1]])
+    idx = np.where(idx < 0, idx + dims, idx)
     return len(np.unique(idx, axis=0)) == len(idx)
 
 
@@ -886,6 +969,9 @@ def _build_jax_ops() -> Dict[str, Any]:
         "QuantizeLinear": _j_quantize_linear,
         "DynamicQuantizeLinear": _j_dynamic_quantize_linear,
         "MatMulInteger": _j_matmul_integer,
+        "QLinearMatMul": _j_qlinear_matmul,
+        "ConvInteger": _j_conv_integer,
+        "QLinearConv": _j_qlinear_conv,
         "GatherND": _j_gather_nd,
         "ScatterND": _j_scatter_nd,
         "ScatterElements": _j_scatter_elements,
@@ -959,6 +1045,166 @@ _LOWER_GUARDS: Dict[str, Any] = {
 _BAKE_MAX_ELEMENTS = 4096
 
 
+# -- staged control flow (If -> lax.cond, Loop -> lax.scan) -------------------
+#
+# The reference feeds scripted exports (If/Loop subgraphs) to onnxruntime,
+# which runs them compiled (reference voice.py:167). Here an If whose
+# branches trace to matching shapes becomes lax.cond, and a Loop with a
+# plan-time-static trip count and a pass-through condition becomes
+# lax.scan — both inside the surrounding jitted segment, so control flow
+# no longer splits segments or replays on the interpreter. Everything
+# else (dynamic trip counts, shape-mismatched branches, bodies drawing
+# host RNG noise or using unsupported ops) keeps the eager path; the
+# decision is made per node at plan time by TRIAL-TRACING the staged form
+# with jax.eval_shape over the signature's abstract values.
+
+
+def _outer_captures(graph: OnnxModel) -> set:
+    """Names a subgraph reads from the OUTER scope: consumed before being
+    produced locally, not a formal input, not a local initializer."""
+    produced = set(graph.inputs) | set(graph.initializers)
+    caps = set()
+    for node in graph.nodes:
+        for name in node.inputs:
+            if name and name not in produced:
+                caps.add(name)
+        for sub in node.attributes.values():
+            if isinstance(sub, OnnxModel):
+                caps |= {c for c in _outer_captures(sub)
+                         if c not in produced}
+        produced.update(o for o in node.outputs if o)
+    return caps
+
+
+def _node_captures(node: OnnxNode) -> set:
+    caps = set()
+    for sub in node.attributes.values():
+        if isinstance(sub, OnnxModel):
+            caps |= _outer_captures(sub)
+    return caps
+
+
+def _exec_nodes_traced(nodes, env: Dict[str, Any], ops) -> None:
+    """Run a node list under JAX tracing (the body of _Segment.fn);
+    If/Loop recurse into their subgraphs as lax.cond / lax.scan."""
+    for node in nodes:
+        if node.op_type == "If":
+            result = _trace_if(node, env, ops)
+        elif node.op_type == "Loop":
+            result = _trace_loop(node, env, ops)
+        else:
+            args = [env.get(name) for name in node.inputs]
+            result = ops[node.op_type](node, *args)
+        if not isinstance(result, tuple):
+            result = (result,)
+        for out_name, value in zip(node.outputs, result):
+            if out_name:
+                env[out_name] = value
+
+
+def _subgraph_env_traced(graph: OnnxModel, env: Dict[str, Any]):
+    """Child env for tracing a subgraph: outer captures by reference
+    (ONNX name capture), local initializers as constants."""
+    child = dict(env)
+    child.update(graph.initializers)
+    child[""] = None
+    return child
+
+
+def _trace_if(node: OnnxNode, env: Dict[str, Any], ops):
+    import jax
+
+    jnp = _jnp()
+    pred = jnp.asarray(env[node.inputs[0]]).reshape(()).astype(bool)
+
+    def make_branch(which: str):
+        graph = node.attributes[which]
+
+        def branch(_):
+            child = _subgraph_env_traced(graph, env)
+            _exec_nodes_traced(graph.nodes, child, ops)
+            return tuple(jnp.asarray(child[o]) for o in graph.outputs)
+
+        return branch
+
+    return jax.lax.cond(pred, make_branch("then_branch"),
+                        make_branch("else_branch"), None)
+
+
+def _trace_loop(node: OnnxNode, env: Dict[str, Any], ops):
+    """Static-trip-count Loop as lax.scan (guard: _control_flow_stageable
+    proved M plan-time-static and the body condition a True
+    pass-through, so the scan ignores cond)."""
+    import jax
+
+    jnp = _jnp()
+    body = node.attributes["body"]
+    max_trip = int(np.asarray(env[node.inputs[0]]).reshape(()))
+    carried0 = tuple(jnp.asarray(env[name]) for name in node.inputs[2:])
+    n_carried = len(carried0)
+    n_scan = len(body.outputs) - 1 - n_carried
+
+    def body_fn(carry, it):
+        child = _subgraph_env_traced(body, env)
+        child[body.inputs[0]] = it
+        child[body.inputs[1]] = jnp.asarray(True)
+        for name, val in zip(body.inputs[2:], carry):
+            child[name] = val
+        _exec_nodes_traced(body.nodes, child, ops)
+        new_carry = tuple(
+            # scan requires a dtype/shape-stable carry: the interpreter
+            # promotes per numpy rules, so pin each slot to its initial
+            # dtype (trial-trace rejects genuinely unstable bodies)
+            jnp.asarray(child[name]).astype(init.dtype)
+            for name, init in zip(body.outputs[1:1 + n_carried], carried0)
+        )
+        scans = tuple(jnp.asarray(child[name])
+                      for name in body.outputs[1 + n_carried:])
+        return new_carry, scans
+
+    iters = jnp.arange(max_trip, dtype=jnp.int64 if jax.config.jax_enable_x64
+                       else jnp.int32)
+    carry_f, scans = jax.lax.scan(body_fn, carried0, iters,
+                                  length=max_trip)
+    return tuple(carry_f) + tuple(scans)
+
+
+def _body_cond_passthrough(body: OnnxModel) -> bool:
+    """True when the Loop body's cond_out provably stays True: the
+    cond_in passed through (directly or via Identity) or a constant/
+    initializer True."""
+    cond_out = body.outputs[0]
+    cond_in = body.inputs[1] if len(body.inputs) > 1 else ""
+    if cond_out == cond_in:
+        return True
+    if cond_out in body.initializers:
+        return bool(np.asarray(body.initializers[cond_out]).reshape(()))
+    for node in body.nodes:
+        if cond_out in node.outputs:
+            if node.op_type == "Identity" and node.inputs[0] == cond_in:
+                return True
+            if node.op_type == "Constant":
+                for val in node.attributes.values():
+                    if isinstance(val, np.ndarray):
+                        return bool(np.asarray(val).reshape(()))
+            return False
+    return False
+
+
+def _subgraph_ops_ok(graph: OnnxModel, supported: set) -> bool:
+    for node in graph.nodes:
+        if node.op_type == "If":
+            if not all(_subgraph_ops_ok(node.attributes[k], supported)
+                       for k in ("then_branch", "else_branch")):
+                return False
+        elif node.op_type == "Loop":
+            if not _subgraph_ops_ok(node.attributes["body"], supported):
+                return False
+        elif node.op_type not in supported:
+            return False
+    return True
+
+
 class _Segment:
     """A maximal run of lowerable nodes compiled as one XLA program."""
 
@@ -978,14 +1224,7 @@ class _Segment:
             env: Dict[str, Any] = dict(static_vals)
             env[""] = None
             env.update(zip(dyn_inputs, arrays))
-            for node in nodes:
-                args = [env.get(name) for name in node.inputs]
-                result = ops[node.op_type](node, *args)
-                if not isinstance(result, tuple):
-                    result = (result,)
-                for out_name, value in zip(node.outputs, result):
-                    if out_name:
-                        env[out_name] = value
+            _exec_nodes_traced(nodes, env, ops)
             return tuple(env[n] for n in out_names)
 
         self._jit = jax.jit(fn)
@@ -1198,7 +1437,12 @@ class JaxGraphRunner:
             static_dyn = set()
             seen = set()
             for _, node in pending:
-                for name in node.inputs:
+                names = list(node.inputs)
+                if node.op_type in ("If", "Loop"):
+                    # staged control flow reads outer captures beyond the
+                    # node's declared inputs
+                    names += sorted(_node_captures(node))
+                for name in names:
                     if not name or name in produced or name in seen:
                         continue
                     seen.add(name)
@@ -1230,6 +1474,11 @@ class JaxGraphRunner:
             in_vs = [value_static.get(n, True) for n in node.inputs]
             in_ss = [shape_static.get(n, True) for n in node.inputs]
 
+            cf_ok = False
+            if node.op_type in ("If", "Loop"):
+                cf_ok = self._control_flow_stageable(
+                    node, env, value_static, shape_static)
+
             if node.op_type in ("Shape", "Size"):
                 out_vs = bool(in_ss[0])
                 out_ss = True
@@ -1242,7 +1491,10 @@ class JaxGraphRunner:
                 req = _STATIC_REQ.get(node.op_type, ())
                 req_ok = all(in_vs[i] for i in req if i < len(in_vs))
                 out_ss = (all(in_ss) and req_ok
-                          and node.op_type not in _SHAPE_FROM_VALUE)
+                          and (node.op_type not in _SHAPE_FROM_VALUE
+                               # a trial-traced If/Loop proved its output
+                               # shapes are signature-pure
+                               or cf_ok))
             for out in node.outputs:
                 if out:
                     value_static[out] = out_vs
@@ -1261,11 +1513,13 @@ class JaxGraphRunner:
                     np.asarray(env[node.inputs[0]]).shape)))
                 continue
             req = _STATIC_REQ.get(node.op_type, ())
-            jittable = (
-                node.op_type in self._supported
-                and node.op_type not in ("If", "Loop")
-                and all(in_vs[i] for i in req if i < len(in_vs))
-            )
+            if node.op_type in ("If", "Loop"):
+                jittable = cf_ok
+            else:
+                jittable = (
+                    node.op_type in self._supported
+                    and all(in_vs[i] for i in req if i < len(in_vs))
+                )
             if jittable:
                 guard = _LOWER_GUARDS.get(node.op_type)
                 if guard is not None:
@@ -1339,6 +1593,75 @@ class JaxGraphRunner:
                 if isinstance(sub, OnnxModel):
                     names.update(self._subgraph_captures(sub))
         return names
+
+    def _control_flow_stageable(self, node: OnnxNode, env: Dict[str, Any],
+                                value_static: Dict[str, bool],
+                                shape_static: Dict[str, bool]) -> bool:
+        """Can this If/Loop run inside a jitted segment as lax.cond /
+        lax.scan? Checked by TRIAL-TRACING the staged form with
+        jax.eval_shape over the plan signature's abstract values —
+        shape-mismatched If branches, carry-unstable Loop bodies, and
+        anything unsupported fail the trace and stay eager."""
+        subs = [v for v in node.attributes.values()
+                if isinstance(v, OnnxModel)]
+        if not subs:
+            return False
+        for sub in subs:
+            # bodies drawing host RNG noise would consume the executor's
+            # stream differently at replay; keep them eager
+            if _graph_has_random(sub):
+                return False
+            if not _subgraph_ops_ok(sub, self._supported):
+                return False
+        names = [n for n in node.inputs if n]
+        caps = sorted(_node_captures(node))
+        all_names = names + [c for c in caps if c not in names]
+        if not all(shape_static.get(n, True) for n in all_names):
+            return False
+        if any(env.get(n) is None for n in all_names):
+            return False
+        if node.op_type == "Loop":
+            # scan needs a static trip count and a condition that
+            # provably stays True (dynamic-termination loops stay eager)
+            if not node.inputs or not node.inputs[0]:
+                return False
+            if not value_static.get(node.inputs[0], False):
+                return False
+            if len(node.inputs) > 1 and node.inputs[1]:
+                cname = node.inputs[1]
+                if not value_static.get(cname, True):
+                    return False
+                cond0 = env.get(cname)
+                if cond0 is not None and not bool(
+                        np.asarray(cond0).reshape(())):
+                    return False
+            if not _body_cond_passthrough(node.attributes["body"]):
+                return False
+
+        import jax
+
+        ops = _jax_ops()
+        trace_fn = _trace_if if node.op_type == "If" else _trace_loop
+        abstract = [n for n in all_names if not value_static.get(n, True)]
+        concrete = {n: np.asarray(env[n]) for n in all_names
+                    if value_static.get(n, True)}
+
+        def probe(*vals):
+            local = dict(concrete)
+            local.update(zip(abstract, vals))
+            local[""] = None
+            return trace_fn(node, local, ops)
+
+        try:
+            jax.eval_shape(probe, *[
+                jax.ShapeDtypeStruct(np.asarray(env[n]).shape,
+                                     np.asarray(env[n]).dtype)
+                for n in abstract])
+        except Exception as exc:
+            LOG.debug("control-flow node %s stays eager: %s",
+                      node.name, exc)
+            return False
+        return True
 
     # -- replay -----------------------------------------------------------
 

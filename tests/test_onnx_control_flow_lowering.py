@@ -1,0 +1,239 @@
+"""Staged control flow: If -> lax.cond, Loop -> lax.scan (VERDICT r2 #4).
+
+The reference's onnxruntime runs scripted exports' If/Loop compiled
+(reference voice.py:167); the lowering previously replayed them eagerly
+between XLA segments. These tests pin: shape-compatible If and
+static-trip-count Loop stage with ZERO eager nodes (asserted via the
+plan's segment map), dynamic/unsafe forms still degrade to the
+interpreter, and parity holds either way.
+"""
+
+import numpy as np
+
+from phoonnx_tpu.onnx.builder import GraphBuilder
+from phoonnx_tpu.onnx.reader import OnnxModel, OnnxNode
+
+from tests.test_onnx_jax_lowering import assert_parity, build_model
+
+
+def subgraph(nodes, outputs, inputs=(), initializers=None):
+    return OnnxModel(
+        initializers=dict(initializers or {}), metadata={},
+        inputs=list(inputs), outputs=list(outputs),
+        nodes=[OnnxNode(op_type=op, name=f"s{k}", inputs=list(i),
+                        outputs=list(o), attributes=a)
+               for k, (op, i, o, a) in enumerate(nodes)])
+
+
+def test_if_shape_compatible_stages():
+    then_g = subgraph(
+        [("Mul", ["x", "two"], ["tout"], {})], ["tout"],
+        initializers={"two": np.float32(2.0)})
+    else_g = subgraph([("Neg", ["x"], ["eout"], {})], ["eout"])
+    b = GraphBuilder()
+    y = b.n("If", ["cond"], then_branch=then_g, else_branch=else_g)
+    out = b.add(y, y)
+    model = build_model(b, ["cond", "x"], [out])
+    x = np.asarray([1.0, -3.0], np.float32)
+    for cond in (True, False):
+        runner = assert_parity(model, {"cond": np.asarray(cond), "x": x})
+        stats = runner.plan_stats()
+        assert stats["eager"] == 0, stats
+        assert stats["segments"] == 1, stats
+
+
+def test_if_shape_mismatch_stays_eager():
+    """Branches produce different shapes: lax.cond cannot represent it;
+    the trial trace must fail and the node stay eager."""
+    then_g = subgraph(
+        [("Concat", ["x", "x"], ["tout"], {"axis": 0})], ["tout"])
+    else_g = subgraph([("Neg", ["x"], ["eout"], {})], ["eout"])
+    b = GraphBuilder()
+    y = b.n("If", ["cond"], then_branch=then_g, else_branch=else_g)
+    model = build_model(b, ["cond", "x"], [y])
+    x = np.asarray([1.0, -3.0], np.float32)
+    runner = assert_parity(model, {"cond": np.asarray(True), "x": x})
+    assert runner.plan_stats()["eager"] == 1
+
+
+def test_loop_static_trip_count_stages():
+    """Trip-count accumulator Loop (scripted-export shape): carried
+    value + stacked scan output, staged as one lax.scan with zero eager
+    nodes. M arrives as an initializer (plan-time static)."""
+    body = subgraph(
+        [("Cast", ["iter"], ["iter_f"], {"to": 1}),
+         ("Add", ["v_in", "iter_f"], ["v_out"], {}),
+         ("Identity", ["cond_in"], ["cond_out"], {}),
+         ("Mul", ["v_out", "v_out"], ["scan_out"], {})],
+        ["cond_out", "v_out", "scan_out"],
+        inputs=["iter", "cond_in", "v_in"])
+    b = GraphBuilder()
+    m = b.init("M", np.asarray(4, np.int64))
+    c = b.init("cond", np.asarray(True))
+    vf, sq = b.n("Loop", [m, c, "v0"], n_out=2, body=body)
+    out = b.add(vf, vf)
+    sq2 = b.add(sq, sq)
+    model = build_model(b, ["v0"], [out, sq2])
+    runner = assert_parity(model, {"v0": np.float32(1.0)})
+    stats = runner.plan_stats()
+    assert stats["eager"] == 0, stats
+    out_v, out_sq = runner.run({"v0": np.float32(1.0)})
+    assert float(out_v) == 14.0  # 2 * 7
+    np.testing.assert_allclose(out_sq, [2.0, 8.0, 32.0, 98.0])
+
+
+def test_loop_dynamic_trip_count_stays_eager():
+    """M fed as a graph input is not plan-time static -> eager."""
+    body = subgraph(
+        [("Identity", ["cond_in"], ["cond_out"], {}),
+         ("Add", ["v_in", "one"], ["v_out"], {})],
+        ["cond_out", "v_out"], inputs=["iter", "cond_in", "v_in"],
+        initializers={"one": np.float32(1.0)})
+    b = GraphBuilder()
+    c = b.init("cond", np.asarray(True))
+    vf = b.n("Loop", ["M", c, "v0"], body=body)
+    model = build_model(b, ["M", "v0"], [vf])
+    runner = assert_parity(model, {"M": np.asarray(3, np.int64),
+                                   "v0": np.float32(1.0)})
+    assert runner.plan_stats()["eager"] == 1
+
+
+def test_loop_condition_termination_stays_eager():
+    """A body that can flip its condition cannot become a fixed-length
+    scan -> eager (parity with the interpreter's while semantics)."""
+    body = subgraph(
+        [("Add", ["v_in", "one"], ["v_out"], {}),
+         ("Less", ["v_out", "limit"], ["cond_out"], {})],
+        ["cond_out", "v_out"], inputs=["iter", "cond_in", "v_in"],
+        initializers={"one": np.float32(1.0), "limit": np.float32(5.0)})
+    b = GraphBuilder()
+    m = b.init("M", np.asarray(100, np.int64))
+    c = b.init("cond", np.asarray(True))
+    vf = b.n("Loop", [m, c, "v0"], body=body)
+    model = build_model(b, ["v0"], [vf])
+    runner = assert_parity(model, {"v0": np.float32(1.0)})
+    assert runner.plan_stats()["eager"] == 1
+
+
+def test_loop_outer_capture_weights_stage():
+    """Body reads an outer-scope weight matrix (scripted exports close
+    over module weights): staged scan must receive the capture."""
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((8, 8)).astype(np.float32)
+    body = subgraph(
+        [("Identity", ["cond_in"], ["cond_out"], {}),
+         ("MatMul", ["v_in", "w"], ["v_out"], {})],
+        ["cond_out", "v_out"], inputs=["iter", "cond_in", "v_in"])
+    b = GraphBuilder()
+    b.init("w", w)
+    m = b.init("M", np.asarray(3, np.int64))
+    c = b.init("cond", np.asarray(True))
+    vf = b.n("Loop", [m, c, "v0"], body=body)
+    model = build_model(b, ["v0"], [vf])
+    v0 = rng.standard_normal((2, 8)).astype(np.float32)
+    runner = assert_parity(model, {"v0": v0}, rtol=1e-4, atol=1e-5)
+    assert runner.plan_stats()["eager"] == 0
+
+
+def test_if_inside_loop_stages():
+    """Nested control flow: an If inside a staged Loop body traces
+    through (parity via even/odd iteration behavior)."""
+    then_g = subgraph([("Add", ["v_in", "pone"], ["tb"], {})], ["tb"],
+                      initializers={"pone": np.float32(1.0)})
+    else_g = subgraph([("Sub", ["v_in", "phalf"], ["eb"], {})], ["eb"],
+                      initializers={"phalf": np.float32(0.5)})
+    body = subgraph(
+        [("Identity", ["cond_in"], ["cond_out"], {}),
+         ("Mod", ["iter", "two_i"], ["rem"], {}),
+         ("Cast", ["rem"], ["rem_b"], {"to": 9}),
+         ("If", ["rem_b"], ["v_out"],
+          {"then_branch": then_g, "else_branch": else_g})],
+        ["cond_out", "v_out"], inputs=["iter", "cond_in", "v_in"],
+        initializers={"two_i": np.asarray(2, np.int64)})
+    b = GraphBuilder()
+    m = b.init("M", np.asarray(4, np.int64))
+    c = b.init("cond", np.asarray(True))
+    vf = b.n("Loop", [m, c, "v0"], body=body)
+    model = build_model(b, ["v0"], [vf])
+    runner = assert_parity(model, {"v0": np.float32(0.0)})
+    assert runner.plan_stats()["eager"] == 0
+
+
+def test_if_noise_branch_stays_eager():
+    """Random draws inside a branch consume the executor's host RNG
+    stream — staging would lose bit-exact reproducibility -> eager."""
+    then_g = subgraph(
+        [("RandomNormalLike", ["x"], ["noise"], {}),
+         ("Add", ["x", "noise"], ["tout"], {})], ["tout"])
+    else_g = subgraph([("Identity", ["x"], ["eout"], {})], ["eout"])
+    b = GraphBuilder()
+    y = b.n("If", ["cond"], then_branch=then_g, else_branch=else_g)
+    model = build_model(b, ["cond", "x"], [y])
+    from phoonnx_tpu.onnx.jax_lowering import JaxGraphRunner
+
+    runner = JaxGraphRunner(model)
+    runner.run({"cond": np.asarray(False),
+                "x": np.ones((2, 2), np.float32)})
+    assert runner.plan_stats()["eager"] == 1
+
+
+def test_scripted_voice_graph_zero_eager_nodes():
+    """A scripted-export-shaped voice graph (embed -> static-trip Loop
+    refinement -> scale-conditional If -> waveform) runs through the
+    fallback engine with ZERO interpreter-replayed nodes and parity on
+    both branch values of the runtime condition."""
+    from phoonnx_tpu.infer.onnx_engine import OnnxFallbackEngine
+
+    rng = np.random.default_rng(3)
+    emb = rng.standard_normal((32, 16)).astype(np.float32) * 0.3
+    w_ref = rng.standard_normal((16, 16)).astype(np.float32) * 0.2
+    w_out = rng.standard_normal((16, 64)).astype(np.float32) * 0.1
+
+    body = subgraph(
+        [("Identity", ["cond_in"], ["cond_out"], {}),
+         ("MatMul", ["h_in", "w_ref"], ["h_mm"], {}),
+         ("Tanh", ["h_mm"], ["h_out"], {})],
+        ["cond_out", "h_out"], inputs=["iter", "cond_in", "h_in"])
+    then_g = subgraph([("Mul", ["audio_raw", "boost"], ["tb"], {})],
+                      ["tb"], initializers={"boost": np.float32(1.5)})
+    else_g = subgraph([("Identity", ["audio_raw"], ["eb"], {})], ["eb"])
+
+    b = GraphBuilder()
+    b.init("emb", emb)
+    b.init("w_ref", w_ref)
+    b.init("w_out", w_out)
+    m = b.init("M", np.asarray(3, np.int64))
+    c0 = b.init("cond0", np.asarray(True))
+    h = b.n("Gather", ["emb", "input"], axis=0)     # [1, T, 16]
+    h_ref = b.n("Loop", [m, c0, h], body=body)
+    raw = b.n("MatMul", [h_ref, "w_out"])           # [1, T, 64]
+    flat = b.reshape(raw, [1, -1])
+    audio_raw = b.n("Tanh", [flat])
+    # runtime condition from the scales input (noise_scale > 0.5)
+    ns = b.n("Gather", ["scales", b.i64([0])], axis=0)
+    cond = b.n("Greater", [ns, b.init("half", np.float32(0.5))])
+    # If branches capture audio_raw from the outer scope
+    out = b.n("If", [cond], then_branch=subgraph(
+        [("Mul", [audio_raw, "boost"], ["tb"], {})], ["tb"],
+        initializers={"boost": np.float32(1.5)}),
+        else_branch=subgraph(
+            [("Identity", [audio_raw], ["eb"], {})], ["eb"]))
+    model = build_model(b, ["input", "scales"], [out])
+
+    engine = OnnxFallbackEngine(model, sample_rate=16000)
+    ids = list(rng.integers(0, 32, 12))
+    loud = engine.synthesize_ids(ids, noise_scale=0.9, seed=0)
+    quiet = engine.synthesize_ids(ids, noise_scale=0.1, seed=0)
+    assert loud.shape == quiet.shape
+    np.testing.assert_allclose(loud, np.clip(quiet * 1.5, -1e9, 1e9),
+                               rtol=1e-5, atol=1e-6)
+    stats = engine.runner.plan_stats()
+    assert stats["eager"] == 0, stats
+
+    # interpreter parity on the runner path
+    from phoonnx_tpu.onnx.executor import OnnxExecutor
+
+    feeds = {"input": np.asarray([ids], np.int64),
+             "scales": np.asarray([0.9, 1.0, 0.8], np.float32)}
+    ref = OnnxExecutor(model).run(feeds)[0].reshape(-1)
+    np.testing.assert_allclose(loud, ref, rtol=1e-5, atol=1e-6)

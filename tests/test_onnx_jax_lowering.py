@@ -168,8 +168,10 @@ def test_weights_are_device_args_not_constants():
 
 
 def test_if_and_loop_replay_eagerly():
-    """Control flow reruns on the interpreter every call: a plan made
-    under one branch must still take the other branch at replay."""
+    """A plan made under one branch must still take the other branch at
+    replay. Since r3, shape-compatible Ifs stage as lax.cond — the
+    branch decision is RUNTIME, inside the jitted segment — so the plan
+    has zero eager steps yet still branches correctly."""
     b = GraphBuilder()
     sub_then = GraphBuilder()
     t_out = sub_then.mul("x", sub_then.f32(2.0))
@@ -191,7 +193,8 @@ def test_if_and_loop_replay_eagerly():
     np.testing.assert_allclose(
         runner.run({"x": x, "cond": np.asarray(False)})[0], ref_f[0])
     assert runner.plan_stats()["plans"] == 1
-    assert runner.plan_stats()["eager"] == 1
+    assert runner.plan_stats()["eager"] == 0
+    assert runner.plan_stats()["segments"] == 1
 
 
 def test_random_normal_like_redraws_per_call():

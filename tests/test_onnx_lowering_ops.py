@@ -248,6 +248,23 @@ def test_scatter_nd_plain_duplicates_stay_eager():
         runner.run({"x": x, "upd": upd})[0][2], [9.0, 9.0])
 
 
+def test_scatter_nd_plain_negative_alias_stays_eager():
+    """[-1] and [n-1] address the same row — the duplicate guard must
+    normalize negatives before the unique check or the colliding write
+    would be staged to XLA (unspecified order)."""
+    rng = np.random.default_rng(11)
+    b = GraphBuilder()
+    idx = b.init("idx", np.asarray([[-1], [3]], np.int64))
+    out = b.n("ScatterND", ["x", idx, "upd"])
+    model = build_model(b, ["x"], [out])
+    x = np.zeros((4, 2), np.float32)
+    upd = np.asarray([[1.0, 1.0], [9.0, 9.0]], np.float32)
+    runner = assert_parity(model, {"x": x, "upd": upd})
+    assert runner.plan_stats()["eager"] == 1
+    np.testing.assert_array_equal(
+        runner.run({"x": x, "upd": upd})[0][3], [9.0, 9.0])
+
+
 def test_scatter_nd_plain_dynamic_indices_stay_eager():
     """Dynamic plain-assignment indices can collide on a later call with
     the same signature — never staged."""
@@ -362,3 +379,91 @@ def test_random_output_shapes_stay_static_downstream():
     assert stats["segments"] == 1
     assert stats["folded"] >= 1
     assert stats["jitted"] >= 2
+
+
+# -- statically-quantized family (QLinearConv / QLinearMatMul / ConvInteger) --
+
+
+def test_qlinear_matmul_jits_bit_exact():
+    """The static-int8 matmul stages to XLA (int32 dot + f32
+    single-rounding requant) bit-exactly vs the interpreter — the
+    reference runs such graphs on ort's compiled int8 kernels."""
+    rng = np.random.default_rng(20)
+    b = GraphBuilder()
+    a_q = rng.integers(0, 255, (6, 16)).astype(np.uint8)
+    w_q = b.init("w", rng.integers(-127, 127, (16, 8)).astype(np.int8))
+    out = b.n("QLinearMatMul", [
+        "a", b.init("a_s", np.float32(0.013)),
+        b.init("a_z", np.uint8(121)),
+        w_q, b.init("w_s", np.float32(0.021)),
+        b.init("w_z", np.int8(0)),
+        b.init("y_s", np.float32(0.07)),
+        b.init("y_z", np.uint8(110)),
+    ])
+    model = build_model(b, ["a"], [out])
+    runner = assert_parity(model, {"a": a_q})
+    assert runner.plan_stats()["eager"] == 0
+
+
+@pytest.mark.parametrize("spatial", [1, 2])
+def test_conv_integer_jits_bit_exact(spatial):
+    rng = np.random.default_rng(21)
+    b = GraphBuilder()
+    if spatial == 1:
+        x = rng.integers(0, 255, (1, 4, 20)).astype(np.uint8)
+        w = rng.integers(-127, 127, (8, 4, 3)).astype(np.int8)
+        attrs = {"pads": [1, 1], "strides": [2], "dilations": [1]}
+    else:
+        x = rng.integers(0, 255, (1, 4, 10, 12)).astype(np.uint8)
+        w = rng.integers(-127, 127, (8, 4, 3, 3)).astype(np.int8)
+        attrs = {"pads": [1, 1, 1, 1], "strides": [1, 2],
+                 "dilations": [2, 1]}
+    out = b.n("ConvInteger", [
+        "x", b.init("w", w), b.init("x_z", np.uint8(128)),
+        b.init("w_z", np.int8(3)),
+    ], **attrs)
+    model = build_model(b, ["x"], [out])
+    runner = assert_parity(model, {"x": x})
+    assert runner.plan_stats()["eager"] == 0
+
+
+def test_qlinear_conv_per_channel_bias_jits_bit_exact():
+    """Per-output-channel scales + int32 bias + grouped 1D conv — the
+    exact shape ort's static quantizer emits for piper-style voices."""
+    rng = np.random.default_rng(22)
+    b = GraphBuilder()
+    x = rng.integers(0, 255, (1, 8, 24)).astype(np.uint8)
+    w = rng.integers(-127, 127, (8, 4, 5)).astype(np.int8)
+    out = b.n("QLinearConv", [
+        "x", b.init("x_s", np.float32(0.017)),
+        b.init("x_z", np.uint8(99)),
+        b.init("w", w),
+        b.init("w_s", (0.01 + 0.01 * rng.random(8)).astype(np.float32)),
+        b.init("w_z", np.zeros(8, np.int8)),
+        b.init("y_s", np.float32(0.05)),
+        b.init("y_z", np.uint8(128)),
+        b.init("bias", rng.integers(-1000, 1000, 8).astype(np.int32)),
+    ], pads=[2, 2], strides=[1], dilations=[1], group=2)
+    model = build_model(b, ["x"], [out])
+    runner = assert_parity(model, {"x": x})
+    assert runner.plan_stats()["eager"] == 0
+
+
+def test_qlinear_conv_int8_activations():
+    """int8 (signed) activations and outputs: saturation at both rails."""
+    rng = np.random.default_rng(23)
+    b = GraphBuilder()
+    x = rng.integers(-128, 127, (2, 3, 16)).astype(np.int8)
+    w = rng.integers(-127, 127, (6, 3, 3)).astype(np.int8)
+    out = b.n("QLinearConv", [
+        "x", b.init("x_s", np.float32(0.02)),
+        b.init("x_z", np.int8(-5)),
+        b.init("w", w),
+        b.init("w_s", np.float32(0.03)),
+        b.init("w_z", np.int8(2)),
+        b.init("y_s", np.float32(0.008)),
+        b.init("y_z", np.int8(0)),
+    ], pads=[1, 1], strides=[1], dilations=[1])
+    model = build_model(b, ["x"], [out])
+    runner = assert_parity(model, {"x": x})
+    assert runner.plan_stats()["eager"] == 0
