@@ -192,11 +192,37 @@ class OnnxFallbackEngine:
             out[i, : len(w)] = w
         return out, lengths
 
-    def synthesize_ids_streaming(self, *args, **kwargs):
-        raise NotImplementedError(
-            "streaming requires the compiled VITS engine; this voice is "
-            "running on the ONNX fallback interpreter"
-        )
+    def synthesize_ids_streaming(
+        self,
+        phoneme_ids: Sequence[int],
+        chunk_frames: int = 128,
+        overlap_frames: int = 32,
+        noise_scale: float = 0.667,
+        length_scale: float = 1.0,
+        noise_w: float = 0.8,
+        speaker_id: int = 0,
+        seed: Optional[int] = None,
+    ):
+        """Yield the utterance in fixed-size sample chunks.
+
+        Sentence-pipelined streaming: the graph is a foreign black box,
+        so the decoder cannot be windowed the way the native engine's
+        can (engine.py:281-322) — the utterance is synthesized
+        monolithically and emitted in ``chunk_frames``-equivalent chunks
+        (VITS-family hop 256: ~1.5 s at the default 128). Across
+        sentences the caller (voice.synthesize_streaming) still
+        pipelines: audio for sentence N streams while N+1 has not been
+        dispatched, so stream_pcm_chunks works for EVERY loadable voice
+        instead of 500ing. ``overlap_frames`` is accepted for signature
+        parity and unused (chunks are exact slices — the concatenated
+        stream is bit-equal to :meth:`synthesize_ids` by construction).
+        """
+        del overlap_frames
+        audio = self._run_one(phoneme_ids, noise_scale, length_scale,
+                              noise_w, speaker_id, None, seed=seed)
+        step = max(1, int(chunk_frames)) * 256
+        for off in range(0, len(audio), step):
+            yield audio[off:off + step]
 
     def warmup(self, *args, **kwargs) -> None:
         pass  # nothing to precompile

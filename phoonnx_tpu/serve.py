@@ -229,9 +229,10 @@ class BatcherPool:
     """
 
     def __init__(self, engines, max_batch: int = 16,
-                 max_wait_ms: float = 10.0):
+                 max_wait_ms: float = 10.0, autostart: bool = True):
         self.batchers = [
-            DynamicBatcher(e, max_batch=max_batch, max_wait_ms=max_wait_ms)
+            DynamicBatcher(e, max_batch=max_batch, max_wait_ms=max_wait_ms,
+                           autostart=autostart)
             for e in engines
         ]
         self._rr = 0

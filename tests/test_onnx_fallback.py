@@ -97,13 +97,25 @@ def test_foreign_voice_batch_and_chunks(foreign_voice):
     assert chunks and all(len(c.audio_float_array) > 0 for c in chunks)
 
 
-def test_foreign_voice_streaming_raises(foreign_voice):
-    from phoonnx_tpu import TTSVoice
+def test_foreign_voice_streaming_equals_monolithic(foreign_voice):
+    """Foreign voices stream (VERDICT r2 #7): concatenated streamed
+    chunks are bit-equal to the monolithic synthesize for the same
+    seed (chunks are exact slices of the utterance)."""
+    import numpy as np
+
+    from phoonnx_tpu import SynthesisConfig, TTSVoice
 
     model_path, config_path = foreign_voice
     voice = TTSVoice.load(str(model_path), str(config_path))
-    with pytest.raises(NotImplementedError):
-        list(voice.synthesize_streaming("[[abc]]"))
+    cfg = SynthesisConfig(normalize_audio=False, seed=7)
+    mono = np.concatenate([
+        c.audio_float_array
+        for c in voice.synthesize("[[abc def]]", cfg)])
+    streamed = list(voice.synthesize_streaming("[[abc def]]", cfg,
+                                               chunk_frames=1))
+    assert len(streamed) > 1  # actually chunked
+    np.testing.assert_array_equal(
+        np.concatenate([c.audio_float_array for c in streamed]), mono)
 
 
 def test_foreign_voice_seeded_runs_are_reproducible(foreign_voice):
