@@ -1,6 +1,6 @@
 """Benchmark: VITS synthesis RTF on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
 Measures the full synthesis graph (text encoder + SDP + alignment +
 inverse flow + HiFi-GAN) on the "medium" voice preset at a realistic
@@ -8,6 +8,20 @@ workload: one ~6s utterance per program (frame bucket 512 @ 86.1 fps,
 22.05 kHz). RTF = device_time / audio_seconds_decoded. The reference
 publishes no numbers (BASELINE.md); vs_baseline compares against the
 north-star target RTF 0.02 (>1.0 means better than target).
+
+Beyond the headline, the extras carry the BASELINE.json config matrix:
+a batch sweep to the throughput ceiling (config 5), the high preset,
+multi-speaker synthesis with per-call speaker ids (config 2), the
+non-IPA Hangul front-end and a diacritizer-shaped aux model (config 3),
+and the ByT5 G2P batch decode (config 4).
+
+FLOPs/MFU are ANALYTIC (phoonnx_tpu.flops, closed-form from
+VitsHParams): XLA's cost_analysis() attributes ~zero FLOPs to the
+Pallas custom-calls holding most of the decoder compute and overcounts
+input-dilated transposed convs, so it undercounted the model by ~100x
+(VERDICT r2). Model FLOPs are the math the graph must do — the packed
+TPU kernels deliberately do more arithmetic to fill lanes, so MFU here
+is conservative.
 
 Timing methodology: N synthesis steps are CHAINED inside one jitted
 program (per-step rng via fold_in, a scalar checksum threads the data
@@ -17,14 +31,26 @@ fetched. This is robust on remote-tunnel TPU backends where
 (observed on the axon relay: 30 dispatched programs "completed" in less
 time than one program's FLOPs allow). The trivial-program round-trip
 time is measured separately and subtracted.
+
+Sections after the headline honor a soft wall-clock budget
+(BENCH_BUDGET_S, default 1500 s): when cold compiles over the tunnel
+run long (2-9 min each under chip contention), later sections emit
+null instead of stalling the driver.
 """
 
 import json
+import os
 import sys
 import time
 
 TARGET_RTF = 0.02
 N_CHAIN = 20
+_T0 = time.monotonic()
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+
+
+def _over_budget() -> bool:
+    return time.monotonic() - _T0 > _BUDGET_S
 
 
 def _fetch(x):
@@ -58,6 +84,7 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
+    from phoonnx_tpu import flops as flops_mod
     from phoonnx_tpu.models.vits import model as vits_model
     from phoonnx_tpu.models.vits.model import VitsHParams
 
@@ -72,6 +99,7 @@ def main() -> None:
     packed = vits_model.pack_decoder_params(params, hp, max_frames)
     sample_rate = hp.sample_rate
     audio_seconds = max_frames * hp.hop_length / sample_rate
+    gflops_utt = flops_mod.infer_gflops(hp, t_text, max_frames)
 
     def forward(params, ids, lengths, rng):
         audio, y_lengths, _ = vits_model.infer(
@@ -113,19 +141,11 @@ def main() -> None:
         cal_best = min(cal_best, time.perf_counter() - t0)
     peak_flops = 8 * 2 * n_cal ** 3 / max(cal_best - rtt, 1e-9)
 
-    def graph_flops(chain_fn, *inputs) -> float:
-        """XLA's own FLOP estimate for one chained step."""
-        try:
-            cost = chain_fn.lower(*inputs).compile().cost_analysis()
-            if isinstance(cost, list):
-                cost = cost[0] if cost else {}
-            return float((cost or {}).get("flops", 0.0)) / N_CHAIN
-        except Exception:
-            return 0.0
-
-    def chained_seconds(run_params, ids_c, lengths_c,
-                        want_flops: bool = False):
-        """Best-of-3 device seconds per synthesis step (RTT-corrected)."""
+    def chained_seconds(run_params, ids_c, lengths_c, n_chain=N_CHAIN,
+                        reps=3):
+        """Best-of-reps device seconds per synthesis step
+        (RTT-corrected; best-of because the bench chip is shared and
+        transient contention otherwise dominates — observed 3x swings)."""
 
         @jax.jit
         def chain(params, ids, lengths, base_rng):
@@ -136,49 +156,69 @@ def main() -> None:
                 # elided or overlapped out of the measurement
                 return acc + audio[:, :: 1997].astype(jnp.float32).sum()
 
-            return jax.lax.fori_loop(0, N_CHAIN, body, jnp.float32(0.0))
+            return jax.lax.fori_loop(0, n_chain, body, jnp.float32(0.0))
 
-        flops = graph_flops(chain, run_params, ids_c, lengths_c,
-                            jax.random.PRNGKey(0)) if want_flops else 0.0
         _fetch(chain(run_params, ids_c, lengths_c, jax.random.PRNGKey(0)))
         best = float("inf")
-        # best-of-3: the bench chip is shared; transient contention
-        # otherwise dominates (observed 3x run-to-run swings)
-        for rep in range(3):
+        for rep in range(reps):
             t0 = time.perf_counter()
             _fetch(chain(run_params, ids_c, lengths_c,
                          jax.random.PRNGKey(rep + 1)))
             best = min(best, time.perf_counter() - t0)
-        per_step = max(best - rtt, 1e-9) / N_CHAIN
-        return (per_step, flops) if want_flops else per_step
+        return max(best - rtt, 1e-9) / n_chain
 
     # Headline: single-utterance fp32 RTF (device compute per audio second)
-    step_s, step_flops = chained_seconds(packed, ids, lengths,
-                                         want_flops=True)
+    step_s = chained_seconds(packed, ids, lengths)
     rtf = step_s / audio_seconds
-    # MFU: the graph's XLA-estimated FLOPs over the measured step time,
-    # against the matmul-calibrated peak. Single-stream synthesis is
-    # latency- and bandwidth-bound (tiny tensors), so this is honest
-    # context for the RTF number, not a target to maximize.
-    mfu_single = step_flops / step_s / peak_flops if step_flops else None
+    # Single-stream synthesis is latency- and bandwidth-bound (tiny
+    # tensors), so MFU here is honest context for RTF, not a target.
+    mfu_single = gflops_utt * 1e9 / step_s / peak_flops
 
-    # Secondary: batched serving throughput (fp32 and bf16)
+    # Config 5: batched throughput sweep to the ceiling, fp32 and bf16.
+    bf16_packed = None
+
     def throughput(batch: int, dtype):
+        nonlocal bf16_packed
         run_params = packed
         if dtype == jnp.bfloat16:
-            from phoonnx_tpu.infer.engine import cast_floating
+            if bf16_packed is None:
+                from phoonnx_tpu.infer.engine import cast_floating
 
-            run_params = vits_model.pack_decoder_params(
-                cast_floating(params, jnp.bfloat16), hp, max_frames)
+                bf16_packed = vits_model.pack_decoder_params(
+                    cast_floating(params, jnp.bfloat16), hp, max_frames)
+            run_params = bf16_packed
         ids_b = jnp.tile(ids, (batch, 1))
         lengths_b = jnp.full((batch,), t_text, jnp.int32)
-        per_step, flops = chained_seconds(run_params, ids_b, lengths_b,
-                                          want_flops=True)
-        mfu = flops / per_step / peak_flops if flops else None
-        return batch * audio_seconds / per_step, mfu
+        n_chain = 20 if batch <= 16 else (8 if batch <= 64 else 4)
+        per_step = chained_seconds(run_params, ids_b, lengths_b,
+                                   n_chain=n_chain, reps=2)
+        audio_per_sec = batch * audio_seconds / per_step
+        mfu = batch * gflops_utt * 1e9 / per_step / peak_flops
+        return audio_per_sec, mfu
 
-    batch16_fp32, mfu_batch16 = throughput(16, jnp.float32)
-    batch16_bf16, _ = throughput(16, jnp.bfloat16)
+    sweep = {"fp32": {}, "bf16": {}}
+    peak_tp, peak_mfu, peak_cfg = 0.0, 0.0, None
+    for dtype_name, dtype, batches in (
+            ("fp32", jnp.float32, (4, 16, 64, 256)),
+            ("bf16", jnp.bfloat16, (16, 64, 256))):
+        prev = 0.0
+        for batch in batches:
+            if _over_budget():
+                break
+            tp, mfu = throughput(batch, dtype)
+            sweep[dtype_name][str(batch)] = {
+                "audio_sec_per_sec": round(tp, 1),
+                "mfu": round(mfu, 4),
+            }
+            if tp > peak_tp:
+                peak_tp, peak_mfu = tp, mfu
+                peak_cfg = f"{dtype_name}/b{batch}"
+            if tp < prev * 1.05 and batch >= 64:
+                break  # <5% gain: saturated, stop compiling bigger
+            prev = tp
+
+    batch16_fp32 = (sweep["fp32"].get("16") or {}).get("audio_sec_per_sec")
+    batch16_bf16 = (sweep["bf16"].get("16") or {}).get("audio_sec_per_sec")
 
     # Client-visible single-call latency (dispatch + compute + full audio
     # fetch; on a remote-tunnel TPU the round-trip dominates)
@@ -191,65 +231,163 @@ def main() -> None:
         lat.append(time.perf_counter() - t0)
     latency_ms = float(np.median(lat) * 1000)
 
-    # Secondary: the high-quality preset's single-utterance RTF (4x the
-    # decoder compute of medium; piper's "high" voices use it)
-    hp_high = VitsHParams.preset("high", n_vocab=161)
-    params_high = vits_model.pack_decoder_params(
-        jax.device_put(vits_model.random_params(jax.random.PRNGKey(0),
-                                                hp_high)),
-        hp_high, max_frames)
+    # High preset (piper's "high" voices; 4x medium's decoder FLOPs)
+    rtf_high = mfu_high = None
+    if not _over_budget():
+        hp_high = VitsHParams.preset("high", n_vocab=161)
+        params_high = vits_model.pack_decoder_params(
+            jax.device_put(vits_model.random_params(jax.random.PRNGKey(0),
+                                                    hp_high)),
+            hp_high, max_frames)
+        gflops_high = flops_mod.infer_gflops(hp_high, t_text, max_frames)
 
-    def forward_high(params, ids, lengths, rng):
-        audio, y_lengths, _ = vits_model.infer(
-            params, hp_high, ids, lengths, max_frames=max_frames,
-            noise_scale=jnp.float32(0.667),
-            length_scale=jnp.float32(1.0),
-            noise_w=jnp.float32(0.8),
-            rng=rng,
-        )
-        return audio, y_lengths
+        def forward_high(params, ids, lengths, rng):
+            audio, y_lengths, _ = vits_model.infer(
+                params, hp_high, ids, lengths, max_frames=max_frames,
+                noise_scale=jnp.float32(0.667),
+                length_scale=jnp.float32(1.0),
+                noise_w=jnp.float32(0.8),
+                rng=rng,
+            )
+            return audio, y_lengths
 
-    @jax.jit
-    def chain_high(params, ids, lengths, base_rng):
-        def body(i, acc):
-            rng = jax.random.fold_in(base_rng, i)
-            audio, _ = forward_high(params, ids, lengths, rng)
-            return acc + audio[:, ::1997].astype(jnp.float32).sum()
+        @jax.jit
+        def chain_high(params, ids, lengths, base_rng):
+            def body(i, acc):
+                rng = jax.random.fold_in(base_rng, i)
+                audio, _ = forward_high(params, ids, lengths, rng)
+                return acc + audio[:, ::1997].astype(jnp.float32).sum()
 
-        return jax.lax.fori_loop(0, N_CHAIN, body, jnp.float32(0.0))
+            return jax.lax.fori_loop(0, N_CHAIN, body, jnp.float32(0.0))
 
-    flops_high = graph_flops(chain_high, params_high, ids, lengths,
-                             jax.random.PRNGKey(0))
-    _fetch(chain_high(params_high, ids, lengths, jax.random.PRNGKey(0)))
-    best_high = float("inf")
-    for rep in range(3):
-        t0 = time.perf_counter()
-        _fetch(chain_high(params_high, ids, lengths,
-                          jax.random.PRNGKey(rep + 1)))
-        best_high = min(best_high, time.perf_counter() - t0)
-    step_high = max(best_high - rtt, 1e-9) / N_CHAIN
-    rtf_high = step_high / audio_seconds
-    mfu_high = flops_high / step_high / peak_flops if flops_high else None
+        _fetch(chain_high(params_high, ids, lengths, jax.random.PRNGKey(0)))
+        best_high = float("inf")
+        for rep in range(3):
+            t0 = time.perf_counter()
+            _fetch(chain_high(params_high, ids, lengths,
+                              jax.random.PRNGKey(rep + 1)))
+            best_high = min(best_high, time.perf_counter() - t0)
+        step_high = max(best_high - rtt, 1e-9) / N_CHAIN
+        rtf_high = step_high / audio_seconds
+        mfu_high = gflops_high * 1e9 / step_high / peak_flops
+
+    # Config 2: multi-speaker voice (VCTK-sized), per-step speaker ids.
+    ms_device_ms = None
+    if not _over_budget():
+        hp_ms = VitsHParams.preset("medium", n_vocab=161, n_speakers=109,
+                                   gin_channels=512)
+        params_ms = vits_model.pack_decoder_params(
+            jax.device_put(vits_model.random_params(jax.random.PRNGKey(1),
+                                                    hp_ms)),
+            hp_ms, max_frames)
+
+        @jax.jit
+        def chain_ms(params, ids, lengths, base_rng):
+            def body(i, acc):
+                rng = jax.random.fold_in(base_rng, i)
+                audio, _, _ = vits_model.infer(
+                    params, hp_ms, ids, lengths, max_frames=max_frames,
+                    noise_scale=jnp.float32(0.667),
+                    length_scale=jnp.float32(1.0),
+                    noise_w=jnp.float32(0.8),
+                    sid=jnp.remainder(jnp.full((1,), i, jnp.int32), 109),
+                    rng=rng,
+                )
+                return acc + audio[:, ::1997].astype(jnp.float32).sum()
+
+            return jax.lax.fori_loop(0, N_CHAIN, body, jnp.float32(0.0))
+
+        _fetch(chain_ms(params_ms, ids, lengths, jax.random.PRNGKey(0)))
+        best_ms = float("inf")
+        for rep in range(3):
+            t0 = time.perf_counter()
+            _fetch(chain_ms(params_ms, ids, lengths,
+                            jax.random.PRNGKey(rep + 1)))
+            best_ms = min(best_ms, time.perf_counter() - t0)
+        ms_device_ms = max(best_ms - rtt, 1e-9) / N_CHAIN * 1000
 
     # Streaming: time-to-first-audio via the chunked vocoder decode
     # (wall clock to the first fetched chunk — already an honest barrier)
-    from phoonnx_tpu.infer.engine import VitsEngine
+    ttfa_ms = None
+    if not _over_budget():
+        from phoonnx_tpu.infer.engine import VitsEngine
 
-    engine = VitsEngine(params, hp, text_buckets=(128,),
-                        frame_buckets=(512,))
-    ids_list = [int(x) for x in np.asarray(ids)[0]]
-    for _ in range(2):  # compile phase1/latents/chunk programs
-        for _chunk in engine.synthesize_ids_streaming(
-                ids_list, chunk_frames=128, overlap_frames=32, seed=0):
-            break
-    ttfa = []
-    for i in range(10):
-        t0 = time.perf_counter()
-        for _chunk in engine.synthesize_ids_streaming(
-                ids_list, chunk_frames=128, overlap_frames=32, seed=i):
-            ttfa.append(time.perf_counter() - t0)
-            break
-    ttfa_ms = float(np.median(ttfa) * 1000)
+        engine = VitsEngine(params, hp, text_buckets=(128,),
+                            frame_buckets=(512,))
+        ids_list = [int(x) for x in np.asarray(ids)[0]]
+        for _ in range(2):  # compile phase1/latents/chunk programs
+            for _chunk in engine.synthesize_ids_streaming(
+                    ids_list, chunk_frames=128, overlap_frames=32, seed=0):
+                break
+        ttfa = []
+        for i in range(10):
+            t0 = time.perf_counter()
+            for _chunk in engine.synthesize_ids_streaming(
+                    ids_list, chunk_frames=128, overlap_frames=32, seed=i):
+                ttfa.append(time.perf_counter() - t0)
+                break
+        ttfa_ms = float(np.median(ttfa) * 1000)
+
+    # Config 3 (host side): the non-IPA Hangul front-end — hangul2ipa
+    # G2P + phonemes_to_ids (pure Python, the same work the reference
+    # does per utterance before its ONNX call).
+    from phoonnx_tpu.phoneme_ids import phonemes_to_ids
+    from phoonnx_tpu.thirdparty.hangul2ipa import hangul2ipa
+
+    ko_text = "안녕하세요 만나서 반갑습니다"
+    t0 = time.perf_counter()
+    n_frontend = 20
+    for _ in range(n_frontend):
+        ipa = hangul2ipa(ko_text)
+        phonemes_to_ids(list(ipa))
+    hangul_ms = (time.perf_counter() - t0) / n_frontend * 1000
+
+    # Config 3 (device side): diacritizer-shaped aux model (tashkeel
+    # biLSTM tagger geometry) on the compiled lowering.
+    tashkeel_ms = None
+    if not _over_budget():
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "tools"))
+            import bench_aux
+
+            from phoonnx_tpu.onnx.jax_lowering import JaxGraphRunner
+
+            model, feeds_fn, _state = bench_aux.build_tashkeel()
+            runner = JaxGraphRunner(model)
+            runner.run(feeds_fn(0, None))  # plan + compile
+            runner.run(feeds_fn(1, None))
+            times = []
+            for i in range(10):
+                t0 = time.perf_counter()
+                runner.run(feeds_fn(2 + i, None))
+                times.append(time.perf_counter() - t0)
+            tashkeel_ms = float(np.median(times) * 1000)
+        except Exception:
+            tashkeel_ms = None
+
+    # Config 4: ByT5 G2P batch decode (KV-cached while_loop; the
+    # reference re-runs the full decoder per token per word).
+    byt5_words_per_s = None
+    if not _over_budget():
+        try:
+            import subprocess
+
+            out = subprocess.run(
+                [sys.executable, os.path.join("tools", "bench_byt5.py"),
+                 "--batch", "16", "--max-length", "16", "--reps", "3"],
+                capture_output=True, text=True, timeout=max(
+                    60, _BUDGET_S - (time.monotonic() - _T0)),
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            for line in out.stdout.splitlines()[::-1]:
+                if line.startswith("{"):
+                    byt5_words_per_s = json.loads(line).get("words_per_sec")
+                    break
+        except Exception:
+            byt5_words_per_s = None
+
+    def rnd(v, n=1):
+        return None if v is None else round(v, n)
 
     result = {
         "metric": "rtf_vits_medium_22k05",
@@ -261,19 +399,25 @@ def main() -> None:
             "device_ms_per_utterance": round(step_s * 1000, 3),
             "client_latency_ms_incl_fetch": round(latency_ms, 2),
             "rtt_ms": round(rtt * 1000, 2),
-            "batch16_fp32_audio_sec_per_sec": round(batch16_fp32, 1),
-            "batch16_bf16_audio_sec_per_sec": round(batch16_bf16, 1),
-            "rtf_high_preset_fp32": round(rtf_high, 6),
+            "batch16_fp32_audio_sec_per_sec": batch16_fp32,
+            "batch16_bf16_audio_sec_per_sec": batch16_bf16,
+            "batch_sweep": sweep,
+            "peak_audio_sec_per_sec": rnd(peak_tp),
+            "saturating_batch": peak_cfg,
+            "mfu_at_peak": rnd(peak_mfu, 4),
+            "rtf_high_preset_fp32": rnd(rtf_high, 6),
             "calibrated_peak_tflops": round(peak_flops / 1e12, 1),
-            "model_gflop_per_utterance": round(step_flops / 1e9, 3),
-            "mfu": (round(mfu_single, 4)
-                    if mfu_single is not None else None),
-            "mfu_batch16_fp32": (round(mfu_batch16, 4)
-                                 if mfu_batch16 is not None else None),
-            "mfu_high_preset": (round(mfu_high, 4)
-                                if mfu_high is not None else None),
-            "streaming_ttfa_ms": round(ttfa_ms, 2),
+            "model_gflop_per_utterance": round(gflops_utt, 2),
+            "flop_source": "analytic (phoonnx_tpu.flops)",
+            "mfu": round(mfu_single, 4),
+            "mfu_high_preset": rnd(mfu_high, 4),
+            "multispeaker_device_ms_per_utterance": rnd(ms_device_ms, 3),
+            "streaming_ttfa_ms": rnd(ttfa_ms, 2),
+            "hangul_frontend_ms_per_utterance": round(hangul_ms, 2),
+            "diacritizer_aux_device_ms": rnd(tashkeel_ms, 2),
+            "byt5_words_per_s": rnd(byt5_words_per_s),
             "frames": max_frames,
+            "bench_wall_s": round(time.monotonic() - _T0, 1),
             "device": str(jax.devices()[0]),
         },
     }
