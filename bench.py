@@ -167,8 +167,12 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return max(best - rtt, 1e-9) / n_chain
 
-    # Headline: single-utterance fp32 RTF (device compute per audio second)
-    step_s = chained_seconds(packed, ids, lengths)
+    # Headline: single-utterance fp32 RTF (device compute per audio
+    # second). Measured twice — here and again at the end of the run —
+    # keeping the best: the shared bench chip has multi-minute
+    # contention spikes (calibrated peak swings 157-229 TFLOP/s), and a
+    # single early window can misstate steady-state device time by 2x.
+    step_s = chained_seconds(packed, ids, lengths, reps=5)
     rtf = step_s / audio_seconds
     # Single-stream synthesis is latency- and bandwidth-bound (tiny
     # tensors), so MFU here is honest context for RTF, not a target.
@@ -385,6 +389,11 @@ def main() -> None:
                     break
         except Exception:
             byt5_words_per_s = None
+
+    # headline re-measure (same compiled program; see note above)
+    step_s = min(step_s, chained_seconds(packed, ids, lengths, reps=5))
+    rtf = step_s / audio_seconds
+    mfu_single = gflops_utt * 1e9 / step_s / peak_flops
 
     def rnd(v, n=1):
         return None if v is None else round(v, n)

@@ -36,6 +36,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from phoonnx_tpu.models.vits.statics import StaticInt
 
@@ -95,6 +96,12 @@ def build_spec(enc_params):
     h = n_heads * dk
     ffn_k = int(layers[0]["ffn"]["kernel_size"])
 
+    # stacking runs in numpy: params are concrete at init, and ~90 eager
+    # jnp slice/stack ops would each become a tiny device program on a
+    # remote-compile relay
+    def A(x):
+        return np.asarray(x)
+
     w_qkv, b_qkv, w_o, b_o, rel_k, rel_v = [], [], [], [], [], []
     ln, w1, b1, w2, b2 = [], [], [], [], []
     for layer in layers:
@@ -107,27 +114,27 @@ def build_spec(enc_params):
                 or int(layer["ffn"]["kernel_size"]) != ffn_k \
                 or attn["conv_q"]["weight"].shape[:2] != (h, h):
             return None
-        wq = attn["conv_q"]["weight"][:, :, 0].T  # [H, H]: y = x @ W.T
-        wk = attn["conv_k"]["weight"][:, :, 0].T
-        wv = attn["conv_v"]["weight"][:, :, 0].T
-        w_qkv.append(jnp.concatenate([wq, wk, wv], axis=1))
-        b_qkv.append(jnp.concatenate([
-            attn["conv_q"]["bias"], attn["conv_k"]["bias"],
-            attn["conv_v"]["bias"],
+        wq = A(attn["conv_q"]["weight"])[:, :, 0].T  # [H, H]: y = x @ W.T
+        wk = A(attn["conv_k"]["weight"])[:, :, 0].T
+        wv = A(attn["conv_v"]["weight"])[:, :, 0].T
+        w_qkv.append(np.concatenate([wq, wk, wv], axis=1))
+        b_qkv.append(np.concatenate([
+            A(attn["conv_q"]["bias"]), A(attn["conv_k"]["bias"]),
+            A(attn["conv_v"]["bias"]),
         ])[None])
-        w_o.append(attn["conv_o"]["weight"][:, :, 0].T)
-        b_o.append(attn["conv_o"]["bias"][None])
-        rel_k.append(attn["emb_rel_k"][0])  # [2w+1, dk]
-        rel_v.append(attn["emb_rel_v"][0])
-        ln.append(jnp.stack([
-            layer["norm_1"]["gamma"], layer["norm_1"]["beta"],
-            layer["norm_2"]["gamma"], layer["norm_2"]["beta"],
+        w_o.append(A(attn["conv_o"]["weight"])[:, :, 0].T)
+        b_o.append(A(attn["conv_o"]["bias"])[None])
+        rel_k.append(A(attn["emb_rel_k"])[0])  # [2w+1, dk]
+        rel_v.append(A(attn["emb_rel_v"])[0])
+        ln.append(np.stack([
+            A(layer["norm_1"]["gamma"]), A(layer["norm_1"]["beta"]),
+            A(layer["norm_2"]["gamma"]), A(layer["norm_2"]["beta"]),
         ]))
         f1, f2 = layer["ffn"]["conv_1"], layer["ffn"]["conv_2"]
-        w1.append(jnp.transpose(f1["weight"], (2, 1, 0)))  # [K, H, F]
-        b1.append(f1["bias"][None])
-        w2.append(jnp.transpose(f2["weight"], (2, 1, 0)))  # [K, F, H]
-        b2.append(f2["bias"][None])
+        w1.append(np.transpose(A(f1["weight"]), (2, 1, 0)))  # [K, H, F]
+        b1.append(A(f1["bias"])[None])
+        w2.append(np.transpose(A(f2["weight"]), (2, 1, 0)))  # [K, F, H]
+        b2.append(A(f2["bias"])[None])
 
     return {
         "n_layers": StaticInt(len(layers)),
@@ -135,12 +142,17 @@ def build_spec(enc_params):
         "dk": StaticInt(dk),
         "window": StaticInt(int(window)),
         "ffn_k": StaticInt(ffn_k),
-        "w_qkv": jnp.stack(w_qkv), "b_qkv": jnp.stack(b_qkv),
-        "w_o": jnp.stack(w_o), "b_o": jnp.stack(b_o),
-        "rel_k": jnp.stack(rel_k), "rel_v": jnp.stack(rel_v),
-        "ln": jnp.stack(ln),
-        "w_ffn1": jnp.stack(w1), "b_ffn1": jnp.stack(b1),
-        "w_ffn2": jnp.stack(w2), "b_ffn2": jnp.stack(b2),
+        "w_qkv": jnp.asarray(np.stack(w_qkv)),
+        "b_qkv": jnp.asarray(np.stack(b_qkv)),
+        "w_o": jnp.asarray(np.stack(w_o)),
+        "b_o": jnp.asarray(np.stack(b_o)),
+        "rel_k": jnp.asarray(np.stack(rel_k)),
+        "rel_v": jnp.asarray(np.stack(rel_v)),
+        "ln": jnp.asarray(np.stack(ln)),
+        "w_ffn1": jnp.asarray(np.stack(w1)),
+        "b_ffn1": jnp.asarray(np.stack(b1)),
+        "w_ffn2": jnp.asarray(np.stack(w2)),
+        "b_ffn2": jnp.asarray(np.stack(b2)),
     }
 
 

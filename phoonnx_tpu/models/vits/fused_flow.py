@@ -38,6 +38,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from phoonnx_tpu.models.vits import nn
 from phoonnx_tpu.models.vits.statics import StaticInt
@@ -62,8 +63,21 @@ def _lanes(n: int) -> int:
     return -(-n // 128) * 128
 
 
-def _plain_weight(conv) -> jnp.ndarray:
-    return nn.resolve_weight(conv)
+def _plain_weight(conv):
+    """Resolved conv weight as NUMPY (spec build runs at init on
+    concrete params; weight-norm folding in numpy avoids eager device
+    ops on a remote-compile relay)."""
+    if "weight" in conv:
+        return np.asarray(conv["weight"])
+    # f32 accumulation like XLA's reduce (a bf16-accumulated numpy sum
+    # loses ~2% on the folded weights); result cast back to the stored
+    # dtype — reassociation-level difference from the jnp path at most
+    v = np.asarray(conv["weight_v"])
+    g = np.asarray(conv["weight_g"])
+    axes = tuple(range(1, v.ndim))
+    v32 = v.astype(np.float32)
+    norm = np.sqrt(np.sum(np.square(v32), axis=axes, keepdims=True))
+    return (g.astype(np.float32) * v32 / norm).astype(v.dtype)
 
 
 def build_spec(flow_params):
@@ -104,35 +118,35 @@ def build_spec(flow_params):
             return None
         fold = (j % 2 == 0)
 
-        wp = flow["pre"]["weight"][:, :, 0].T  # [half, hidden]
+        wp = np.asarray(flow["pre"]["weight"])[:, :, 0].T  # [half, hidden]
         if fold:
             wp = wp[::-1]
         w_pre.append(wp)
-        b_pre.append(flow["pre"]["bias"][None])
+        b_pre.append(np.asarray(flow["pre"]["bias"])[None])
 
         wi, bi_, wr, br = [], [], [], []
         for i in range(n_layers):
             w = _plain_weight(enc["in_layers"][i])  # [2h, h, k]
-            wi.append(jnp.transpose(w, (2, 1, 0)))  # [k, h, 2h]
-            bi_.append(enc["in_layers"][i]["bias"][None])
+            wi.append(np.transpose(w, (2, 1, 0)))  # [k, h, 2h]
+            bi_.append(np.asarray(enc["in_layers"][i]["bias"])[None])
             rs = _plain_weight(enc["res_skip_layers"][i])[:, :, 0].T
-            rb = enc["res_skip_layers"][i]["bias"][None]
+            rb = np.asarray(enc["res_skip_layers"][i]["bias"])[None]
             if i == n_layers - 1:
                 # last layer emits skip only ([h] wide): place it in the
                 # skip half so the kernel's res/skip split is uniform
-                rs = jnp.concatenate(
-                    [jnp.zeros((hidden, hidden), rs.dtype), rs], axis=1)
-                rb = jnp.concatenate(
-                    [jnp.zeros((1, hidden), rb.dtype), rb], axis=1)
+                rs = np.concatenate(
+                    [np.zeros((hidden, hidden), rs.dtype), rs], axis=1)
+                rb = np.concatenate(
+                    [np.zeros((1, hidden), rb.dtype), rb], axis=1)
             wr.append(rs)
             br.append(rb)
-        w_in.append(jnp.stack(wi))
-        b_in.append(jnp.stack(bi_))
-        w_rs.append(jnp.stack(wr))
-        b_rs.append(jnp.stack(br))
+        w_in.append(np.stack(wi))
+        b_in.append(np.stack(bi_))
+        w_rs.append(np.stack(wr))
+        b_rs.append(np.stack(br))
 
-        wq = post_w[:, :, 0].T  # [hidden, half]
-        bq = flow["post"]["bias"]
+        wq = np.asarray(post_w)[:, :, 0].T  # [hidden, half]
+        bq = np.asarray(flow["post"]["bias"])
         if fold:
             wq = wq[:, ::-1]
             bq = bq[::-1]
@@ -142,8 +156,9 @@ def build_spec(flow_params):
         if has_cond:
             cw = _plain_weight(enc["cond_layer"])[:, :, 0]  # [L*2h, gin]
             cond_w.append(cw.T)  # [gin, L*2h]
-            cond_b.append(enc["cond_layer"].get(
-                "bias", jnp.zeros((cw.shape[0],), cw.dtype)))
+            bias = enc["cond_layer"].get("bias")
+            cond_b.append(np.zeros((cw.shape[0],), cw.dtype)
+                          if bias is None else np.asarray(bias))
 
     spec = {
         "n_flows": StaticInt(len(flows)),
@@ -152,14 +167,18 @@ def build_spec(flow_params):
         "hidden": StaticInt(hidden),
         "kernel_size": StaticInt(k),
         "dilation_rate": StaticInt(dil),
-        "w_pre": jnp.stack(w_pre), "b_pre": jnp.stack(b_pre),
-        "w_in": jnp.stack(w_in), "b_in": jnp.stack(b_in),
-        "w_rs": jnp.stack(w_rs), "b_rs": jnp.stack(b_rs),
-        "w_post": jnp.stack(w_post), "b_post": jnp.stack(b_post),
+        "w_pre": jnp.asarray(np.stack(w_pre)),
+        "b_pre": jnp.asarray(np.stack(b_pre)),
+        "w_in": jnp.asarray(np.stack(w_in)),
+        "b_in": jnp.asarray(np.stack(b_in)),
+        "w_rs": jnp.asarray(np.stack(w_rs)),
+        "b_rs": jnp.asarray(np.stack(b_rs)),
+        "w_post": jnp.asarray(np.stack(w_post)),
+        "b_post": jnp.asarray(np.stack(b_post)),
     }
     if has_cond:
-        spec["cond_w"] = jnp.stack(cond_w)
-        spec["cond_b"] = jnp.stack(cond_b)
+        spec["cond_w"] = jnp.asarray(np.stack(cond_w))
+        spec["cond_b"] = jnp.asarray(np.stack(cond_b))
     return spec
 
 

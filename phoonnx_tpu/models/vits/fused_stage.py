@@ -62,30 +62,35 @@ def _conv_taps(weight: Array, bias: Optional[Array], r: int,
     Returns (offsets, mats [n_taps, L_in, L_out], bias [L_out]): the conv
     over the packed [B, T/r, r*C] view is y[t] = sum_j x[t+off_j] @ M_j.
     Mirrors nn.conv1d_packed_io's two construction paths exactly
-    (block-diagonal when r | dilation, dense spread otherwise).
+    (block-diagonal when r | dilation, dense spread otherwise). Runs in
+    numpy — specs are built at engine init from concrete weights, and
+    eager jnp placement ops serialize into per-op device programs on a
+    remote-compile relay.
     """
+    weight = np.asarray(weight)
+    bias = None if bias is None else np.asarray(bias)
     out_ch, in_ch, kernel = weight.shape
     if r == 1:
         offsets = tuple(j * dilation - padding for j in range(kernel))
-        mats = jnp.transpose(weight, (2, 1, 0))  # [K, I, O]
+        mats = np.transpose(weight, (2, 1, 0))  # [K, I, O]
         b = bias
     elif dilation % r == 0 and padding % r == 0:
-        wb = jnp.zeros((r * out_ch, r * in_ch, kernel), weight.dtype)
+        wb = np.zeros((r * out_ch, r * in_ch, kernel), weight.dtype)
         for phi in range(r):
-            wb = wb.at[phi * out_ch:(phi + 1) * out_ch,
-                       phi * in_ch:(phi + 1) * in_ch, :].set(weight)
+            wb[phi * out_ch:(phi + 1) * out_ch,
+               phi * in_ch:(phi + 1) * in_ch, :] = weight
         dd, pad = dilation // r, padding // r
         offsets = tuple(j * dd - pad for j in range(kernel))
-        mats = jnp.transpose(wb, (2, 1, 0))
-        b = None if bias is None else jnp.tile(bias, r)
+        mats = np.transpose(wb, (2, 1, 0))
+        b = None if bias is None else np.tile(bias, r)
     else:
-        wp, pad_l, _pad_r = nn.build_packed_kernel(weight, r, dilation,
-                                                   padding)
+        wp, pad_l, _pad_r = nn.build_packed_kernel_np(weight, r, dilation,
+                                                      padding)
         offsets = tuple(j - pad_l for j in range(wp.shape[-1]))
-        mats = jnp.transpose(wp, (2, 1, 0))
-        b = None if bias is None else jnp.tile(bias, r)
+        mats = np.transpose(wp, (2, 1, 0))
+        b = None if bias is None else np.tile(bias, r)
     if b is None:
-        b = jnp.zeros((mats.shape[-1],), weight.dtype)
+        b = np.zeros((mats.shape[-1],), weight.dtype)
     return offsets, mats, b
 
 
@@ -181,8 +186,8 @@ def build_group_spec(blocks, pack_r: int, lrelu_slope: float,
 
     spec = {
         "tile": StaticInt(tile),
-        "W": jnp.concatenate(all_mats, axis=0),    # [n_taps, L, L]
-        "b": jnp.stack(all_biases, axis=0),        # [n_convs, L]
+        "W": jnp.asarray(np.concatenate(all_mats, axis=0)),  # [n_taps, L, L]
+        "b": jnp.asarray(np.stack(all_biases, axis=0)),      # [n_convs, L]
         "branches": StaticTuple(branches),
         "r": StaticInt(pack_r),
         "L": StaticInt(lanes),
@@ -192,8 +197,8 @@ def build_group_spec(blocks, pack_r: int, lrelu_slope: float,
     }
     if post_spec is not None:
         p_off, p_mats, p_bias, pslope = post_spec
-        spec["postW"] = p_mats                    # [p_taps, L, r_out]
-        spec["postB"] = p_bias                    # [r_out]
+        spec["postW"] = jnp.asarray(p_mats)       # [p_taps, L, r_out]
+        spec["postB"] = jnp.asarray(p_bias)       # [r_out]
         spec["post_offsets"] = StaticTuple(p_off)
         spec["post_slope"] = StaticFloat(pslope)
     return spec

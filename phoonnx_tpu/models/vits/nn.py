@@ -19,6 +19,12 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+def _is_concrete(x) -> bool:
+    """True for numpy arrays and committed jax.Arrays; False under
+    tracing (packed-kernel builders pick host numpy vs traced jnp)."""
+    return not isinstance(x, jax.core.Tracer)
+
+
 # ---------------------------------------------------------------------------
 # Convolutions
 # ---------------------------------------------------------------------------
@@ -145,6 +151,30 @@ def build_packed_kernel(weight: Array, r: int, dilation: int, padding: int):
     return wp, -q_min, n_taps - 1 + q_min
 
 
+def build_packed_kernel_np(weight, r: int, dilation: int, padding: int):
+    """Numpy twin of :func:`build_packed_kernel` for prebuilt/spec
+    construction, where weights are always concrete (engine init). The
+    jnp version stays for the in-graph fallback path whose weights are
+    traced; on a cold remote-compile relay the eager jnp scatters
+    serialized into hundreds of tiny device programs."""
+    import numpy as np
+
+    weight = np.asarray(weight)
+    out_ch, in_ch, kernel = weight.shape
+    q_min = (0 - padding) // r
+    n_taps = packed_conv_taps(kernel, r, dilation, padding)
+    wp = np.zeros((r * out_ch, r * in_ch, n_taps), weight.dtype)
+    for phi in range(r):
+        for j in range(kernel):
+            m = phi + j * dilation - padding
+            q = m // r
+            psi = m - q * r
+            wp[phi * out_ch:(phi + 1) * out_ch,
+               psi * in_ch:(psi + 1) * in_ch,
+               q - q_min] = weight[:, :, j]
+    return wp, -q_min, n_taps - 1 + q_min
+
+
 def packed_conv_prebuilt(weight: Array, bias: Optional[Array],
                          r: int, dilation: int, padding: int) -> dict:
     """Precompute ``conv1d_packed_io``'s packed kernel for static weights.
@@ -155,23 +185,41 @@ def packed_conv_prebuilt(weight: Array, bias: Optional[Array],
     in-graph construction — but removes the per-call scatter work XLA
     cannot hoist out of a program whose weights are runtime inputs
     (profiled at ~40% of single-utterance synthesis device time as "data
-    formatting").
+    formatting"). With CONCRETE weights (engine init — the usual case)
+    the placement runs in numpy on host: the eager jnp scatters
+    otherwise serialize into hundreds of tiny device programs (~20 min
+    of engine init on a cold remote-compile relay). Traced weights (the
+    in-graph fallback for schedule-mismatched buckets) keep the jnp
+    path.
     """
+    import numpy as np
+
     from phoonnx_tpu.models.vits.statics import StaticInt
 
-    out_ch, in_ch, kernel = weight.shape
+    concrete = _is_concrete(weight) and (bias is None or _is_concrete(bias))
+    xp = np if concrete else jnp
+    w_xp = np.asarray(weight) if concrete else weight
+    out_ch, in_ch, kernel = w_xp.shape
     if r > 1 and dilation % r == 0 and padding % r == 0:
-        wb = jnp.zeros((r * out_ch, r * in_ch, kernel), weight.dtype)
+        wb = xp.zeros((r * out_ch, r * in_ch, kernel), w_xp.dtype)
         for phi in range(r):
-            wb = wb.at[phi * out_ch:(phi + 1) * out_ch,
-                       phi * in_ch:(phi + 1) * in_ch, :].set(weight)
+            if concrete:
+                wb[phi * out_ch:(phi + 1) * out_ch,
+                   phi * in_ch:(phi + 1) * in_ch, :] = w_xp
+            else:
+                wb = wb.at[phi * out_ch:(phi + 1) * out_ch,
+                           phi * in_ch:(phi + 1) * in_ch, :].set(w_xp)
         w, pad_l, pad_r, rhs_dil = wb, padding // r, padding // r, dilation // r
     else:
-        w, pad_l, pad_r = build_packed_kernel(weight, r, dilation, padding)
+        build = build_packed_kernel_np if concrete else build_packed_kernel
+        w, pad_l, pad_r = build(w_xp, r, dilation, padding)
         rhs_dil = 1
+    if bias is not None:
+        tiled_bias = (jnp.asarray(np.tile(np.asarray(bias), r)) if concrete
+                      else jnp.tile(bias, r))
     return {
-        "w": w,
-        "bias": None if bias is None else jnp.tile(bias, r),
+        "w": jnp.asarray(w),
+        "bias": None if bias is None else tiled_bias,
         "pad_l": StaticInt(pad_l),
         "pad_r": StaticInt(pad_r),
         "rhs_dilation": StaticInt(rhs_dil),
@@ -287,10 +335,15 @@ def packed_convt_prebuilt(weight: Array, bias: Optional[Array],
                           stride: int, padding: int, r_in: int) -> dict:
     """Precompute ``conv_transpose1d_packed_io``'s packed kernel
     (placement-only, bit-identical to the in-graph construction; see
-    :func:`packed_conv_prebuilt`)."""
+    :func:`packed_conv_prebuilt` — numpy on host for concrete weights,
+    jnp for the traced in-graph fallback)."""
+    import numpy as np
+
     from phoonnx_tpu.models.vits.statics import StaticInt
 
-    in_ch, out_ch, kernel = weight.shape  # torch ConvTranspose1d [I, O, K]
+    concrete = _is_concrete(weight) and (bias is None or _is_concrete(bias))
+    w_xp = np.asarray(weight) if concrete else weight
+    in_ch, out_ch, kernel = w_xp.shape  # torch ConvTranspose1d [I, O, K]
     if kernel != 2 * padding + stride:
         raise ValueError(
             f"conv_transpose1d_packed_io requires K == 2p + s "
@@ -308,17 +361,28 @@ def packed_convt_prebuilt(weight: Array, bias: Optional[Array],
                     deltas.append(num // r_out)
     d_min, d_max = min(deltas), max(deltas)
     n_taps = d_max - d_min + 1
-    wt = jnp.zeros((r_out * out_ch, r_in * in_ch, n_taps), weight.dtype)
-    for phi, psi, k, delta in entries:
-        wt = wt.at[phi * out_ch:(phi + 1) * out_ch,
-                   psi * in_ch:(psi + 1) * in_ch,
-                   delta - d_min].set(weight[:, :, k].T)
+    if concrete:
+        wt = np.zeros((r_out * out_ch, r_in * in_ch, n_taps), w_xp.dtype)
+        for phi, psi, k, delta in entries:
+            wt[phi * out_ch:(phi + 1) * out_ch,
+               psi * in_ch:(psi + 1) * in_ch,
+               delta - d_min] = w_xp[:, :, k].T
+        wt = wt[:, :, ::-1]
+        tiled_bias = (None if bias is None
+                      else jnp.asarray(np.tile(np.asarray(bias), r_out)))
+    else:
+        wt = jnp.zeros((r_out * out_ch, r_in * in_ch, n_taps), w_xp.dtype)
+        for phi, psi, k, delta in entries:
+            wt = wt.at[phi * out_ch:(phi + 1) * out_ch,
+                       psi * in_ch:(psi + 1) * in_ch,
+                       delta - d_min].set(w_xp[:, :, k].T)
+        wt = jnp.flip(wt, axis=-1)
+        tiled_bias = None if bias is None else jnp.tile(bias, r_out)
     # y[t'] = sum_delta x[t' - delta] . Wt[delta]  ==  cross-correlation
     # with the tap axis flipped and left pad d_max / right pad -d_min
-    wt = jnp.flip(wt, axis=-1)
     return {
-        "w": wt,
-        "bias": None if bias is None else jnp.tile(bias, r_out),
+        "w": jnp.asarray(wt),
+        "bias": tiled_bias,
         "pad_l": StaticInt(d_max),
         "pad_r": StaticInt(-d_min),
         "r_in": StaticInt(r_in),
