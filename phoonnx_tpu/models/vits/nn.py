@@ -507,6 +507,13 @@ def time_mask_lanes(valid: Array, rows: int, r: int, c: int,
     return jnp.broadcast_to(mask, (b, rows, r, c)).reshape(b, rows, r * c)
 
 
+# Batched (B > 1) tail-zeroing strategy: "dus" (unrolled per-element
+# update chain), "vmapdus" (one gather + one scatter), or "mult"
+# (full-tensor mask multiply). All bit-equal; tools/bench_tail_zero.py
+# picks the fastest on hardware. Batch 1 always takes the single-DUS path.
+TAIL_ZERO_IMPL = "dus"
+
+
 def zero_time_tail(x: Array, valid: Array, r: int,
                    window_rows: int) -> Array:
     """Zero time positions ``[valid, valid + window_rows*r)`` of a packed
@@ -533,6 +540,9 @@ def zero_time_tail(x: Array, valid: Array, r: int,
         # (and avoids clamping edge cases)
         return x * time_mask_lanes(valid, rows, r, lanes // r, x.dtype)
     valid = valid.astype(jnp.int32)
+    impl = TAIL_ZERO_IMPL if b > 1 else "dus"
+    if impl == "mult":
+        return x * time_mask_lanes(valid, rows, r, lanes // r, x.dtype)
     starts = jnp.clip(valid // r, 0, rows - window_rows)  # [B]
     row_idx = jnp.arange(window_rows, dtype=jnp.int32)
     win_rows = starts[:, None] + row_idx[None, :]  # [B, W]
@@ -542,6 +552,16 @@ def zero_time_tail(x: Array, valid: Array, r: int,
         phi = jnp.arange(lanes, dtype=jnp.int32) // (lanes // r)
         pos = win_rows[:, :, None] * r + phi  # [B, W, lanes]
         keep = pos < valid[:, None, None]
+    if impl == "vmapdus":
+        # one gather + one scatter covering every element's window —
+        # two ops regardless of batch, instead of a 2B-long chain
+        wins = jax.vmap(
+            lambda xi, s: jax.lax.dynamic_slice(
+                xi, (s, 0), (window_rows, lanes)))(x, starts)
+        wins = jnp.where(keep, wins, jnp.zeros((), x.dtype))
+        return jax.vmap(
+            lambda xi, wi, s: jax.lax.dynamic_update_slice(
+                xi, wi, (s, 0)))(x, wins, starts)
     out = x
     # unrolled per-element dynamic-update-slice: lowers to in-place
     # windowed writes (the buffer dies), unlike a batched scatter

@@ -28,6 +28,11 @@ Array = jax.Array
 
 _NEG_INF = -1e9
 
+# "auto" crossover: the Pallas kernel's grid serializes over batch while
+# the scan DP vectorizes across it (v5e sweep, tools/bench_mas.py:
+# pallas 2.28x at b8, 1.01x at b16, 0.51x at b32, 0.27x at b64).
+_PALLAS_MAX_BATCH = 16
+
 
 def maximum_path(neg_cent: Array, attn_mask: Array,
                  impl: str = "scan") -> Array:
@@ -37,16 +42,23 @@ def maximum_path(neg_cent: Array, attn_mask: Array,
       * ``"scan"`` — lax.scan DP (default; partitions under GSPMD, runs
         on any backend);
       * ``"pallas"`` — VMEM kernel (ops/mas_pallas.py), bit-identical;
-        ~2x faster standalone on v5e (2.1 vs 4.4 ms at [8, 512, 128]),
-        within noise of scan inside the fused train step (XLA overlaps
-        the scan with other work there). Sharding-aware: wrapped in
-        custom_partitioning so a batch-sharded mesh runs the kernel on
-        each device's local shard. On non-TPU backends it runs in
-        interpret mode (slow — for tests).
-      * ``"auto"`` — pallas on a TPU backend, scan otherwise.
+        2.1-3.2x faster standalone on v5e at per-device batch <= 8 and
+        -9% on the full fused train step (b8: 36.8 vs 40.6 ms/step),
+        but its grid serializes over batch while the scan DP vectorizes
+        across it, so scan wins past b~16 (b64 tx96: 2.6 vs 9.6 ms) —
+        the measured sweep lives in TRAINING.md / tools/bench_mas.py.
+        Sharding-aware: wrapped in custom_partitioning so a
+        batch-sharded mesh runs the kernel on each device's local shard
+        (what matters is the per-device batch). On non-TPU backends it
+        runs in interpret mode (slow — for tests).
+      * ``"auto"`` — pallas on a TPU backend at batch <= 16, scan
+        otherwise (the measured crossover). The heuristic reads the
+        logical (global) batch — under a DP-sharded mesh where the
+        per-device shard is small, pass ``impl="pallas"`` explicitly.
     """
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "scan"
+        impl = ("pallas" if jax.default_backend() == "tpu"
+                and neg_cent.shape[0] <= _PALLAS_MAX_BATCH else "scan")
     if impl == "pallas":
         from phoonnx_tpu.ops.mas_pallas import maximum_path_pallas
 

@@ -37,8 +37,10 @@ class TrainConfig(NamedTuple):
     disc_periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
     disc_channel_scale: int = 1  # >1 shrinks the discriminator (tests)
     remat: bool = False  # rematerialize the generator forward (saves HBM)
-    # MAS kernel: "auto" = Pallas VMEM kernel on TPU (2x the scan DP;
-    # sharding-aware via custom_partitioning), scan DP on CPU.
+    # MAS kernel: "auto" = Pallas VMEM kernel on TPU at batch <= 16
+    # (2.1-3.2x the scan DP there; sharding-aware via
+    # custom_partitioning), scan DP at larger batches and on CPU —
+    # the measured crossover table lives in TRAINING.md.
     mas_impl: str = "auto"
     # Informational only (logging/bookkeeping): devices on the mesh's
     # data axis. No step behavior keys off it — the Pallas MAS is
