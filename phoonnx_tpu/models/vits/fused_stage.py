@@ -205,14 +205,17 @@ def build_group_spec(blocks, pack_r: int, lrelu_slope: float,
 
 
 def usable(spec, pack_r: int, x: Array) -> bool:
-    """Measured policy (v5e, chained A/B): fp32 wins at every batch
-    (batch-1 decode 1.57->0.71 ms, batch-16 throughput +37%); bf16 wins
-    only single-stream (1.47->1.08 ms) — at batch 16 XLA's half-width
-    convs are already compute-efficient and the kernel's halo recompute
-    costs ~5% — so bf16 keeps the XLA path for batched decodes."""
+    """Measured policy (v5e, chained A/B, tools/bench_tail_zero.py):
+    the fused stage wins at every batch and dtype. fp32: batch-1 decode
+    1.57->0.71 ms, batch-16 throughput +37%. bf16 batched looked ~5%
+    worse back when the XLA path carried no masking, but with the
+    padding-bit-equality contract the XLA path pays per-conv tail
+    zeroing the kernel gets for free from its scalar-prefetch lengths —
+    re-measured bf16 batched decode: b16 0.706->0.632, b64
+    0.753->0.648 ms/utt (-11/-14%)."""
     return (spec is not None and enabled()
             and int(spec["r"]) == pack_r and int(spec["L"]) == x.shape[-1]
-            and (x.dtype == jnp.float32 or x.shape[0] == 1))
+            and x.dtype in (jnp.float32, jnp.bfloat16))
 
 
 def _kernel(len_ref, xm_ref, xc_ref, xp_ref, w_ref, b_ref, out_ref,
