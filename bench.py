@@ -235,6 +235,26 @@ def main() -> None:
         lat.append(time.perf_counter() - t0)
     latency_ms = float(np.median(lat) * 1000)
 
+    # Config 4: ByT5 G2P batch decode (KV-cached while_loop; the
+    # reference re-runs the full decoder per token per word).
+    byt5_words_per_s = None
+    if not _over_budget():
+        try:
+            import subprocess
+
+            out = subprocess.run(
+                [sys.executable, os.path.join("tools", "bench_byt5.py"),
+                 "--batch", "16", "--max-length", "16", "--reps", "3"],
+                capture_output=True, text=True, timeout=max(
+                    60, _BUDGET_S - (time.monotonic() - _T0)),
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            for line in out.stdout.splitlines()[::-1]:
+                if line.startswith("{"):
+                    byt5_words_per_s = json.loads(line).get("words_per_sec")
+                    break
+        except Exception:
+            byt5_words_per_s = None
+
     # High preset (piper's "high" voices; 4x medium's decoder FLOPs)
     rtf_high = mfu_high = None
     if not _over_budget():
@@ -369,26 +389,6 @@ def main() -> None:
             tashkeel_ms = float(np.median(times) * 1000)
         except Exception:
             tashkeel_ms = None
-
-    # Config 4: ByT5 G2P batch decode (KV-cached while_loop; the
-    # reference re-runs the full decoder per token per word).
-    byt5_words_per_s = None
-    if not _over_budget():
-        try:
-            import subprocess
-
-            out = subprocess.run(
-                [sys.executable, os.path.join("tools", "bench_byt5.py"),
-                 "--batch", "16", "--max-length", "16", "--reps", "3"],
-                capture_output=True, text=True, timeout=max(
-                    60, _BUDGET_S - (time.monotonic() - _T0)),
-                cwd=os.path.dirname(os.path.abspath(__file__)))
-            for line in out.stdout.splitlines()[::-1]:
-                if line.startswith("{"):
-                    byt5_words_per_s = json.loads(line).get("words_per_sec")
-                    break
-        except Exception:
-            byt5_words_per_s = None
 
     # headline re-measure (same compiled program; see note above)
     step_s = min(step_s, chained_seconds(packed, ids, lengths, reps=5))

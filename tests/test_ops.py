@@ -321,3 +321,44 @@ def test_mas_exact_lengths_with_bf16_mask():
     # full-length alignment: every one of the 300 frames gets a token
     assert path_bf16.sum() == t_y
     np.testing.assert_array_equal(path_bf16, path_f32)
+
+
+def test_expand_prior_bit_equals_onehot_einsum():
+    """The gather-based prior expansion (model.expand_prior) must match
+    einsum(generate_path one-hot, m_p) BIT-FOR-BIT on the valid span —
+    including zero-duration positions, padded text tails and frame
+    buckets longer than the true length (the hot inference path uses
+    the gather; generate_path stays for callers that want the matrix)."""
+    import jax.numpy as jnp
+
+    from phoonnx_tpu.models.vits import nn
+    from phoonnx_tpu.models.vits import model as vits_model
+
+    rng = np.random.default_rng(7)
+    B, TX, TY, C = 4, 19, 48, 6
+    for trial in range(20):
+        dur = rng.integers(0, 4, (B, TX)).astype(np.float32)
+        xlen = rng.integers(1, TX + 1, B)
+        for b in range(B):
+            dur[b, xlen[b]:] = 0
+            if dur[b, :xlen[b]].sum() == 0:
+                dur[b, 0] = 1
+        w_ceil = jnp.asarray(dur)
+        m_p = jnp.asarray(
+            rng.standard_normal((B, TX, C)).astype(np.float32))
+        logs_p = jnp.asarray(
+            rng.standard_normal((B, TX, C)).astype(np.float32))
+        x_mask = (np.arange(TX)[None, :] < xlen[:, None]
+                  ).astype(np.float32)[..., None]
+        ylen = np.minimum(np.maximum(dur.sum(-1), 1), TY).astype(np.int32)
+        y_mask = (np.arange(TY)[None, :] < ylen[:, None]
+                  ).astype(np.float32)[..., None]
+        attn_mask = jnp.asarray(y_mask) * jnp.swapaxes(
+            jnp.asarray(x_mask), 1, 2)
+        attn = nn.generate_path(w_ceil, attn_mask)
+        m_ref = jnp.einsum("byx,bxc->byc", attn, m_p)
+        l_ref = jnp.einsum("byx,bxc->byc", attn, logs_p)
+        m_new, l_new = vits_model.expand_prior(
+            m_p, logs_p, w_ceil, jnp.asarray(y_mask), TY)
+        np.testing.assert_array_equal(np.asarray(m_ref), np.asarray(m_new))
+        np.testing.assert_array_equal(np.asarray(l_ref), np.asarray(l_new))
