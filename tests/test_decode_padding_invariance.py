@@ -63,8 +63,12 @@ def test_hifigan_padded_decode_matches_exact(pad_to):
     assert np.abs(unmasked[:, :n] - exact).max() > 1e-4
 
 
-def test_hifigan_per_element_lengths():
-    """Batched decode with DIFFERENT true lengths per element."""
+@pytest.mark.parametrize("tail_impl", ["dus", "vmapdus", "mult"])
+def test_hifigan_per_element_lengths(tail_impl):
+    """Batched decode with DIFFERENT true lengths per element — under
+    every batched tail-zeroing strategy (nn.TAIL_ZERO_IMPL): all three
+    must satisfy the same bit-equality contract so the hardware A/B
+    (tools/bench_tail_zero.py) can pick freely."""
     params = random_params(jax.random.PRNGKey(1), HP)
     rng = np.random.default_rng(4)
     up = HP.total_upsample
@@ -72,7 +76,12 @@ def test_hifigan_per_element_lengths():
     z = rng.standard_normal((2, 16, HP.inter_channels)).astype(np.float32)
     for b, n in enumerate(lens):
         z[b, n:] = 0.0
-    batched = _decode(HP, params, z, 16, lengths=lens)
+    orig = nn.TAIL_ZERO_IMPL
+    nn.TAIL_ZERO_IMPL = tail_impl
+    try:
+        batched = _decode(HP, params, z, 16, lengths=lens)
+    finally:
+        nn.TAIL_ZERO_IMPL = orig
     for b, n in enumerate(lens):
         solo = np.asarray(decode_audio(
             params, HP, jnp.asarray(z[b: b + 1, :n]), g=None))
