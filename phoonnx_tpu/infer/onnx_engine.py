@@ -208,8 +208,12 @@ class OnnxFallbackEngine:
         Sentence-pipelined streaming: the graph is a foreign black box,
         so the decoder cannot be windowed the way the native engine's
         can (engine.py:281-322) — the utterance is synthesized
-        monolithically and emitted in ``chunk_frames``-equivalent chunks
-        (VITS-family hop 256: ~1.5 s at the default 128). Across
+        monolithically and emitted in ``chunk_frames``-equivalent chunks.
+        A frame here is the native contract's DURATION (hop 256 at
+        22.05 kHz ≈ 11.6 ms) scaled to this voice's sample rate — the
+        true hop of a black-box graph is unknowable, so chunk pacing is
+        kept time-consistent across voices instead of assuming every
+        export uses hop 256 (~1.5 s per chunk at the default 128). Across
         sentences the caller (voice.synthesize_streaming) still
         pipelines: audio for sentence N streams while N+1 has not been
         dispatched, so stream_pcm_chunks works for EVERY loadable voice
@@ -220,7 +224,8 @@ class OnnxFallbackEngine:
         del overlap_frames
         audio = self._run_one(phoneme_ids, noise_scale, length_scale,
                               noise_w, speaker_id, None, seed=seed)
-        step = max(1, int(chunk_frames)) * 256
+        samples_per_frame = max(1, round(self.hp.sample_rate * 256 / 22050))
+        step = max(1, int(chunk_frames)) * samples_per_frame
         for off in range(0, len(audio), step):
             yield audio[off:off + step]
 

@@ -22,13 +22,23 @@ def _bleed_extent(params) -> int:
     """Max right receptive-field extent (time positions past ``valid``)
     of any conv consuming a zero_time_tail-masked tensor: the dilated
     resblock convs ((K-1)*d/2), the K=7 pre/post convs (3), and the
-    transposed convs (ceil(p/s) <= 1). Static — kernel sizes/dilations
-    are StaticInt/StaticTuple params."""
+    transposed convs (ceil(p/s), derived from the actual kernel/rate
+    geometry — the standard presets give <= 1 but an imported voice may
+    carry k >> 2*rate, and an undersized window silently breaks the
+    padding bit-equality contract). Static — kernel sizes/dilations are
+    StaticInt/StaticTuple params."""
     extent = 3
     for block in params["resblocks"]:
         k = int(block["kernel_size"])
         for d in block["dilations"]:
             extent = max(extent, (k * int(d) - int(d)) // 2)
+    rates = params.get("upsample_rates")
+    kernels = params.get("upsample_kernel_sizes")
+    if rates is not None and kernels is not None:
+        for rate, kernel in zip(rates, kernels):
+            rate, kernel = int(rate), int(kernel)
+            padding = (kernel - rate) // 2
+            extent = max(extent, -(-padding // rate))
     return extent
 
 

@@ -1191,17 +1191,68 @@ def _body_cond_passthrough(body: OnnxModel) -> bool:
     return False
 
 
+def _name_provably_true(graph: OnnxModel, name: str) -> bool:
+    """True when ``name`` is a graph-local initializer or Constant whose
+    scalar value is True (the only provable case without plan-time
+    concrete values — nested-subgraph scope)."""
+    if name in graph.initializers:
+        return bool(np.asarray(graph.initializers[name]).reshape(()))
+    for node in graph.nodes:
+        if name in node.outputs and node.op_type == "Constant":
+            for val in node.attributes.values():
+                if isinstance(val, np.ndarray):
+                    return bool(np.asarray(val).reshape(()))
+    return False
+
+
 def _subgraph_ops_ok(graph: OnnxModel, supported: set) -> bool:
+    """Every node in a to-be-staged subgraph must be jit-lowerable AND
+    pass the structural form of the _LOWER_GUARDS / Loop-staging checks.
+
+    Top-level nodes get the value-dependent guards (plan-time concrete
+    inputs exist there); inside a staged If/Loop subgraph values differ
+    per branch/iteration, so anything whose guard NEEDS values refuses
+    conservatively — otherwise a not-taken-at-plan-time branch could
+    replay a duplicate-index ScatterND (XLA write order unspecified) or
+    an inner dynamic-termination Loop as a full-trip scan, silently
+    diverging from the interpreter.
+    """
     for node in graph.nodes:
         if node.op_type == "If":
             if not all(_subgraph_ops_ok(node.attributes[k], supported)
                        for k in ("then_branch", "else_branch")):
                 return False
         elif node.op_type == "Loop":
-            if not _subgraph_ops_ok(node.attributes["body"], supported):
+            # a NESTED Loop is staged as lax.scan without the top-level
+            # env/value-static checks, so it must be provably
+            # full-trip: a trip count input, a condition that is absent
+            # or locally-provably True, and a body whose cond_out
+            # passes through
+            if not node.inputs or not node.inputs[0]:
+                return False
+            if len(node.inputs) > 1 and node.inputs[1] and \
+                    not _name_provably_true(graph, node.inputs[1]):
+                return False
+            body = node.attributes["body"]
+            if not _body_cond_passthrough(body):
+                return False
+            if not _subgraph_ops_ok(body, supported):
                 return False
         elif node.op_type not in supported:
             return False
+        elif node.op_type in ("ScatterND", "ScatterElements"):
+            # reducing scatters combine duplicates associatively (safe);
+            # plain assignment needs the concrete duplicate-free check
+            if _attr(node, "reduction", "none") == "none":
+                return False
+        elif node.op_type == "GatherND":
+            if _attr(node, "batch_dims", 0):
+                return False
+        elif node.op_type == "LSTM":
+            # peephole weights (8th input) are silently ignored by the
+            # jax lowering; the interpreter refuses them
+            if len(node.inputs) > 7 and node.inputs[7]:
+                return False
     return True
 
 
@@ -1552,10 +1603,8 @@ class JaxGraphRunner:
                 for name in step.node.inputs:
                     record_static(name)
                 if step.node.op_type in ("If", "Loop"):
-                    for sub in step.node.attributes.values():
-                        if isinstance(sub, OnnxModel):
-                            for name in self._subgraph_captures(sub):
-                                record_static(name)
+                    for name in _node_captures(step.node):
+                        record_static(name)
 
         plan = _Plan(steps, static_vals, n_jitted, n_eager, n_folded,
                      n_draws)
@@ -1570,29 +1619,20 @@ class JaxGraphRunner:
 
     def _last_consumer_index(self, wanted: Sequence[str]) -> Dict[str, int]:
         """name -> highest node index that consumes it; graph outputs
-        count as consumed at +inf. Subgraph outer captures count as
-        consumed at their If/Loop node."""
+        count as consumed at +inf. Subgraph outer captures (the
+        precise _outer_captures set — locally-produced and
+        local-initializer names excluded) count as consumed at their
+        If/Loop node."""
         inf = 1 << 60
         last: Dict[str, int] = {name: inf for name in wanted}
         for i, node in enumerate(self.model.nodes):
             names = set(n for n in node.inputs if n)
             if node.op_type in ("If", "Loop"):
-                for sub in node.attributes.values():
-                    if isinstance(sub, OnnxModel):
-                        names |= self._subgraph_captures(sub)
+                names |= _node_captures(node)
             for name in names:
                 if last.get(name, -1) < i or name not in last:
                     last[name] = i
         return last
-
-    def _subgraph_captures(self, graph: OnnxModel) -> set:
-        names = set()
-        for node in graph.nodes:
-            names.update(n for n in node.inputs if n)
-            for sub in node.attributes.values():
-                if isinstance(sub, OnnxModel):
-                    names.update(self._subgraph_captures(sub))
-        return names
 
     def _control_flow_stageable(self, node: OnnxNode, env: Dict[str, Any],
                                 value_static: Dict[str, bool],
@@ -1642,9 +1682,17 @@ class JaxGraphRunner:
 
         ops = _jax_ops()
         trace_fn = _trace_if if node.op_type == "If" else _trace_loop
-        abstract = [n for n in all_names if not value_static.get(n, True)]
+        # mirror the SEGMENT's argument split exactly: value-static
+        # arrays above _BAKE_MAX_ELEMENTS become device arguments
+        # (tracers) at the real jit trace, so the trial must treat them
+        # as abstract too — otherwise a body needing their concrete
+        # values (Reshape target, Slice bounds) trial-passes here and
+        # then throws from inside the segment's first real trace
+        abstract = [n for n in all_names
+                    if not value_static.get(n, True)
+                    or np.asarray(env[n]).size > _BAKE_MAX_ELEMENTS]
         concrete = {n: np.asarray(env[n]) for n in all_names
-                    if value_static.get(n, True)}
+                    if n not in abstract}
 
         def probe(*vals):
             local = dict(concrete)

@@ -164,3 +164,42 @@ def test_engine_bucketed_synthesis_matches_exact_infer():
                                   noise_w=0.0, seed=0)
     assert len(audio) == n
     np.testing.assert_allclose(audio, exact[0, :n], atol=1e-6)
+
+
+def test_bleed_extent_covers_wide_transposed_conv():
+    """An imported voice can carry upsample kernels much wider than
+    2*rate; the transposed conv then reads ceil(padding/rate) positions
+    past `valid` — more than the resblock extent. The zero_time_tail
+    window must be sized from the ACTUAL geometry or bit-equality
+    silently breaks (found by review: the extent hard-coded the
+    transposed-conv term as <= 1)."""
+    from phoonnx_tpu.models.vits.hifigan import _bleed_extent
+
+    hp = VitsHParams(
+        n_vocab=40, spec_channels=65, segment_size=16,
+        inter_channels=32, hidden_channels=32, filter_channels=64,
+        n_heads=2, n_layers=1, kernel_size=3, p_dropout=0.0,
+        resblock="2", resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 2),),
+        upsample_rates=(3, 2), upsample_initial_channel=32,
+        upsample_kernel_sizes=(33, 4),
+    )
+    params = random_params(jax.random.PRNGKey(2), hp)
+    # geometry check: ceil(((33-3)//2)/3) = 5 > the resblock extent
+    assert _bleed_extent(params["dec"]) >= 5
+    rng = np.random.default_rng(9)
+    z = rng.standard_normal((2, 9, hp.inter_channels)).astype(np.float32)
+    lens = [5, 9]
+    for b, n in enumerate(lens):
+        z[b, n:] = 0.0
+    zp = np.zeros((2, 24, hp.inter_channels), np.float32)
+    zp[:, :9] = z
+    padded = np.asarray(decode_audio(
+        params, hp, jnp.asarray(zp), g=None,
+        frame_lengths=jnp.asarray(lens, jnp.int32)))
+    up = hp.total_upsample
+    for b, n in enumerate(lens):
+        solo = np.asarray(decode_audio(
+            params, hp, jnp.asarray(z[b: b + 1, :n]), g=None))
+        np.testing.assert_allclose(padded[b: b + 1, : n * up], solo,
+                                   atol=1e-6)

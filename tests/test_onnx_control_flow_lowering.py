@@ -237,3 +237,99 @@ def test_scripted_voice_graph_zero_eager_nodes():
              "scales": np.asarray([0.9, 1.0, 0.8], np.float32)}
     ref = OnnxExecutor(model).run(feeds)[0].reshape(-1)
     np.testing.assert_allclose(loud, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_nested_dynamic_loop_keeps_outer_eager():
+    """An early-terminating Loop NESTED inside an otherwise-stageable
+    outer Loop must keep the whole node eager: the staged lax.scan
+    ignores the condition, so staging would run the inner loop
+    full-trip and silently diverge from the interpreter (found by
+    review: plan call returned the interpreter's value, replays the
+    scan's)."""
+    inner_body = subgraph(
+        [("Add", ["v_in", "one"], ["v_out"], {}),
+         ("Less", ["v_out", "three"], ["cond_out"], {})],
+        ["cond_out", "v_out"],
+        inputs=["it", "cin", "v_in"],
+        initializers={"one": np.float32(1.0), "three": np.float32(3.0)})
+    outer_body = subgraph(
+        [("Loop", ["Mi", "ct", "w_in"], ["w_mid"], {"body": inner_body}),
+         ("Identity", ["cond_in"], ["cond_out"], {})],
+        ["cond_out", "w_mid"],
+        inputs=["iter", "cond_in", "w_in"],
+        initializers={"Mi": np.asarray(10, np.int64),
+                      "ct": np.asarray(True)})
+    b = GraphBuilder()
+    m = b.init("M", np.asarray(2, np.int64))
+    c = b.init("cond0", np.asarray(True))
+    (wf,) = (b.n("Loop", [m, c, "w0"], n_out=1, body=outer_body),)
+    out = b.add(wf, wf)
+    model = build_model(b, ["w0"], [out])
+    runner = assert_parity(model, {"w0": np.float32(0.0)})
+    assert runner.plan_stats()["eager"] == 1, runner.plan_stats()
+
+
+def test_plain_scatter_in_if_branch_keeps_node_eager():
+    """ScatterND with reduction=none inside an If branch cannot be
+    duplicate-checked at plan time (values differ per taken branch), so
+    the If must stay eager — XLA's duplicate-write order is
+    unspecified while the interpreter applies the last write."""
+    idx = np.asarray([[[1], [1]]], np.int64).reshape(2, 1)
+    upd_t = np.asarray([10.0, 20.0], np.float32)
+    then_g = subgraph(
+        [("ScatterND", ["x", "sidx", "supd"], ["tout"], {})], ["tout"],
+        initializers={"sidx": idx, "supd": upd_t})
+    else_g = subgraph([("Neg", ["x"], ["eout"], {})], ["eout"])
+    b = GraphBuilder()
+    y = b.n("If", ["cond"], then_branch=then_g, else_branch=else_g)
+    model = build_model(b, ["cond", "x"], [y])
+    x = np.asarray([1.0, 2.0, 3.0], np.float32)
+    for cond in (True, False):
+        runner = assert_parity(model, {"cond": np.asarray(cond), "x": x})
+        assert runner.plan_stats()["eager"] == 1, runner.plan_stats()
+
+
+def test_reducing_scatter_in_if_branch_still_stages():
+    """reduction=add combines duplicate writes associatively — safe to
+    stage regardless of index values."""
+    idx = np.asarray([[1], [1]], np.int64)
+    upd = np.asarray([10.0, 20.0], np.float32)
+    then_g = subgraph(
+        [("ScatterND", ["x", "sidx", "supd"], ["tout"],
+          {"reduction": "add"})], ["tout"],
+        initializers={"sidx": idx, "supd": upd})
+    else_g = subgraph([("Neg", ["x"], ["eout"], {})], ["eout"])
+    b = GraphBuilder()
+    y = b.n("If", ["cond"], then_branch=then_g, else_branch=else_g)
+    model = build_model(b, ["cond", "x"], [y])
+    x = np.asarray([1.0, 2.0, 3.0], np.float32)
+    for cond in (True, False):
+        runner = assert_parity(model, {"cond": np.asarray(cond), "x": x})
+        assert runner.plan_stats()["eager"] == 0, runner.plan_stats()
+
+
+def test_nested_fulltrip_loop_still_stages():
+    """A nested Loop that provably runs full-trip (cond passthrough,
+    True initializer condition) must NOT be caught by the
+    dynamic-termination refusal."""
+    inner_body = subgraph(
+        [("Add", ["v_in", "one"], ["v_out"], {}),
+         ("Identity", ["cin"], ["cond_out"], {})],
+        ["cond_out", "v_out"],
+        inputs=["it", "cin", "v_in"],
+        initializers={"one": np.float32(1.0)})
+    outer_body = subgraph(
+        [("Loop", ["Mi", "ct", "w_in"], ["w_mid"], {"body": inner_body}),
+         ("Identity", ["cond_in"], ["cond_out"], {})],
+        ["cond_out", "w_mid"],
+        inputs=["iter", "cond_in", "w_in"],
+        initializers={"Mi": np.asarray(3, np.int64),
+                      "ct": np.asarray(True)})
+    b = GraphBuilder()
+    m = b.init("M", np.asarray(2, np.int64))
+    c = b.init("cond0", np.asarray(True))
+    (wf,) = (b.n("Loop", [m, c, "w0"], n_out=1, body=outer_body),)
+    out = b.add(wf, wf)
+    model = build_model(b, ["w0"], [out])
+    runner = assert_parity(model, {"w0": np.float32(0.0)})
+    assert runner.plan_stats()["eager"] == 0, runner.plan_stats()

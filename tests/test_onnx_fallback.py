@@ -184,3 +184,34 @@ def test_foreign_voice_batch_seed_is_order_independent(foreign_voice):
     both, lens = engine.synthesize_batch([ids_a, ids_b], seed=5)
     solo_a = engine.synthesize_ids(ids_a, seed=5)
     np.testing.assert_array_equal(both[0, : lens[0]], solo_a)
+
+
+def test_foreign_streaming_chunk_size_scales_with_sample_rate():
+    """Chunk pacing is TIME-consistent across voices: the true hop of a
+    black-box graph is unknowable, so chunk size derives from the
+    native contract's frame duration (hop 256 @ 22.05 kHz) scaled to
+    the voice's sample rate — not a hard-coded 256 samples/frame
+    (found by review: a 16 kHz voice streamed ~2 s chunks where the
+    native engine's chunk_frames=128 means ~1.49 s)."""
+    from phoonnx_tpu.infer.onnx_engine import OnnxFallbackEngine
+
+    class _Probe(OnnxFallbackEngine):
+        def __init__(self, sample_rate):
+            from phoonnx_tpu.infer.onnx_engine import _HpShim
+
+            self.hp = _HpShim(sample_rate)
+
+        def _run_one(self, *a, **k):
+            import numpy as np
+
+            return np.zeros(100000, np.float32)
+
+    chunks_22k = list(_Probe(22050).synthesize_ids_streaming(
+        [1], chunk_frames=128))
+    assert len(chunks_22k[0]) == 128 * 256
+    chunks_16k = list(_Probe(16000).synthesize_ids_streaming(
+        [1], chunk_frames=128))
+    assert len(chunks_16k[0]) == 128 * round(16000 * 256 / 22050)
+    # same duration either way (~1.49 s)
+    assert abs(len(chunks_16k[0]) / 16000
+               - len(chunks_22k[0]) / 22050) < 0.01
