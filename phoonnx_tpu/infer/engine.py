@@ -65,6 +65,11 @@ def _bucket_for(value: int, buckets: Sequence[int]) -> int:
 class VitsEngine:
     """Compiled VITS synthesis over static shape buckets."""
 
+    # batched synthesis runs as ONE device program whose compile key
+    # includes the lane count (the serving batcher pads lanes to
+    # power-of-two buckets because of this)
+    compiled_batching = True
+
     def __init__(
         self,
         params,

@@ -61,6 +61,11 @@ class _HpShim:
 class OnnxFallbackEngine:
     """Architecture-agnostic voice execution: XLA-lowered ONNX graph."""
 
+    # synthesize_batch runs rows SEQUENTIALLY (one graph execution per
+    # row): lane-count padding would synthesize real extra utterances,
+    # so the serving batcher must not pad
+    compiled_batching = False
+
     def __init__(self, model: OnnxModel, sample_rate: int,
                  compile: bool = True, pad_id: int = 0):
         self.executor = OnnxExecutor(model)

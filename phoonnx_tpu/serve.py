@@ -27,6 +27,7 @@ dependencies, matching the repo's no-new-deps rule.
 import io
 import json
 import logging
+import math
 import queue
 import threading
 import time
@@ -110,6 +111,13 @@ class DynamicBatcher:
                speaker_id: int = 0,
                seed: Optional[int] = None) -> _Submission:
         sub = _Submission(sentence_ids, scales, speaker_id, seed)
+        if self._stop.is_set():
+            # racing stop(): fail fast instead of enqueueing into a
+            # drained queue where no dispatcher will ever set the event
+            # (the handler would sleep out its full request timeout)
+            sub.error = RuntimeError("server shutting down")
+            sub.event.set()
+            return sub
         with self._stats_lock:
             self.stats["requests"] += 1
         self._queue.put(sub)
@@ -175,35 +183,51 @@ class DynamicBatcher:
                     sub.audio = np.zeros(0, np.float32)
                     sub.event.set()
                 return
+            lanes = len(flat_ids)
+            # a single submission can exceed max_batch on its own (one
+            # request whose text splits into many sentences): cap every
+            # device dispatch at max_batch lanes so one long document
+            # cannot force a giant fresh-compiling batch program
+            rows_audio: List[np.ndarray] = []
+            rows_frames: List[int] = []
             # pad lanes up to a power-of-two batch bucket: the lane count
             # is part of the compile key, so arbitrary counts would pay a
             # fresh multi-second XLA compile per distinct concurrency
-            # level, all on this single dispatcher thread
-            lanes = len(flat_ids)
-            target = 1
-            while target < lanes:
-                target *= 2
-            pad_rows = target - lanes
-            padded_ids = flat_ids + [[1]] * pad_rows
-            padded_sids = speaker_ids + [0] * pad_rows
-            audio, frame_lengths = self.engine.synthesize_batch(
-                padded_ids,
-                noise_scale=scales[0], length_scale=scales[1],
-                noise_w=scales[2], speaker_ids=padded_sids, seed=seed,
-            )
-            audio = audio[:lanes]
-            frame_lengths = frame_lengths[:lanes]
+            # level, all on this single dispatcher thread. Engines that
+            # run rows sequentially (interpreter fallback) get no pad —
+            # each pad row would be a REAL extra synthesis there.
+            pads = getattr(self.engine, "compiled_batching", True)
+            for start in range(0, lanes, self.max_batch):
+                chunk_ids = flat_ids[start:start + self.max_batch]
+                chunk_sids = speaker_ids[start:start + self.max_batch]
+                n_chunk = len(chunk_ids)
+                target = n_chunk
+                if pads:
+                    target = 1
+                    while target < n_chunk:
+                        target *= 2
+                pad_rows = target - n_chunk
+                audio, frame_lengths = self.engine.synthesize_batch(
+                    chunk_ids + [[1]] * pad_rows,
+                    noise_scale=scales[0], length_scale=scales[1],
+                    noise_w=scales[2],
+                    speaker_ids=chunk_sids + [0] * pad_rows, seed=seed,
+                )
+                for i in range(n_chunk):
+                    rows_audio.append(audio[i])
+                    rows_frames.append(frame_lengths[i])
             with self._stats_lock:
                 self.stats["batches"] += 1
                 self.stats["max_batch_seen"] = max(
-                    self.stats["max_batch_seen"], lanes)
+                    self.stats["max_batch_seen"], min(lanes,
+                                                      self.max_batch))
             upsample = self.engine.hp.total_upsample
             cursor = 0
             for sub in group:
                 pieces = []
                 for _ in sub.sentence_ids:
-                    n = frame_lengths[cursor] * upsample
-                    pieces.append(audio[cursor][:n])
+                    n = rows_frames[cursor] * upsample
+                    pieces.append(rows_audio[cursor][:n])
                     cursor += 1
                 sub.audio = (np.concatenate(pieces) if pieces
                              else np.zeros(0, np.float32))
@@ -342,23 +366,32 @@ class TTSServer:
         self.request_timeout = float(request_timeout)
         self.default_voice = next(iter(voice))
         devs = _resolve_devices(devices)
-        if devs is not None and len(devs) > 1:
-            self.batchers = {
-                name: BatcherPool(v.engine.replicate(devs),
-                                  max_batch=max_batch,
-                                  max_wait_ms=max_wait_ms)
-                for name, v in voice.items()
-            }
-        else:
-            self.batchers = {
-                name: DynamicBatcher(v.engine, max_batch=max_batch,
-                                     max_wait_ms=max_wait_ms)
-                for name, v in voice.items()
-            }
+        self.max_batch = int(max_batch)
+        self.batchers = {}
+        for name, v in voice.items():
+            if devs is not None and len(devs) > 1 \
+                    and hasattr(v.engine, "replicate"):
+                self.batchers[name] = BatcherPool(
+                    v.engine.replicate(devs), max_batch=max_batch,
+                    max_wait_ms=max_wait_ms)
+            else:
+                if devs is not None and len(devs) > 1:
+                    # fallback-engine voices (foreign graph layouts)
+                    # cannot replicate across chips; serve them
+                    # single-device instead of crashing the whole boot
+                    LOG.warning(
+                        "voice %r uses a non-replicable engine (%s); "
+                        "serving it on one device", name,
+                        type(v.engine).__name__)
+                self.batchers[name] = DynamicBatcher(
+                    v.engine, max_batch=max_batch,
+                    max_wait_ms=max_wait_ms)
         handler = _make_handler(self)
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self.httpd.daemon_threads = True
         self._thread: Optional[threading.Thread] = None
+        self._serving = False  # serve_forever entered (shutdown() waits
+        # on an event only serve_forever sets; calling it earlier hangs)
 
     # single-voice conveniences (back-compat with tests/tooling)
     @property
@@ -382,12 +415,17 @@ class TTSServer:
         return self.httpd.server_address[:2]
 
     def start(self) -> None:
+        self._serving = True
         self._thread = threading.Thread(target=self.httpd.serve_forever,
                                         daemon=True, name="phoonnx-http")
         self._thread.start()
 
     def stop(self) -> None:
-        self.httpd.shutdown()
+        if self._serving:
+            # socketserver.shutdown() blocks on an event that only
+            # serve_forever() sets on exit — calling it on a server that
+            # never served would hang this thread forever
+            self.httpd.shutdown()
         self.httpd.server_close()
         for batcher in self.batchers.values():
             batcher.stop()
@@ -396,6 +434,7 @@ class TTSServer:
             self._thread = None
 
     def serve_forever(self) -> None:
+        self._serving = True
         try:
             self.httpd.serve_forever()
         finally:
@@ -403,8 +442,15 @@ class TTSServer:
                 batcher.stop()
 
     def warmup(self) -> None:
-        """Precompile the common bucket grid for every voice and device
-        (with the persistent compilation cache, later boots start hot)."""
+        """Precompile the bucket grid for every voice and device, at
+        every power-of-two lane count the batcher can dispatch (with the
+        persistent compilation cache, later boots start hot). Warming
+        only batch 1 would leave the FIRST coalesced batch paying a cold
+        compile on the dispatcher thread — the exact stall --warmup
+        promises to prevent."""
+        sizes = [1]
+        while sizes[-1] < self.max_batch:
+            sizes.append(sizes[-1] * 2)
         for name, batcher in self.batchers.items():
             engines = ([b.engine for b in batcher.batchers]
                        if isinstance(batcher, BatcherPool)
@@ -412,7 +458,10 @@ class TTSServer:
             for i, engine in enumerate(engines):
                 LOG.info("warming up voice %r (engine %d/%d)", name,
                          i + 1, len(engines))
-                engine.warmup()
+                try:
+                    engine.warmup(batch_sizes=tuple(sizes))
+                except TypeError:
+                    engine.warmup()  # engines without batched programs
 
     # -- request-side synthesis -------------------------------------
 
@@ -448,11 +497,20 @@ class TTSServer:
     @staticmethod
     def _scales(voice, body: Dict[str, Any]) -> Tuple[float, float, float]:
         cfg = voice.config
-        return (
+        scales = (
             float(body.get("noise_scale", cfg.noise_scale)),
             float(body.get("length_scale", cfg.length_scale)),
             float(body.get("noise_w", cfg.noise_w_scale)),
         )
+        # json.loads accepts bare NaN/Infinity: NaN noise returns a 200
+        # WAV of garbage and NaN length_scale raises deep inside the
+        # dispatcher — reject at validation time instead (-> 400)
+        if not all(math.isfinite(s) for s in scales):
+            raise ValueError(
+                "noise_scale/length_scale/noise_w must be finite numbers")
+        if scales[1] <= 0:
+            raise ValueError("length_scale must be > 0")
+        return scales
 
     def synthesize_wav_bytes(self, body: Dict[str, Any]) -> bytes:
         voice, batcher = self._select(body)
@@ -491,6 +549,15 @@ class TTSServer:
         time-to-first-audio, batching optimizes throughput; with a
         device pool, streams round-robin across chips)."""
         voice, batcher = self._select(body)
+        if body.get("normalize", False):
+            # peak normalization needs the complete utterance; honoring
+            # it per-chunk would change loudness mid-stream, and silently
+            # ignoring it would make the two routes disagree on loudness
+            # for the same request — refuse loudly (-> 400)
+            raise ValueError(
+                "normalize is not available on the streaming route "
+                "(peak normalization needs the whole utterance); use "
+                "the WAV route or the 'volume' option")
         engine = (batcher.next_engine()
                   if isinstance(batcher, BatcherPool) else None)
         seed = body.get("seed")
@@ -637,15 +704,21 @@ def _make_handler(server: TTSServer):
             # 500 via do_POST instead of corrupting a chunked body
             chunks = server.stream_pcm_chunks(body)
             first = next(chunks, None)
-            self.send_response(200)
-            self.send_header("Content-Type", "application/octet-stream")
-            self.send_header("Transfer-Encoding", "chunked")
-            self.send_header("X-Sample-Rate",
-                             str(voice.config.sample_rate))
-            self.send_header("X-Sample-Width", "2")
-            self.send_header("X-Channels", "1")
-            self.end_headers()
             try:
+                # everything from send_response on is inside the guard:
+                # once the first status-line byte is buffered, any error
+                # path that emits a second response (do_POST's _json
+                # handlers) would corrupt the HTTP framing — log, drop
+                # the connection, never _json()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "application/octet-stream")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.send_header("X-Sample-Rate",
+                                 str(voice.config.sample_rate))
+                self.send_header("X-Sample-Width", "2")
+                self.send_header("X-Channels", "1")
+                self.end_headers()
                 import itertools
 
                 head = [first] if first is not None else []
@@ -657,8 +730,6 @@ def _make_handler(server: TTSServer):
                     self.wfile.write(b"\r\n")
                 self.wfile.write(b"0\r\n\r\n")
             except Exception:
-                # headers are out: a second status line would corrupt the
-                # HTTP framing — log, drop the connection, never _json()
                 LOG.exception("stream aborted mid-response")
                 self.close_connection = True
 

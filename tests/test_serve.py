@@ -319,6 +319,100 @@ def test_request_timeout_returns_clear_json_error(voice):
         srv.stop()
 
 
+
+def test_single_oversized_submission_chunks_to_max_batch(voice):
+    """One request with more sentences than max_batch must dispatch in
+    max_batch-lane chunks (found by review: the lane cap only applied
+    across submissions, so one 100-sentence document compiled a fresh
+    batch-128 program on the dispatcher)."""
+    calls = []
+    real = voice.engine.synthesize_batch
+
+    def spy(batch_ids, **kw):
+        calls.append(len(batch_ids))
+        return real(batch_ids, **kw)
+
+    batcher = DynamicBatcher(voice.engine, max_batch=8, max_wait_ms=1.0,
+                             autostart=False)
+    batcher.engine = type("E", (), {
+        "synthesize_batch": staticmethod(spy), "hp": voice.engine.hp,
+        "compiled_batching": True})()
+    ids = [[1, 5, 9]] * 20
+    sub = batcher.submit(ids, (0.667, 1.0, 0.8))
+    batcher._drain_once()
+    audio = sub.wait(timeout=30.0)
+    assert len(audio) > 0
+    assert calls == [8, 8, 4], calls  # 20 lanes -> 8+8+4(pow2 of 4)
+    assert batcher.stats["max_batch_seen"] == 8
+
+
+def test_sequential_engine_gets_no_pad_rows(voice):
+    """Engines that synthesize rows sequentially (compiled_batching
+    False, e.g. the ONNX fallback) must not receive pad lanes — every
+    pad row would be a REAL extra synthesis there."""
+    calls = []
+    real = voice.engine.synthesize_batch
+
+    def spy(batch_ids, **kw):
+        calls.append(len(batch_ids))
+        return real(batch_ids, **kw)
+
+    batcher = DynamicBatcher(voice.engine, max_batch=8, max_wait_ms=1.0,
+                             autostart=False)
+    batcher.engine = type("E", (), {
+        "synthesize_batch": staticmethod(spy), "hp": voice.engine.hp,
+        "compiled_batching": False})()
+    subs = [batcher.submit([[1, 5, 9]], (0.667, 1.0, 0.8))
+            for _ in range(3)]
+    batcher._drain_once()
+    for sub in subs:
+        assert len(sub.wait(timeout=30.0)) > 0
+    assert calls == [3], calls  # 3 lanes, NOT padded to 4
+
+
+def test_submit_after_stop_fails_fast(voice):
+    """A submission racing stop() must error immediately, not sleep out
+    the full request timeout on an event nobody will set."""
+    batcher = DynamicBatcher(voice.engine, autostart=False)
+    batcher.stop()
+    sub = batcher.submit([[1]], (0.667, 1.0, 0.8))
+    with pytest.raises(RuntimeError, match="shutting down"):
+        sub.wait(timeout=1.0)
+
+
+def test_stop_before_start_returns_promptly(voice):
+    """socketserver.shutdown() blocks forever on a server whose
+    serve_forever never ran; stop() must handle the never-started case
+    (e.g. cleanup after a warmup failure)."""
+    import time as _time
+
+    srv = TTSServer(voice, port=0, max_batch=4)
+    t0 = _time.monotonic()
+    srv.stop()
+    assert _time.monotonic() - t0 < 3.0
+
+
+def test_nan_scales_return_400(server):
+    resp, data = _request(server, "POST", "/synthesize",
+                          {"text": "[[abc]]", "noise_scale": float("nan")})
+    assert resp.status == 400
+    assert "finite" in json.loads(data)["error"]
+    resp, data = _request(server, "POST", "/synthesize",
+                          {"text": "[[abc]]", "length_scale": 0.0})
+    assert resp.status == 400
+
+
+def test_stream_with_normalize_returns_400(server):
+    """normalize cannot be honored chunk-by-chunk; silently ignoring it
+    would make the WAV and stream routes disagree on loudness for the
+    same request — must refuse loudly."""
+    resp, data = _request(server, "POST", "/synthesize",
+                          {"text": "[[abc]]", "stream": True,
+                           "normalize": True})
+    assert resp.status == 400
+    assert "normalize" in json.loads(data)["error"]
+
+
 # -- multi-device serving (engine replication across the CPU mesh) ---------
 
 @pytest.fixture(scope="module")
