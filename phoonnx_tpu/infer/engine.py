@@ -402,8 +402,11 @@ class VitsEngine:
         noise_w: float = 0.8,
         speaker_id: int = 0,
         seed: Optional[int] = None,
+        lang_id: Optional[int] = None,
     ):
         """Yield the waveform in chunks as the decoder produces them.
+        ``lang_id`` is accepted for API parity and unused (no language
+        conditioning in the VITS graph).
 
         Time-to-first-audio path: the encoder/duration/flow stages run
         once (they are cheap), then the HiFi-GAN decoder — which holds
@@ -512,8 +515,11 @@ class VitsEngine:
         noise_w: float = 0.8,
         speaker_ids: Optional[Sequence[int]] = None,
         seed: Optional[int] = None,
+        lang_id: Optional[int] = None,
     ) -> Tuple[np.ndarray, List[int]]:
-        """Batched synthesis with bucketed padding.
+        """Batched synthesis with bucketed padding. ``lang_id`` is
+        accepted for API parity and unused (no language conditioning in
+        the VITS graph).
 
         Returns (waveforms [B, F_bucket*upsample] float32, frame lengths).
         """

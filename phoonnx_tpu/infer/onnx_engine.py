@@ -176,6 +176,7 @@ class OnnxFallbackEngine:
         noise_w: float = 0.8,
         speaker_ids: Optional[Sequence[int]] = None,
         seed: Optional[int] = None,
+        lang_id: Optional[int] = None,
     ) -> Tuple[np.ndarray, List[int]]:
         """Sequential execution; returns (padded [B, L], sample lengths).
 
@@ -189,7 +190,8 @@ class OnnxFallbackEngine:
             item_seed = None if seed is None else int(seed) + i
             sid = speaker_ids[i] if speaker_ids is not None else 0
             wavs.append(self._run_one(ids, noise_scale, length_scale,
-                                      noise_w, sid, None, seed=item_seed))
+                                      noise_w, sid, lang_id,
+                                      seed=item_seed))
         lengths = [len(w) for w in wavs]
         out = np.zeros((len(wavs), max(lengths) if lengths else 0),
                        np.float32)
@@ -207,6 +209,7 @@ class OnnxFallbackEngine:
         noise_w: float = 0.8,
         speaker_id: int = 0,
         seed: Optional[int] = None,
+        lang_id: Optional[int] = None,
     ):
         """Yield the utterance in fixed-size sample chunks.
 
@@ -228,7 +231,7 @@ class OnnxFallbackEngine:
         """
         del overlap_frames
         audio = self._run_one(phoneme_ids, noise_scale, length_scale,
-                              noise_w, speaker_id, None, seed=seed)
+                              noise_w, speaker_id, lang_id, seed=seed)
         samples_per_frame = max(1, round(self.hp.sample_rate * 256 / 22050))
         step = max(1, int(chunk_frames)) * samples_per_frame
         for off in range(0, len(audio), step):

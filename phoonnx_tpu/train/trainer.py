@@ -19,6 +19,7 @@ from typing import Optional
 
 import click
 import jax
+import numpy as np
 
 from phoonnx_tpu.models.vits.model import VitsHParams
 from phoonnx_tpu.train import checkpoint as ckpt
@@ -49,7 +50,9 @@ def build_hparams(config: dict, quality: str) -> VitsHParams:
 def evaluate(state, loader: BucketedLoader, rng, hp, cfg,
              max_batches: int = 8, step_fn=None,
              device_batch=None) -> float:
-    """Mean generator loss over validation batches (no updates).
+    """Mean COMBINED (generator + discriminator) loss over validation
+    batches, no updates — matching the reference's validation_step which
+    logs loss_gen_all + loss_disc_all (lightning.py:282-306).
 
     ``step_fn`` must be a jitted train step WITHOUT donation (the state
     is reused across batches); run_training caches one across epochs.
@@ -108,7 +111,10 @@ def _test_infer_jit(hp, max_frames: int, multispeaker: bool):
 
     from phoonnx_tpu.models.vits import model as vits_model
 
-    key = (id(hp), max_frames, multispeaker)
+    # key by VALUE: id(hp) can be recycled by the allocator across
+    # run_training calls in one process, silently reusing a jit closed
+    # over a dead run's hparams
+    key = (hp, max_frames, multispeaker)
     if key not in _TEST_INFER_CACHE:
         @jax.jit
         def infer_fn(params_g, ids, lengths, sid, rng):
@@ -368,6 +374,9 @@ def run_training(
     # prefetch below would then overlap nothing). Synced once here for
     # checkpoint resume.
     step = int(state.step)
+    steps_this_run = 0  # profiler warmup gate: a RESUMED run's global
+    # step is large from step one, but the first local steps still pay
+    # jit compiles that must stay out of the trace
     # checkpoints are written at epoch boundaries, so a restored step
     # lands exactly on one; epoch-indexed shuffles + step-indexed rng
     # make the continuation identical to the uninterrupted run
@@ -377,7 +386,8 @@ def run_training(
         epoch_start = time.time()
         for batch in train_loader.epoch(prefetch=2, epoch_index=epoch):
             sub = jax.random.fold_in(rng, step)
-            if profile_dir is not None and not profiling and step >= 2:
+            if (profile_dir is not None and not profiling
+                    and steps_this_run >= 2):
                 # trace after the compile step so the trace is pure
                 # device time (view with xprof / tensorboard)
                 jax.profiler.start_trace(profile_dir)
@@ -385,6 +395,7 @@ def run_training(
                 profile_end = step + profile_steps
             state, metrics = step_fn(state, device_batch(batch), sub)
             step += 1
+            steps_this_run += 1
             if profiling and step >= profile_end:
                 jax.block_until_ready(metrics)
                 jax.profiler.stop_trace()
@@ -427,8 +438,27 @@ def run_training(
             # validation (the reference's validation_step generates these,
             # lightning.py:286-304 — its tensorboard write is commented
             # out; we write WAVs under <dataset>/test_audio/epoch_N/)
-            write_test_audio(state.params_g, hp, _test_utts,
-                             dataset_path / "test_audio" / f"epoch_{epoch}")
+            params_for_audio = state.params_g
+            if jax.process_count() > 1:
+                # the jitted infer below runs in THIS process only; a jit
+                # over arrays sharded across a multi-process mesh would
+                # error or hang the other hosts. DP keeps params fully
+                # replicated, so process 0 can materialize them host-side
+                # and run locally; TP-sharded params cannot — skip.
+                try:
+                    params_for_audio = jax.tree.map(
+                        lambda x: jax.numpy.asarray(np.asarray(x)),
+                        state.params_g)
+                except Exception:
+                    LOG.warning(
+                        "test audio skipped: params are not "
+                        "host-addressable from process 0 (sharded "
+                        "beyond data-parallel replication)")
+                    params_for_audio = None
+            if params_for_audio is not None:
+                write_test_audio(params_for_audio, hp, _test_utts,
+                                 dataset_path / "test_audio"
+                                 / f"epoch_{epoch}")
 
         if (epoch + 1) % checkpoint_epochs == 0 and is_main_process:
             # params/opt state are replicated, so process 0's copy is the

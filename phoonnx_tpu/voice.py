@@ -192,6 +192,9 @@ class TTSVoice:
         if n_deq:
             LOG.info("dequantized %d int8 weight tensors for import",
                      n_deq)
+        # metadata parsing stays OUTSIDE the fallback try: a malformed
+        # istft_* value on a real VITS voice is a genuine error the user
+        # must see, not a reason to silently demote to the interpreter
         overrides = {"sample_rate": config.sample_rate}
         for key in ("istft_hop", "istft_n_fft", "istft_bands"):
             if key in onnx_model.metadata:
@@ -215,8 +218,6 @@ class TTSVoice:
                 )
             hp = infer_hparams_from_flat(named, **overrides)
             params = params_from_flat(named, hp, strict=False)
-            engine = VitsEngine(params, hp, dtype=dtype,
-                                matmul_precision=matmul_precision)
         except (KeyError, ValueError) as exc:
             # Not the piper/phoonnx VITS weight layout (e.g. a coqui-VITS
             # or mimic3 export). The reference would hand any graph to
@@ -232,6 +233,12 @@ class TTSVoice:
                 "the native engine)", exc,
             )
             engine = OnnxFallbackEngine(onnx_model, config.sample_rate)
+            return TTSVoice(engine=engine, config=config)
+        # the weights imported: from here on, errors are genuine (an
+        # engine-construction failure on a real VITS voice must surface,
+        # not demote the user to the slow interpreter)
+        engine = VitsEngine(params, hp, dtype=dtype,
+                            matmul_precision=matmul_precision)
         return TTSVoice(engine=engine, config=config)
 
     # ------------------------------------------------------------------
@@ -353,15 +360,8 @@ class TTSVoice:
         if syn_config.add_diacritics:
             text = self.phonemizer.add_diacritics(text, self.config.lang_code)
 
-        length_scale = (syn_config.length_scale
-                        if syn_config.length_scale is not None
-                        else self.config.length_scale)
-        noise_scale = (syn_config.noise_scale
-                       if syn_config.noise_scale is not None
-                       else self.config.noise_scale)
-        noise_w = (syn_config.noise_w_scale
-                   if syn_config.noise_w_scale is not None
-                   else self.config.noise_w_scale)
+        noise_scale, length_scale, noise_w = self._resolve_scales(
+            syn_config)
 
         for phonemes in self.phonemize(text):
             if not phonemes:
@@ -373,11 +373,12 @@ class TTSVoice:
                 phoneme_ids,
                 chunk_frames=chunk_frames,
                 overlap_frames=overlap_frames,
-                noise_scale=float(noise_scale),
-                length_scale=float(length_scale),
-                noise_w=float(noise_w),
+                noise_scale=noise_scale,
+                length_scale=length_scale,
+                noise_w=noise_w,
                 speaker_id=syn_config.speaker_id or 0,
                 seed=syn_config.seed,
+                lang_id=syn_config.lang_id or 0,
             ):
                 if syn_config.volume != 1.0:
                     audio = audio * syn_config.volume
@@ -453,22 +454,16 @@ class TTSVoice:
         if not flat_ids:
             return [np.zeros(0, np.float32) for _ in texts]
 
-        length_scale = (syn_config.length_scale
-                        if syn_config.length_scale is not None
-                        else self.config.length_scale)
-        noise_scale = (syn_config.noise_scale
-                       if syn_config.noise_scale is not None
-                       else self.config.noise_scale)
-        noise_w = (syn_config.noise_w_scale
-                   if syn_config.noise_w_scale is not None
-                   else self.config.noise_w_scale)
+        noise_scale, length_scale, noise_w = self._resolve_scales(
+            syn_config)
         audio, frame_lengths = self.engine.synthesize_batch(
             flat_ids,
-            noise_scale=float(noise_scale),
-            length_scale=float(length_scale),
-            noise_w=float(noise_w),
+            noise_scale=noise_scale,
+            length_scale=length_scale,
+            noise_w=noise_w,
             speaker_ids=[syn_config.speaker_id or 0] * len(flat_ids),
             seed=syn_config.seed,
+            lang_id=syn_config.lang_id or 0,
         )
         upsample = self.engine.hp.total_upsample
 
@@ -501,6 +496,20 @@ class TTSVoice:
         return self.engine.voice_conversion(audio, sid_src, sid_tgt,
                                             seed=seed)
 
+    def _resolve_scales(self, syn_config: SynthesisConfig):
+        """(noise_scale, length_scale, noise_w): per-call override if set,
+        else the voice config's default (one source of truth — this
+        defaulting used to be copy-pasted per synthesis method)."""
+        cfg = self.config
+        return (
+            float(syn_config.noise_scale if syn_config.noise_scale
+                  is not None else cfg.noise_scale),
+            float(syn_config.length_scale if syn_config.length_scale
+                  is not None else cfg.length_scale),
+            float(syn_config.noise_w_scale if syn_config.noise_w_scale
+                  is not None else cfg.noise_w_scale),
+        )
+
     def phoneme_ids_to_audio(
         self, phoneme_ids: List[int],
         syn_config: Optional[SynthesisConfig] = None,
@@ -509,15 +518,8 @@ class TTSVoice:
         if syn_config is None:
             syn_config = SynthesisConfig()
 
-        length_scale = syn_config.length_scale
-        noise_scale = syn_config.noise_scale
-        noise_w = syn_config.noise_w_scale
-        if length_scale is None:
-            length_scale = self.config.length_scale
-        if noise_scale is None:
-            noise_scale = self.config.noise_scale
-        if noise_w is None:
-            noise_w = self.config.noise_w_scale
+        noise_scale, length_scale, noise_w = self._resolve_scales(
+            syn_config)
 
         return self.engine.synthesize_ids(
             phoneme_ids,

@@ -363,3 +363,50 @@ def test_voice_with_unresolvable_quantization_falls_back(voice_files,
                outputs=["output"])
     voice = TTSVoice.load(str(path), str(config_path))
     assert isinstance(voice.engine, OnnxFallbackEngine)
+
+
+def test_lang_id_threads_through_every_synthesis_path():
+    """SynthesisConfig.lang_id must reach the engine on ALL paths —
+    synthesize (per-sentence), synthesize_streaming, and
+    synthesize_batch (found by review: streaming/batch silently dropped
+    it, so multi-language foreign voices spoke language 0 there)."""
+    from phoonnx_tpu import SynthesisConfig
+    from phoonnx_tpu.config import VoiceConfig
+    from phoonnx_tpu.voice import TTSVoice
+
+    seen = []
+
+    class _Engine:
+        class hp:
+            sample_rate = 16000
+            total_upsample = 1
+
+        def synthesize_ids(self, ids, lang_id=None, **kw):
+            seen.append(("one", lang_id))
+            return np.zeros(64, np.float32)
+
+        def synthesize_ids_streaming(self, ids, lang_id=None, **kw):
+            seen.append(("stream", lang_id))
+            yield np.zeros(64, np.float32)
+
+        def synthesize_batch(self, batch_ids, lang_id=None, **kw):
+            seen.append(("batch", lang_id))
+            return (np.zeros((len(batch_ids), 64), np.float32),
+                    [64] * len(batch_ids))
+
+    config = VoiceConfig.from_dict({
+        "phoneme_type": "raw", "lang_code": "en", "alphabet": "ipa",
+        "phoneme_id_map": {"_": 0, "^": 1, "$": 2, " ": 3, "a": 4,
+                           "b": 5, "c": 6},
+        "num_symbols": 7, "num_speakers": 1,
+        "audio": {"sample_rate": 16000},
+    })
+    voice = TTSVoice(engine=_Engine(), config=config)
+    cfg = SynthesisConfig(lang_id=2)
+    list(voice.synthesize("[[abc]]", cfg))
+    list(voice.synthesize_streaming("[[abc]]", cfg))
+    voice.synthesize_batch(["[[abc]]"], cfg)
+    kinds = {k: v for k, v in seen}
+    assert kinds.get("one") == 2, seen
+    assert kinds.get("stream") == 2, seen
+    assert kinds.get("batch") == 2, seen
