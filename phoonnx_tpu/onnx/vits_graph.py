@@ -215,7 +215,10 @@ class VitsGraph:
         hp = self.hp
         heads = hp.n_heads
         d_k = hp.hidden_channels // heads
-        window = 4
+        # derive from the checkpoint, not the VITS default: emb_rel_k is
+        # [1, 2*window+1, d_k] (a fork trained with a different window
+        # would otherwise export silently-wrong attention)
+        window = (self.p[f"{prefix}.emb_rel_k"].shape[1] - 1) // 2
 
         q = self.conv(x, f"{prefix}.conv_q")
         k = self.conv(x, f"{prefix}.conv_k")
@@ -374,7 +377,13 @@ class VitsGraph:
     def conv_flow_reverse(self, x, x_mask, g, prefix):
         b = self.b
         filter_channels = self.hp.hidden_channels  # SDP overrides to in_ch
-        num_bins, tail_bound = 10, 5.0
+        # proj emits half*(3*num_bins - 1) channels (half = 1 for the
+        # SDP's [x0|x1] split): recover num_bins from the checkpoint
+        # instead of assuming the default 10. tail_bound is a true
+        # hyperparameter (not recoverable from weights); the reference
+        # hard-codes 5.0 (modules.py:477).
+        proj_out = self.p[f"{prefix}.proj.weight"].shape[0]
+        num_bins, tail_bound = (proj_out + 1) // 3, 5.0
         x0 = b.slice_(x, [0], [1], [1])
         x1 = b.slice_(x, [1], [2], [1])
         h = self.conv(x0, f"{prefix}.pre")
@@ -598,7 +607,7 @@ class VitsGraph:
         b = self.b
         hp = self.hp
         if deterministic:
-            real_random = b.random_like
+            # builders are single-use; no restore needed after build()
 
             def zero_like(x, scale=1.0):
                 return b.mul(x, b.f32(0.0))
@@ -686,10 +695,13 @@ class VitsGraph:
         op, ins, outs, attrs = b.nodes[-1]
         b.nodes[-1] = (op, ins, ["output"], attrs)
 
-        inputs = ["input", "input_lengths", "scales"]
+        inputs = [("input", np.int64, ("N", "T")),
+                  ("input_lengths", np.int64, ("N",)),
+                  ("scales", np.float32, (3,))]
         if self.multispeaker:
-            inputs.append("sid")
-        return b.nodes, b.initializers, inputs, ["output"]
+            inputs.append(("sid", np.int64, ("N",)))
+        outputs = [("output", np.float32, ("N", 1, "T_audio"))]
+        return b.nodes, b.initializers, inputs, outputs
 
 
 def _quantize_graph_weights(nodes, initializers, flat):

@@ -43,8 +43,34 @@ def _encode_tensor(name: str, array: np.ndarray) -> bytes:
     return bytes(out)
 
 
-def _encode_value_info(name: str) -> bytes:
-    return wire.encode_string_field(1, name)
+def _encode_value_info(spec) -> bytes:
+    """ValueInfoProto from ``name`` or ``(name, dtype, shape)``.
+
+    The ONNX IR requires graph inputs/outputs to carry TypeProto —
+    name-only ValueInfoProto is invalid ONNX that onnxruntime refuses to
+    load ("Input must have type info"), even though the in-repo reader
+    tolerates it. Shape dims may be ints (fixed) or strings (dynamic
+    dim_param, e.g. "N"/"T" — the reference exports dynamic batch/time
+    axes the same way, export_onnx.py:318-327).
+    """
+    if isinstance(spec, str):
+        return wire.encode_string_field(1, spec)
+    name, dtype, shape = spec
+    onnx_type = _NP_TO_ONNX.get(np.dtype(dtype))
+    if onnx_type is None:
+        raise ValueError(f"unsupported dtype {dtype} for {name}")
+    shape_proto = bytearray()
+    for dim in shape:
+        if isinstance(dim, str):
+            dim_proto = wire.encode_string_field(2, dim)  # dim_param
+        else:
+            dim_proto = wire.encode_varint_field(1, int(dim))  # dim_value
+        shape_proto += wire.encode_len_field(1, bytes(dim_proto))
+    tensor_type = (wire.encode_varint_field(1, onnx_type)
+                   + wire.encode_len_field(2, bytes(shape_proto)))
+    type_proto = wire.encode_len_field(1, tensor_type)
+    return (wire.encode_string_field(1, name)
+            + wire.encode_len_field(2, type_proto))
 
 
 def _encode_attribute(name: str, value) -> bytes:

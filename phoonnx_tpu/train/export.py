@@ -154,15 +154,17 @@ def run_export(
             weights, n_q = quantize_flat(weights)
             if n_q:
                 metadata["quantization"] = "int8-weights"
-        inputs = ["input", "input_lengths", "scales"]
+        inputs = [("input", np.int64, ("N", "T")),
+                  ("input_lengths", np.int64, ("N",)),
+                  ("scales", np.float32, (3,))]
         if hp.n_speakers > 1:
-            inputs.append("sid")
+            inputs.append(("sid", np.int64, ("N",)))
         write_onnx(
             str(model_output),
             weights,
             metadata=metadata,
             inputs=inputs,
-            outputs=["output"],
+            outputs=[("output", np.float32, ("N", 1, "T_audio"))],
         )
     LOG.info("wrote %s (%d tensors)", model_output, len(flat))
 

@@ -231,3 +231,46 @@ def test_quantized_graph_matches_dequantized_weights(tmp_path):
     export_vits_onnx(flat, hp, str(full), deterministic=True,
                      metadata={"model_type": "vits"})
     assert qpath.stat().st_size < full.stat().st_size * 0.45
+
+
+def test_exported_graph_io_carries_type_info():
+    """Graph inputs/outputs must be FULL ValueInfoProto (name + TypeProto
+    with elem_type and shape): the ONNX IR requires it and onnxruntime
+    refuses to load name-only io ("Input must have type info") — found
+    by review; the in-repo reader tolerated the omission so no test
+    caught it. Walked at the wire level since the sandbox has no onnx
+    package."""
+
+    from phoonnx_tpu.onnx import wire
+
+    hp = SMALL_HP
+    params = random_params(jax.random.PRNGKey(0), hp)
+    flat = {k: np.asarray(v) for k, v in params_to_flat(params).items()}
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/m.onnx"
+        export_vits_onnx(flat, hp, path, metadata={})
+        data = open(path, "rb").read()
+
+    def fields(buf):
+        return list(wire.iter_fields(buf))
+
+    graphs = [v for f, _, v in fields(data) if f == 7]
+    assert len(graphs) == 1
+    ios = [v for f, _, v in fields(graphs[0]) if f in (11, 12)]
+    assert len(ios) >= 4  # 3 inputs + 1 output
+    for vi in ios:
+        vi_fields = {f: v for f, _, v in fields(vi)}
+        assert 1 in vi_fields, "value info missing name"
+        assert 2 in vi_fields, (
+            f"value info {vi_fields[1]!r} missing TypeProto")
+        tensor_type = {f: v for f, _, v in fields(vi_fields[2])}[1]
+        tt = {f: v for f, _, v in fields(tensor_type)}
+        assert 1 in tt, "tensor_type missing elem_type"
+        assert 2 in tt, "tensor_type missing shape"
+        dims = [v for f, _, v in fields(tt[2]) if f == 1]
+        assert dims, "shape has no dims"
+        for d in dims:
+            df = {f: (w, v) for f, w, v in fields(d)}
+            assert 1 in df or 2 in df  # dim_value or dim_param
