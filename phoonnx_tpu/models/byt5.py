@@ -289,6 +289,13 @@ def greedy_decode(params, cfg: T5Config, input_ids: Array,
         current = jnp.take_along_axis(tokens, pos[None, None], axis=1)[:, 0]
         x = jnp.take(params["shared"]["weight"], current, axis=0)[:, None, :]
 
+        # layer-invariant: the decoder shares ONE relative-position table
+        # and the valid-key mask depends only on pos — hoist out of the
+        # layer loop (was rebuilt n_layers times per decode step)
+        bias = _position_bias(rel_table, 1, max_length, False, cfg,
+                              q_offset=pos)
+        valid = (jnp.arange(max_length) <= pos)[None, None, None, :]
+
         new_k, new_v = self_k, self_v
         for i in range(n_layers):
             block = dec["block"][str(i)]["layer"]
@@ -304,9 +311,6 @@ def greedy_decode(params, cfg: T5Config, input_ids: Array,
             new_k = new_k.at[i, :, :, pos].set(k_step[:, :, 0])
             new_v = new_v.at[i, :, :, pos].set(v_step[:, :, 0])
 
-            bias = _position_bias(rel_table, 1, max_length, False, cfg,
-                                  q_offset=pos)
-            valid = (jnp.arange(max_length) <= pos)[None, None, None, :]
             scores = jnp.einsum("bhqd,bhkd->bhqk", q, new_k[i],
                                 preferred_element_type=jnp.float32)
             scores = jnp.where(valid, scores + bias, -1e9)

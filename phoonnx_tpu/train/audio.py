@@ -72,10 +72,32 @@ def _energy_speech_probs(audio_16k: np.ndarray) -> np.ndarray:
     return np.clip((rms - noise_floor) / (peak - noise_floor), 0, 1)
 
 
+def _resolve_vad_model(model_path: Optional[str] = None) -> Optional[str]:
+    """Locate a Silero-VAD ONNX model: explicit path, PHOONNX_VAD_MODEL,
+    the package data dir, then the user cache dir (where the reference
+    bundles/downloads its copy). None -> energy VAD. Without this
+    resolution the Silero path was unreachable in the real pipeline —
+    nothing ever passed model_path."""
+    if not model_path:
+        model_path = os.environ.get("PHOONNX_VAD_MODEL")
+    if model_path:
+        return model_path
+    candidates = (
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "..", "data", "silero_vad.onnx"),
+        os.path.expanduser("~/.local/share/phoonnx/silero_vad.onnx"),
+    )
+    for cand in candidates:
+        if os.path.exists(cand):
+            return cand
+    return None
+
+
 class SileroVoiceActivityDetector:
     """Silero VAD when its ONNX model is available; energy VAD otherwise."""
 
     def __init__(self, model_path: Optional[str] = None):
+        model_path = _resolve_vad_model(model_path)
         self.model_path = model_path
         self._executor = None
         self._model = None
@@ -168,7 +190,11 @@ def cache_norm_audio(
     (sha256 of the source path, norm_audio/__init__.py:21-92).
     """
     os.makedirs(cache_dir, exist_ok=True)
-    digest = hashlib.sha256(str(audio_path).encode()).hexdigest()
+    # the key must carry every parameter the cached arrays depend on:
+    # a path-only key (the reference's scheme) silently serves stale
+    # caches when --sample-rate/--n-fft/... change between runs
+    key = f"{audio_path}|{target_sr}|{n_fft}|{hop_length}|{win_length}"
+    digest = hashlib.sha256(key.encode()).hexdigest()
     norm_path = os.path.join(cache_dir, f"{digest}.npy")
     spec_path = os.path.join(cache_dir, f"{digest}.spec.npy")
     if os.path.exists(norm_path) and os.path.exists(spec_path):

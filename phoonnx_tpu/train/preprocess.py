@@ -83,12 +83,23 @@ def read_ljspeech(input_dir: Path, metadata_name: str = "metadata.csv"
     wav_dirs = [input_dir / "wav", input_dir / "wavs", input_dir]
     with open(metadata_path, "r", encoding="utf-8") as f:
         reader = csv.reader(f, delimiter="|", quoting=csv.QUOTE_NONE)
+        # column layout is a CORPUS property decided by the first row:
+        # per-row detection would let one stray '|' inside a 2-column
+        # row's text masquerade as a speaker name and silently flip the
+        # whole corpus to multispeaker
+        n_cols = None
         for row in reader:
             if len(row) < 2:
                 continue
+            if n_cols is None:
+                n_cols = 3 if len(row) > 2 else 2
             filename = row[0]
-            speaker = row[1] if len(row) > 2 else None
-            text = row[-1]
+            if n_cols == 3:
+                speaker = row[1] if len(row) > 2 else None
+                text = "|".join(row[2:]) if len(row) > 2 else row[1]
+            else:
+                speaker = None
+                text = "|".join(row[1:])
             if not filename.endswith(".wav"):
                 filename += ".wav"
             for wav_dir in wav_dirs:
@@ -325,15 +336,28 @@ def run_preprocess(
     written = 0
     with open(output_path / "dataset.jsonl", "w", encoding="utf-8") as f:
         for utt in processed:
-            if is_multispeaker and utt.speaker is not None:
-                if utt.speaker not in speaker_ids:
-                    LOG.error("Speaker '%s' not in speaker_id_map",
-                              utt.speaker)
+            if is_multispeaker:
+                # speakerless rows in a multispeaker corpus were counted
+                # under '' — assign that id instead of leaving
+                # speaker_id null (collate would default null to 0,
+                # silently attributing them to the most-frequent speaker)
+                name = utt.speaker or ""
+                if name not in speaker_ids:
+                    LOG.error("Speaker '%s' not in speaker_id_map", name)
                     continue
-                utt.speaker_id = speaker_ids[utt.speaker]
+                utt.speaker_id = speaker_ids[name]
             elif speaker_id is not None:
                 utt.speaker_id = speaker_id
             if utt.phonemes:
+                if not any(p in final_map for p in utt.phonemes):
+                    # every symbol dropped (e.g. --drop-extra-phonemes
+                    # against a diverged phonemizer): the id sequence
+                    # would be specials-only — full-length audio paired
+                    # with no linguistic content
+                    LOG.warning(
+                        "Skipping utterance with no mappable phonemes: "
+                        "%s", utt.audio_path)
+                    continue
                 utt.phoneme_ids = phonemes_to_ids(
                     utt.phonemes, id_map=final_map
                 )
@@ -372,9 +396,19 @@ def run_preprocess(
 @click.option("--n-fft", default=1024, type=int)
 @click.option("--hop-length", default=256, type=int)
 @click.option("--win-length", default=1024, type=int)
+@click.option("--vad-model", default=None,
+              help="Silero-VAD ONNX model for silence trimming "
+                   "(default: $PHOONNX_VAD_MODEL, the package data dir, "
+                   "or ~/.local/share/phoonnx/silero_vad.onnx; energy "
+                   "VAD when none found)")
 @click.option("--debug", is_flag=True)
 def main(**kwargs) -> None:
     debug = kwargs.pop("debug", False)
+    vad_model = kwargs.pop("vad_model", None)
+    if vad_model:
+        # spawn workers build their own detector; the env var is the
+        # channel that survives the process boundary
+        os.environ["PHOONNX_VAD_MODEL"] = vad_model
     logging.basicConfig(level=logging.DEBUG if debug else logging.INFO)
     run_preprocess(**kwargs)
 

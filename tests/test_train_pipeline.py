@@ -494,3 +494,80 @@ def test_loader_prefetch_equivalence(tmp_path):
     for a, b in zip(plain, threaded):
         for key in a:
             np.testing.assert_array_equal(a[key], b[key])
+
+
+def test_read_ljspeech_stray_pipe_stays_single_speaker(tmp_path):
+    """One stray '|' inside a 2-column row's text must not become a
+    speaker name and flip the corpus to multispeaker (found by review);
+    the column layout is a corpus property decided by the first row."""
+    import wave as _wave
+
+    from phoonnx_tpu.train.preprocess import read_ljspeech
+
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    for name in ("a", "b"):
+        with _wave.open(str(wav_dir / f"{name}.wav"), "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(16000)
+            f.writeframes(b"\x00\x00" * 1600)
+    (tmp_path / "metadata.csv").write_text(
+        "a|plain text\nb|left | right\n", encoding="utf-8")
+    utts = list(read_ljspeech(tmp_path))
+    assert [u.speaker for u in utts] == [None, None]
+    assert utts[1].text == "left | right"
+
+
+def test_read_ljspeech_three_column_keeps_pipes_in_text(tmp_path):
+    import wave as _wave
+
+    from phoonnx_tpu.train.preprocess import read_ljspeech
+
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    with _wave.open(str(wav_dir / "a.wav"), "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(16000)
+        f.writeframes(b"\x00\x00" * 1600)
+    (tmp_path / "metadata.csv").write_text(
+        "a|spk1|text with | pipe\n", encoding="utf-8")
+    utts = list(read_ljspeech(tmp_path))
+    assert utts[0].speaker == "spk1"
+    assert utts[0].text == "text with | pipe"
+
+
+def test_cache_key_includes_spectrogram_params(tmp_path):
+    """Re-running with different --n-fft must not serve the stale cache
+    (found by review: the key was sha256 of the path only)."""
+    import wave as _wave
+
+    from phoonnx_tpu.train.audio import cache_norm_audio
+
+    wav = tmp_path / "x.wav"
+    rng = np.random.default_rng(0)
+    pcm = (rng.standard_normal(16000) * 3000).astype(np.int16)
+    with _wave.open(str(wav), "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(16000)
+        f.writeframes(pcm.tobytes())
+    cache = tmp_path / "cache"
+    n1, s1 = cache_norm_audio(str(wav), str(cache), 16000, n_fft=512,
+                              hop_length=128, win_length=512)
+    n2, s2 = cache_norm_audio(str(wav), str(cache), 16000, n_fft=1024,
+                              hop_length=256, win_length=1024)
+    assert (n1, s1) != (n2, s2)
+    assert np.load(s1).shape[1] != np.load(s2).shape[1]
+
+
+def test_vad_model_resolution_env_var(tmp_path, monkeypatch):
+    """PHOONNX_VAD_MODEL reaches the detector (spawn workers build their
+    own detector; the env var is the cross-process channel)."""
+    from phoonnx_tpu.train.audio import _resolve_vad_model
+
+    monkeypatch.delenv("PHOONNX_VAD_MODEL", raising=False)
+    assert _resolve_vad_model("explicit.onnx") == "explicit.onnx"
+    monkeypatch.setenv("PHOONNX_VAD_MODEL", str(tmp_path / "m.onnx"))
+    assert _resolve_vad_model() == str(tmp_path / "m.onnx")
