@@ -304,6 +304,18 @@ class VoiceConfig:
 
             phoneme_id_map = {char: idx for idx, char in enumerate(vocab_list)}
 
+            # the built vocab NEVER contains bos/eos (coqui's Graphemes
+            # defaults enable_eos_bos_chars=False; the reference also
+            # leaves them out of vocab_list, config.py:310-314) — but
+            # when the flag is absent the tokens stayed set, so
+            # phonemes_to_ids emitted the out-of-range id len(map) at
+            # every utterance edge (divergence fix: the reference
+            # inherits this crash)
+            for tok_key in ("bos", "eos"):
+                if config.get(tok_key) and \
+                        config[tok_key] not in phoneme_id_map:
+                    config[tok_key] = None
+
         elif VoiceConfig.is_phoonnx(config):
             # Voices trained by the phoonnx/phoonnx_tpu pipeline: training
             # ids are built with the default specials (reference
@@ -417,6 +429,10 @@ def get_phonemizer(
         PhonemeType.RAW: lambda: P.RawPhonemes(),
     }
     try:
-        return factories[phoneme_type]()
+        factory = factories[phoneme_type]
     except KeyError:
         raise ValueError("invalid phonemizer") from None
+    # call OUTSIDE the try: a KeyError raised inside a phonemizer
+    # constructor (missing G2P data-table entry etc.) must surface as
+    # itself, not masked as "invalid phonemizer" with the chain cut
+    return factory()

@@ -185,9 +185,14 @@ def phonemes_to_ids(
 def load_phoneme_ids(phonemes_file: TextIO) -> PHONEME_ID_MAP:
     """Parse a mimic3-style ``phonemes.txt`` (``ID<space>PHONEME`` lines).
 
-    Reference: phoonnx/phoneme_ids.py:312-341. Lines that are a bare number
-    map whitespace to that id; ``PHONEME<space>ID`` order is tolerated.
-    Comments (#) and malformed lines are skipped.
+    Reference-parity loader (phoonnx/phoneme_ids.py:312-341), including
+    its edge semantics: a digits-plus-trailing-space line maps
+    whitespace to that id (a BARE number line without the trailing
+    space has no space and is skipped, like any space-free line);
+    ``PHONEME<space>ID`` order is tolerated; comments (#), blank and
+    space-free lines are skipped; a line whose id field is not numeric
+    raises ValueError (the reference crashes identically — voices do
+    not ship such files).
     """
     phoneme_to_id: PHONEME_ID_MAP = {}
     for line in phonemes_file:

@@ -157,14 +157,13 @@ class GraphemePhonemizer(BasePhonemizer):
 
     # public name matches the reference class attribute (base.py:187)
     whitespace_re = re.compile(r"\s+")
-    _whitespace = whitespace_re
     _drop = re.compile(r"[\<\>\(\)\[\]\"]+")
 
     def phonemize_string(self, text: str, lang: str) -> str:
         text = text.lower()
         text = text.replace(";", ",").replace("-", " ").replace(":", ",")
         text = self._drop.sub("", text)
-        return self._whitespace.sub(" ", text).strip()
+        return self.whitespace_re.sub(" ", text).strip()
 
 
 class UnicodeCodepointPhonemizer(BasePhonemizer):

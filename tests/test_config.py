@@ -249,3 +249,26 @@ def test_fuzz_piper_config_parity():
             a, b = getattr(ours, field), getattr(theirs, field)
             assert getattr(a, "value", a) == getattr(b, "value", b), \
                 (field, cfg)
+
+
+def test_coqui_bos_eos_absent_from_vocab_are_cleared():
+    """A coqui config carrying characters bos/eos tokens WITHOUT
+    enable_eos_bos_chars: the built vocab never contains them (coqui's
+    own default is disabled), so keeping the tokens set made
+    phonemes_to_ids emit the out-of-range id len(map) at every
+    utterance edge — an out-of-bounds embedding lookup at synthesis
+    (divergence fix: the reference inherits this crash)."""
+    from phoonnx_tpu.phoneme_ids import phonemes_to_ids
+
+    cfg_dict = dict(COQUI_CONFIG)
+    cfg_dict["characters"] = dict(cfg_dict["characters"],
+                                  bos="<BOS>", eos="<EOS>")
+    cfg = VoiceConfig.from_dict(cfg_dict)
+    assert "<BOS>" not in cfg.phoneme_id_map
+    ids = phonemes_to_ids(
+        ["a", "b"], id_map=cfg.phoneme_id_map,
+        bos_token=cfg.bos_token, eos_token=cfg.eos_token,
+        blank_token=cfg.blank_token,
+        include_whitespace=cfg.include_whitespace,
+    )
+    assert all(0 <= i < len(cfg.phoneme_id_map) for i in ids), ids
