@@ -101,6 +101,14 @@ class OnnxExecutor:
                 x = env.get(node.inputs[0])
                 env[node.outputs[0]] = self._random_normal_like(node, x)
                 continue
+            if node.op_type in ("Softmax", "LogSoftmax") \
+                    and 0 < self.model.opset < 13:
+                # pre-13 semantics flatten the trailing block (needs the
+                # MODEL opset, which op handlers don't see)
+                x = env.get(node.inputs[0])
+                env[node.outputs[0]] = _softmax_legacy(
+                    node, x, log=node.op_type == "LogSoftmax")
+                continue
             handler = _OPS.get(node.op_type)
             if handler is None:
                 raise NotImplementedError(
@@ -329,6 +337,29 @@ def _op_slice(node, data, starts=None, ends=None, axes=None, steps=None):
     return data[tuple(slices)]
 
 
+def _guard_rnn_attrs(node, n_default_acts: int) -> None:
+    """Refuse RNN attributes the recurrences silently ignore: layout=1
+    (batch-major io), non-default activations, clip. Silent-wrong output
+    violates this module's coverage-gaps-raise contract."""
+    if _attr(node, "layout", 0):
+        raise NotImplementedError(
+            f"{node.op_type} layout=1 (batch-major) not supported")
+    acts = _attr(node, "activations")
+    if acts is not None:
+        defaults = {
+            2: ["Sigmoid", "Tanh"], 3: ["Sigmoid", "Tanh", "Tanh"],
+        }[n_default_acts]
+        got = [a.decode() if isinstance(a, bytes) else str(a)
+               for a in (acts if isinstance(acts, (list, tuple)) else [acts])]
+        # bidirectional doubles the list with the same defaults
+        if got not in (defaults, defaults * 2):
+            raise NotImplementedError(
+                f"{node.op_type} custom activations {got} not supported")
+    if _attr(node, "clip") is not None:
+        raise NotImplementedError(
+            f"{node.op_type} cell-clip not supported")
+
+
 def _op_lstm(node, x, w, r, b=None, seq_lens=None, h0=None, c0=None, p=None):
     """Single-direction LSTM, gates iofc (ONNX spec), layout [T, B, I].
 
@@ -337,6 +368,7 @@ def _op_lstm(node, x, w, r, b=None, seq_lens=None, h0=None, c0=None, p=None):
     per-step output Y is zero; the reverse direction processes each
     row's *valid prefix* reversed (padding never enters the recurrence).
     """
+    _guard_rnn_attrs(node, 3)
     lens = _norm_seq_lens(seq_lens, x)
     if p is not None and np.asarray(p).size:
         raise NotImplementedError("LSTM peephole weights not supported")
@@ -389,6 +421,7 @@ def _op_lstm(node, x, w, r, b=None, seq_lens=None, h0=None, c0=None, p=None):
 def _op_gru(node, x, w, r, b=None, seq_lens=None, h0=None):
     """Single/bi-directional GRU, gates zrh (masked ``sequence_lens``
     semantics as in :func:`_op_lstm`)."""
+    _guard_rnn_attrs(node, 2)
     lens = _norm_seq_lens(seq_lens, x)
     hidden = int(_attr(node, "hidden_size"))
     direction = _attr(node, "direction", "forward")
@@ -441,6 +474,30 @@ def _op_gru(node, x, w, r, b=None, seq_lens=None, h0=None):
     return y.astype(np.float32), y_h.astype(np.float32)
 
 
+def _reduce_variadic(np_fn, xs):
+    if not xs:
+        raise ValueError("variadic op needs at least one input")
+    out = np.asarray(xs[0])
+    for x in xs[1:]:
+        out = np_fn(out, x)
+    return out
+
+
+def _softmax_legacy(node, x, log: bool):
+    """opset < 13 Softmax/LogSoftmax: axis defaults to 1 and the input is
+    COERCED to a 2-D [prod(:axis), prod(axis:)] batch — normalization
+    runs over the whole flattened trailing block, not one axis."""
+    axis = _attr(node, "axis", 1)
+    if axis < 0:
+        axis += x.ndim
+    lead = int(np.prod(x.shape[:axis], dtype=np.int64)) if axis else 1
+    flat = np.asarray(x).reshape(lead, -1)
+    e = np.exp(flat - np.max(flat, axis=1, keepdims=True))
+    s = e / e.sum(axis=1, keepdims=True)
+    out = np.log(s) if log else s
+    return out.reshape(x.shape).astype(np.float32)
+
+
 def _op_softmax(node, x):
     axis = _attr(node, "axis", -1)
     e = np.exp(x - np.max(x, axis=axis, keepdims=True))
@@ -450,6 +507,11 @@ def _op_softmax(node, x):
 def _op_reduce(fn, default_keepdims=1):
     def handler(node, data, axes_in=None):
         axes = _axes_arg(node, axes_in)
+        if axes == ():
+            # an EMPTY axes tensor reduces over every axis unless
+            # noop_with_empty_axes is set (numpy's axis=() is a no-op —
+            # the exact opposite)
+            axes = None if not _attr(node, "noop_with_empty_axes", 0)                 else ()
         keepdims = bool(_attr(node, "keepdims", default_keepdims))
         return fn(data, axis=axes, keepdims=keepdims)
 
@@ -483,6 +545,14 @@ def _op_pad(node, data, pads=None, value=None, axes=None):
             pad_width[axis] = (pads[j], pads[j + n])
     else:
         pad_width = [(pads[i], pads[i + ndim]) for i in range(ndim)]
+    if any(lo < 0 or hi < 0 for lo, hi in pad_width):
+        # negative pads CROP from that edge (ONNX spec); np.pad rejects
+        # negative widths, so slice the crops off first
+        crops = tuple(
+            slice(max(-lo, 0), dim - max(-hi, 0))
+            for (lo, hi), dim in zip(pad_width, data.shape))
+        data = data[crops]
+        pad_width = [(max(lo, 0), max(hi, 0)) for lo, hi in pad_width]
     if mode == "constant":
         constant = float(np.asarray(value).reshape(-1)[0]) if value is not None else 0.0
         return np.pad(data, pad_width, constant_values=constant)
@@ -508,7 +578,12 @@ def _op_split(node, data, split=None):
         split = _attr(node, "split")
     if split is None:
         num_outputs = _attr(node, "num_outputs", len(node.outputs))
-        sizes = [data.shape[axis] // num_outputs] * num_outputs
+        # opset-18: chunks are ceil(dim/num_outputs) with the LAST one
+        # holding the remainder (floor-first puts it in the wrong chunk)
+        dim = data.shape[axis]
+        chunk = -(-dim // num_outputs)
+        sizes = [chunk] * (num_outputs - 1)
+        sizes.append(dim - chunk * (num_outputs - 1))
     else:
         sizes = [int(s) for s in np.asarray(split).reshape(-1)]
     indices = np.cumsum(sizes)[:-1]
@@ -545,18 +620,30 @@ def _op_squeeze(node, data, axes_in=None):
     return np.squeeze(data, axis=tuple(axes))
 
 
-def _op_argmax(node, data):
+def _arg_extremum(np_fn, node, data):
     axis = _attr(node, "axis", 0)
     keepdims = bool(_attr(node, "keepdims", 1))
-    out = np.argmax(data, axis=axis)
+    if _attr(node, "select_last_index", 0):
+        # spec: ties resolve to the LAST occurrence; numpy returns the
+        # first — flip the axis and mirror the index
+        n = data.shape[axis]
+        out = n - 1 - np_fn(np.flip(data, axis=axis), axis=axis)
+    else:
+        out = np_fn(data, axis=axis)
     if keepdims:
         out = np.expand_dims(out, axis)
     return out.astype(np.int64)
 
 
+def _op_argmax(node, data):
+    return _arg_extremum(np.argmax, node, data)
+
+
 def _op_clip(node, x, lo=None, hi=None):
     lo = _attr(node, "min") if lo is None else lo
     hi = _attr(node, "max") if hi is None else hi
+    if lo is None and hi is None:
+        return x  # legal identity Clip; np.clip rejects two Nones
     return np.clip(x, lo, hi)
 
 
@@ -619,8 +706,9 @@ _OPS = {
     "GreaterOrEqual": _op_binary(np.greater_equal),
     "Less": _op_binary(np.less),
     "LessOrEqual": _op_binary(np.less_equal),
-    "Min": _op_binary(np.minimum),
-    "Max": _op_binary(np.maximum),
+    # variadic (1..N inputs) per spec, unlike the other binaries
+    "Min": lambda node, *xs: _reduce_variadic(np.minimum, xs),
+    "Max": lambda node, *xs: _reduce_variadic(np.maximum, xs),
     "Relu": _op_unary(lambda x: np.maximum(x, 0)),
     "Sigmoid": _op_unary(_sigmoid),
     "Tanh": _op_unary(np.tanh),
@@ -718,14 +806,6 @@ def _op_conv_transpose(node, x, w, b=None):
     return out.astype(np.float32)
 
 
-def _op_random_normal_like(node, x):
-    scale = _attr(node, "scale", 1.0)
-    mean = _attr(node, "mean", 0.0)
-    seed = _attr(node, "seed")
-    rng = np.random.default_rng(None if seed is None else int(seed))
-    return (mean + scale * rng.standard_normal(x.shape)).astype(np.float32)
-
-
 _OPS.update({
     "GatherElements": _op_gather_elements,
     "Softplus": _op_unary(
@@ -735,7 +815,9 @@ _OPS.update({
         x >= 0, x, x * _attr(node, "alpha", 0.01)
     ).astype(np.float32),
     "ConvTranspose": _op_conv_transpose,
-    "RandomNormalLike": _op_random_normal_like,
+    # NOTE: no "RandomNormalLike" entry — the executor intercepts it in
+    # _exec_nodes so draws come from the reseedable instance RNG; a
+    # table entry would be dead code with DIFFERENT seeding semantics
 })
 
 
@@ -991,6 +1073,8 @@ def _op_reverse_sequence(node, x, sequence_lens):
     out = np.array(x, copy=True)
     lens = np.asarray(sequence_lens).astype(np.int64).reshape(-1)
     for b, n in enumerate(lens):
+        if int(n) <= 0:
+            continue  # slice(-1, None, -1) would select the WHOLE axis
         sel = [slice(None)] * x.ndim
         sel[batch_axis] = b
         rev = list(sel)
@@ -1007,12 +1091,7 @@ def _op_trilu(node, x, k=None):
 
 
 def _op_argmin(node, data):
-    axis = _attr(node, "axis", 0)
-    keepdims = bool(_attr(node, "keepdims", 1))
-    out = np.argmin(data, axis=axis)
-    if keepdims:
-        out = np.expand_dims(out, axis)
-    return out.astype(np.int64)
+    return _arg_extremum(np.argmin, node, data)
 
 
 _OPS.update({
