@@ -247,6 +247,14 @@ def _j_slice(node, data, starts=None, ends=None, axes=None, steps=None):
     return data[tuple(slices)]
 
 
+def _j_variadic(fn, xs):
+    jnp = _jnp()
+    out = jnp.asarray(xs[0])
+    for x in xs[1:]:
+        out = fn(out, x)
+    return out
+
+
 def _j_softmax(node, x):
     jnp = _jnp()
     axis = _attr(node, "axis", -1)
@@ -269,6 +277,8 @@ def _j_reduce(fn_name, default_keepdims=1):
     def handler(node, data, axes_in=None):
         jnp = _jnp()
         axes = _static_axes(node, axes_in)
+        if axes == () and not _attr(node, "noop_with_empty_axes", 0):
+            axes = None  # empty axes tensor reduces over EVERY axis
         keepdims = bool(_attr(node, "keepdims", default_keepdims))
         return getattr(jnp, fn_name)(data, axis=axes, keepdims=keepdims)
 
@@ -303,6 +313,13 @@ def _j_pad(node, data, pads=None, value=None, axes=None):
             pad_width[axis] = (pads[j], pads[j + n])
     else:
         pad_width = [(pads[i], pads[i + ndim]) for i in range(ndim)]
+    if any(lo < 0 or hi < 0 for lo, hi in pad_width):
+        # negative pads CROP from that edge (mirror interpreter)
+        crops = tuple(
+            slice(max(-lo, 0), dim - max(-hi, 0))
+            for (lo, hi), dim in zip(pad_width, data.shape))
+        data = data[crops]
+        pad_width = [(max(lo, 0), max(hi, 0)) for lo, hi in pad_width]
     if mode == "constant":
         constant = (jnp.reshape(value, (-1,))[0]
                     if value is not None else 0.0)
@@ -322,7 +339,11 @@ def _j_split(node, data, split=None):
         split = _attr(node, "split")
     if split is None:
         num_outputs = _attr(node, "num_outputs", len(node.outputs))
-        sizes = [data.shape[axis] // num_outputs] * num_outputs
+        # opset-18: ceil-sized chunks, LAST one holds the remainder
+        dim = data.shape[axis]
+        chunk = -(-dim // num_outputs)
+        sizes = [chunk] * (num_outputs - 1) + [dim - chunk
+                                               * (num_outputs - 1)]
     else:
         sizes = _as_ints(split)
     indices = list(np.cumsum(sizes)[:-1])
@@ -375,7 +396,13 @@ def _j_arg_reduce(fn_name):
         jnp = _jnp()
         axis = _attr(node, "axis", 0)
         keepdims = bool(_attr(node, "keepdims", 1))
-        out = getattr(jnp, fn_name)(data, axis=axis)
+        if _attr(node, "select_last_index", 0):
+            # ties resolve to the LAST occurrence (mirror interpreter)
+            n = data.shape[axis]
+            out = n - 1 - getattr(jnp, fn_name)(
+                jnp.flip(data, axis=axis), axis=axis)
+        else:
+            out = getattr(jnp, fn_name)(data, axis=axis)
         if keepdims:
             out = jnp.expand_dims(out, axis)
         return out.astype(jnp.int64)
@@ -387,6 +414,8 @@ def _j_clip(node, x, lo=None, hi=None):
     jnp = _jnp()
     lo = _attr(node, "min") if lo is None else lo
     hi = _attr(node, "max") if hi is None else hi
+    if lo is None and hi is None:
+        return jnp.asarray(x)  # legal identity Clip
     return jnp.clip(x, lo, hi)
 
 
@@ -890,8 +919,9 @@ def _build_jax_ops() -> Dict[str, Any]:
         "GreaterOrEqual": _j_binary(jnp.greater_equal),
         "Less": _j_binary(jnp.less),
         "LessOrEqual": _j_binary(jnp.less_equal),
-        "Min": _j_binary(jnp.minimum),
-        "Max": _j_binary(jnp.maximum),
+        # variadic (1..N inputs) per spec
+        "Min": lambda node, *xs: _j_variadic(jnp.minimum, xs),
+        "Max": lambda node, *xs: _j_variadic(jnp.maximum, xs),
         "Relu": _j_unary(lambda x: jnp.maximum(x, 0)),
         "Sigmoid": _j_unary(lambda x: 1.0 / (1.0 + jnp.exp(-x))),
         "Tanh": _j_unary(jnp.tanh),
@@ -1033,10 +1063,29 @@ _LOWER_GUARDS: Dict[str, Any] = {
     "ScatterElements": _guard_scatter_elements,
     # interpreter raises on batch_dims > 0; keep the refusal eager
     "GatherND": lambda node, vals, vs: not _attr(node, "batch_dims", 0),
-    # peephole LSTMs raise in the interpreter; keep the refusal eager
+    # peephole LSTMs raise in the interpreter; keep the refusal eager.
+    # layout=1 / custom activations / clip are unsupported in both the
+    # scan lowering AND the interpreter (which now raises) — keep eager
+    # so the error surfaces from one place
     "LSTM": lambda node, vals, vs: not (
-        len(vals) > 7 and vals[7] is not None and np.asarray(vals[7]).size),
+        (len(vals) > 7 and vals[7] is not None
+         and np.asarray(vals[7]).size)
+        or _rnn_attrs_unsupported(node)),
+    "GRU": lambda node, vals, vs: not _rnn_attrs_unsupported(node),
 }
+
+
+def _rnn_attrs_unsupported(node) -> bool:
+    if _attr(node, "layout", 0) or _attr(node, "clip") is not None:
+        return True
+    acts = _attr(node, "activations")
+    if acts is None:
+        return False
+    got = [a.decode() if isinstance(a, bytes) else str(a)
+           for a in (acts if isinstance(acts, (list, tuple)) else [acts])]
+    defaults = (["Sigmoid", "Tanh", "Tanh"] if node.op_type == "LSTM"
+                else ["Sigmoid", "Tanh"])
+    return got not in (defaults, defaults * 2)
 
 
 # static arrays at or below this size are baked into the XLA program as
@@ -1404,6 +1453,11 @@ class JaxGraphRunner:
         self._dev_init: Dict[str, Any] = {}
         ops = _jax_ops()
         self._supported = set(ops)
+        if 0 < model.opset < 13:
+            # pre-13 Softmax/LogSoftmax flatten the trailing block; the
+            # jit handlers implement only the per-axis form — keep these
+            # eager so the interpreter's opset-aware dispatch governs
+            self._supported -= {"Softmax", "LogSoftmax"}
         # Host draws keep segments whole only when nothing else can
         # consume the executor's RNG stream between them (an If/Loop
         # body drawing noise would interleave differently at replay).

@@ -467,3 +467,66 @@ def test_qlinear_conv_int8_activations():
     model = build_model(b, ["x"], [out])
     runner = assert_parity(model, {"x": x})
     assert runner.plan_stats()["eager"] == 0
+
+
+# -- spec edge semantics: interpreter <-> lowering parity -------------------
+
+
+def test_variadic_min_parity():
+    b = GraphBuilder()
+    y = b.n("Min", ["a", "bb", "c"])
+    model = build_model(b, ["a", "bb", "c"], [y])
+    rng = np.random.default_rng(0)
+    feeds = {k: rng.standard_normal(4).astype(np.float32)
+             for k in ("a", "bb", "c")}
+    assert_parity(model, feeds)
+
+
+def test_split_num_outputs_uneven_parity():
+    b = GraphBuilder()
+    a, c = b.n("Split", ["x"], n_out=2, num_outputs=2, axis=0)
+    model = build_model(b, ["x"], [a, c])
+    assert_parity(model, {"x": np.arange(5, dtype=np.float32)})
+
+
+def test_negative_pad_crop_parity():
+    b = GraphBuilder()
+    p = b.init("p", np.asarray([-1, 1], np.int64))
+    y = b.n("Pad", ["x", p])
+    model = build_model(b, ["x"], [y])
+    assert_parity(model, {"x": np.arange(5, dtype=np.float32)})
+
+
+def test_argmax_select_last_index_parity():
+    b = GraphBuilder()
+    y = b.n("ArgMax", ["x"], axis=0, select_last_index=1, keepdims=0)
+    model = build_model(b, ["x"], [y])
+    runner = assert_parity(model, {"x": np.float32([3, 1, 3])})
+    out = runner.run({"x": np.float32([3, 1, 3])})[0]
+    assert int(out) == 2
+
+
+def test_reduce_empty_axes_parity():
+    b = GraphBuilder()
+    ax = b.init("ax", np.zeros((0,), np.int64))
+    y = b.n("ReduceSum", ["x", ax])
+    model = build_model(b, ["x"], [y])
+    runner = assert_parity(model, {"x": np.ones((2, 3), np.float32)})
+    out = runner.run({"x": np.ones((2, 3), np.float32)})[0]
+    assert out.shape == (1, 1) and float(out.reshape(())) == 6.0
+
+
+def test_rnn_unsupported_attrs_stay_eager_and_raise():
+    """layout=1 is unsupported in both the interpreter and the scan
+    lowering: the guard must keep the node eager, and the interpreter
+    raises — one error site, no silent garbage."""
+    rng = np.random.default_rng(0)
+    w, r, _b = _rnn_weights(rng, 1, 4, 2, 3)
+    b = GraphBuilder()
+    wi = b.init("w", w)
+    ri = b.init("r", r)
+    y = b.n("LSTM", ["x", wi, ri], n_out=1, hidden_size=2, layout=1)
+    model = build_model(b, ["x"], [y])
+    runner = JaxGraphRunner(model)
+    with pytest.raises(NotImplementedError):
+        runner.run({"x": rng.standard_normal((4, 1, 3)).astype(np.float32)})
