@@ -10,24 +10,42 @@ import contextlib
 import logging
 import math
 import time
+from collections import deque
 from dataclasses import dataclass, field
-from typing import Dict, Iterator, List
+from typing import Deque, Dict, Iterator, List
 
 LOG = logging.getLogger(__name__)
 
 
+# Percentile window: long-lived servers record every synthesis, so the
+# history must be bounded (unbounded lists grow forever and summary()
+# re-sorts the full history per /stats poll). Totals/RTF stay EXACT
+# over the whole lifetime via running sums; percentiles cover the
+# window.
+STATS_WINDOW = 8192
+
+
 @dataclass
 class SynthesisStats:
-    """Aggregated synthesis timing."""
+    """Aggregated synthesis timing: exact lifetime totals + windowed
+    percentiles (last ``STATS_WINDOW`` calls)."""
 
-    latencies_s: List[float] = field(default_factory=list)
-    audio_seconds: List[float] = field(default_factory=list)
+    latencies_s: Deque[float] = field(
+        default_factory=lambda: deque(maxlen=STATS_WINDOW))
+    audio_seconds: Deque[float] = field(
+        default_factory=lambda: deque(maxlen=STATS_WINDOW))
+    total_calls: int = 0
+    total_latency_s: float = 0.0
+    total_audio_s: float = 0.0
 
     def record(self, latency_s: float, audio_s: float) -> None:
         self.latencies_s.append(latency_s)
         self.audio_seconds.append(audio_s)
+        self.total_calls += 1
+        self.total_latency_s += latency_s
+        self.total_audio_s += audio_s
 
-    def _percentile(self, values: List[float], q: float) -> float:
+    def _percentile(self, values, q: float) -> float:
         """Nearest-rank percentile: smallest value with at least q of the
         sample at or below it (int(q*n) is one rank too high whenever
         q*n lands on an integer — p90 of 10 samples must be the 9th
@@ -40,14 +58,13 @@ class SynthesisStats:
 
     @property
     def rtf(self) -> float:
-        total_audio = sum(self.audio_seconds)
-        if total_audio <= 0:
+        if self.total_audio_s <= 0:
             return 0.0
-        return sum(self.latencies_s) / total_audio
+        return self.total_latency_s / self.total_audio_s
 
     def summary(self) -> Dict[str, float]:
         return {
-            "count": len(self.latencies_s),
+            "count": self.total_calls,
             "rtf": round(self.rtf, 6),
             "audio_sec_per_sec": round(1.0 / self.rtf, 2) if self.rtf else 0.0,
             "p50_latency_ms": round(
@@ -56,7 +73,7 @@ class SynthesisStats:
                 self._percentile(self.latencies_s, 0.90) * 1000, 2),
             "p99_latency_ms": round(
                 self._percentile(self.latencies_s, 0.99) * 1000, 2),
-            "total_audio_s": round(sum(self.audio_seconds), 2),
+            "total_audio_s": round(self.total_audio_s, 2),
         }
 
 

@@ -28,11 +28,16 @@ def _ola_kernel(win_size: int) -> np.ndarray:
 
 def istft(magnitude: Array, phase: Array, n_fft: int, hop: int,
           win_size: int, frame_lengths: Array = None) -> Array:
-    """(mag, phase) [B, T, F=n_fft//2+1] -> waveform [B, T*hop].
+    """(mag, phase) [B, T, F=n_fft//2+1] -> waveform [B, (T-1)*hop].
 
     Matches torch.istft with a periodic Hann window and center=True
     cropping of n_fft//2 samples on both ends, up to the window-envelope
-    normalisation (computed exactly below).
+    normalisation (computed exactly below). NOTE the center=True output
+    length is (T-1)*hop (+ win - 2*pad extra, clipped to T*hop) — both
+    in-repo decoders pad one extra frame so a T-frame decode yields
+    exactly T*hop samples (istft_decoder.py). Only ``win_size == n_fft``
+    is supported (every in-repo export satisfies it; the OLA kernel
+    carries n_fft channels per frame).
 
     frame_lengths: optional [B] per-element valid frame counts. The
     window-envelope denominator then sums only the first
@@ -42,6 +47,10 @@ def istft(magnitude: Array, phase: Array, n_fft: int, hop: int,
     exact decode's PARTIAL tail envelope (fewer overlapping windows near
     its buffer end) diverges from the padded buffer's full envelope.
     """
+    if win_size != n_fft:
+        raise NotImplementedError(
+            f"istft requires win_size == n_fft (got {win_size} != "
+            f"{n_fft}); in-repo exports always satisfy this")
     spec = magnitude * jnp.exp(1j * phase.astype(jnp.complex64))
     frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)  # [B, T, n_fft]
 

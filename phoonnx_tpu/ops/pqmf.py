@@ -87,12 +87,14 @@ def pqmf_synthesis(subbands: Array, synthesis: np.ndarray,
     engine's chunked streaming decode works unchanged.
     """
     length = synthesis.shape[1]
-    # transposed conv weight [I=bands, O=1, K]: lax flips the kernel for
-    # IOT, and PQMF filters are symmetric per band up to modulation sign,
-    # so pass the time-reversed filters to realize correlation
-    # correlation (XLA conv semantics — no kernel flip), centered so the
-    # output is exactly T*bands samples (validated against the explicit
-    # expand+filter reference in tests/test_ops.py)
+    # weight [O=1, I=bands, K] in OIT layout, filters passed UN-reversed:
+    # lax.conv_general_dilated computes correlation (no kernel flip), so
+    # this realizes OLA with the filters as given. The ONNX mirror
+    # (onnx/vits_graph.py) targets ConvTranspose — which DOES flip — and
+    # therefore feeds synthesis[:, ::-1]; the two paths are equivalent,
+    # not both-flipped. Padding centers the taps so the output is exactly
+    # T*bands samples (validated against the explicit expand+filter
+    # reference in tests/test_ops.py).
     w = jnp.asarray(synthesis, subbands.dtype)[:, None, :]
     pad_lo = length // 2
     pad_hi = length + n_bands - 2 - pad_lo

@@ -39,10 +39,37 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
             f"mesh wants {n_data}x{n_model} = {need} devices, "
             f"have {len(devices)}"
         )
+    if need == 0:
+        raise ValueError(
+            f"mesh would be EMPTY: n_model={n_model} exceeds the "
+            f"{len(devices)} available devices")
     if need < len(devices):
+        import jax as _jax
+
+        if _jax.process_count() > 1:
+            # truncation on a multi-process run can exclude entire
+            # hosts' devices — their make_array_from_process_local_data
+            # would then error or hang instead of failing here
+            raise ValueError(
+                f"mesh {n_data}x{n_model} = {need} devices would "
+                f"exclude devices on a {_jax.process_count()}-process "
+                f"run (have {len(devices)}); size the mesh to span "
+                "every process's devices")
         LOG.warning("mesh uses %d of %d devices (%d idle)", need,
                     len(devices), len(devices) - need)
         devices = devices[:need]
+    if n_model > 1:
+        # topology-aware assignment: consecutive jax.devices() entries
+        # are not guaranteed ICI neighbors on torus slices; let
+        # mesh_utils place the model axis on adjacent links
+        try:
+            from jax.experimental import mesh_utils
+
+            grid = mesh_utils.create_device_mesh(
+                (n_data, n_model), devices=devices)
+            return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+        except Exception as exc:  # virtual/CPU meshes: keep the reshape
+            LOG.debug("create_device_mesh unavailable (%s)", exc)
     grid = np.array(devices).reshape(n_data, n_model)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 

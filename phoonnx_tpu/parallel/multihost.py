@@ -31,16 +31,28 @@ def initialize(coordinator_address: Optional[str] = None,
 
     On Cloud TPU pods all arguments are auto-detected from the metadata
     server; elsewhere pass them explicitly (or set JAX_COORDINATOR_ADDRESS
-    / JAX_NUM_PROCESSES / JAX_PROCESS_ID). Calling this in a single-host
-    run without coordinator info is a safe no-op.
+    / PHOONNX_NUM_PROCESSES / PHOONNX_PROCESS_ID — jax itself reads only
+    the address variable, so this module reads the other two). Calling
+    this in a single-host run without coordinator info is a safe no-op.
     """
     import jax
 
     env_addr = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and os.environ.get("PHOONNX_NUM_PROCESSES"):
+        num_processes = int(os.environ["PHOONNX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("PHOONNX_PROCESS_ID"):
+        process_id = int(os.environ["PHOONNX_PROCESS_ID"])
     # an EXPLICIT multi-host request must fail loudly, never silently
-    # degrade to N independent single-host trainers
-    explicit = env_addr is not None
+    # degrade to N independent single-host trainers — any of the three
+    # arguments counts as explicit (num_processes/process_id without an
+    # address previously fell through to the silent no-op below)
+    explicit = (env_addr is not None or num_processes is not None
+                or process_id is not None)
+    if explicit and env_addr is None:
+        raise ValueError(
+            "num_processes/process_id given but no coordinator address "
+            "(pass coordinator_address= or set JAX_COORDINATOR_ADDRESS)")
     # pod hints: GKE (TPU_WORKER_HOSTNAMES), megascale, plain GCE pod VMs
     # (TPU_WORKER_ID / CLOUD_TPU_TASK_ID — jax's own GCE detection then
     # fills the coordinator from the metadata server), or a manual force
