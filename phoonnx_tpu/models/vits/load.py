@@ -95,8 +95,14 @@ def _route_checked(name: str) -> Optional[Tuple]:
         return None
 
     if top == "flow":
-        # torch flow.flows indices 0,2,4,6 are coupling layers (odd = Flip)
+        # torch flow.flows indices 0,2,4,6 are coupling layers (odd = Flip,
+        # parameterless — an odd index here is NOT a real parameter and
+        # must read as unroutable, not alias onto idx//2)
+        if parts[1] != "flows":
+            return None
         idx = int(parts[2])
+        if idx % 2:
+            return None
         base = ("flow", "flows", idx // 2)
         if parts[3] in ("pre", "post"):
             return base + (parts[3], parts[4])
@@ -289,7 +295,25 @@ def _check_shape(params, path, value, name) -> None:
         current = node.get(path[-1]) if isinstance(node, dict) else None
     except (KeyError, IndexError, TypeError):
         raise ValueError(f"no slot for parameter {name} at {path}") from None
-    if current is not None and tuple(current.shape) != tuple(value.shape):
+    if current is None:
+        # folded inference weight replacing a weight-norm pair is the
+        # ONE legitimate missing-leaf case (_set_leaf swaps them)
+        if path[-1] == "weight" and isinstance(node, dict) \
+                and "weight_v" in node:
+            if tuple(node["weight_v"].shape) != tuple(value.shape):
+                raise ValueError(
+                    f"shape mismatch for {name}: checkpoint "
+                    f"{tuple(value.shape)} vs model "
+                    f"{tuple(node['weight_v'].shape)}")
+            return
+        # anything else would INJECT a foreign leaf into the pytree
+        # while the real parameter stays at random init (e.g. a
+        # dequant-refused X_quantized triple) — a voice that
+        # synthesizes noise with no error
+        raise ValueError(
+            f"no slot for parameter {name}: leaf {path[-1]!r} is not "
+            f"part of the model skeleton at {path[:-1]}")
+    if tuple(current.shape) != tuple(value.shape):
         if path[-1] == "weight" and "weight_v" in node:
             expected = node["weight_v"].shape
             if tuple(expected) == tuple(value.shape):

@@ -93,7 +93,16 @@ def dequantize_flat(
                 zp = zp.reshape(shape) if zp.size > 1 else zp
             else:
                 scale = scale.reshape(())
-                zp = zp.reshape(()) if zp.size == 1 else zp
+                if zp.size != 1:
+                    # per-tensor scale with a VECTOR zero point is a
+                    # shape family the ONNX spec never produces; naive
+                    # numpy broadcasting along q's trailing axis would
+                    # dequantize silently-wrong values — refuse, the
+                    # triple stays for the interpreter fallback
+                    raise ValueError(
+                        f"scalar scale with {zp.size}-element zero "
+                        "point")
+                zp = zp.reshape(())
             value = (q.astype(np.int32) - zp).astype(np.float32) * scale
         except ValueError as exc:
             LOG.warning("cannot dequantize %r: %s", name, exc)

@@ -61,6 +61,8 @@ def _parse_tensor(data: bytes) -> Tuple[str, np.ndarray]:
     int32_data: List[int] = []
     int64_data: List[int] = []
     double_data: List[float] = []
+    uint64_data: List[int] = []
+    external = False
 
     for field_number, wire_type, value in wire.iter_fields(data):
         if field_number == 1:  # dims (packed or unpacked varints)
@@ -96,11 +98,26 @@ def _parse_tensor(data: bytes) -> Tuple[str, np.ndarray]:
                 double_data.extend(
                     struct.unpack(f"<{len(value) // 8}d", value)
                 )
+        elif field_number == 11:  # uint64_data (uint32/uint64 tensors)
+            if wire_type == wire.WIRETYPE_LEN:
+                uint64_data.extend(wire.decode_packed_varints(value))
+            else:
+                uint64_data.append(value)
+        elif field_number in (13, 14):  # external_data / data_location
+            if field_number == 14 and value == 0:
+                continue  # DEFAULT location: data is inline
+            external = True
 
     dtype = _DTYPES.get(data_type)
     if dtype is None:
         raise ValueError(f"unsupported tensor data_type {data_type} ({name})")
 
+    if external:
+        raise NotImplementedError(
+            f"tensor {name!r} stores its data EXTERNALLY "
+            "(data_location=EXTERNAL); re-save the model with "
+            "all tensors inline (onnx.save with "
+            "save_as_external_data=False)")
     if raw is not None:
         array = np.frombuffer(raw, dtype=dtype)
     elif float_data:
@@ -123,6 +140,8 @@ def _parse_tensor(data: bytes) -> Tuple[str, np.ndarray]:
             )
     elif double_data:
         array = np.asarray(double_data, dtype=dtype)
+    elif uint64_data:
+        array = np.asarray(uint64_data, dtype=dtype)
     else:
         array = np.zeros(0, dtype=dtype)
 
@@ -141,12 +160,15 @@ def _parse_attribute(data: bytes):
     """AttributeProto -> (name, python value)."""
     name = ""
     value = None
+    attr_type = 0  # AttributeProto.type (field 20)
     floats: List[float] = []
     ints: List[int] = []
     strings: List[str] = []
     for field_number, wire_type, raw in wire.iter_fields(data):
         if field_number == 1:
             name = raw.decode("utf-8")
+        elif field_number == 20:
+            attr_type = raw
         elif field_number == 2:  # f (float, fixed32)
             value = struct.unpack("<f", struct.pack("<I", raw))[0]
         elif field_number == 3:  # i (int64)
@@ -182,6 +204,15 @@ def _parse_attribute(data: bytes):
             value = ints
         elif strings:
             value = strings
+        elif attr_type in (1, 2, 3):
+            # proto3 writers omit zero-valued scalars from the wire —
+            # a declared FLOAT/INT/STRING attribute with no payload IS
+            # the value 0.0 / 0 / "", not "attribute absent" (None
+            # would shadow consumer defaults: Gather axis=0 omitted on
+            # the wire must read as 0, not fall back to _attr defaults)
+            value = {1: 0.0, 2: 0, 3: ""}[attr_type]
+        elif attr_type in (6, 7, 8):
+            value = []  # declared-but-empty repeated field
     return name, value
 
 
@@ -233,11 +264,17 @@ def _parse_graph(data: bytes, model: OnnxModel) -> None:
 
 
 def _parse_opset(data: bytes) -> int:
+    """Version of this opset_import entry, or 0 for non-default domains
+    (a custom domain's version must not masquerade as the ai.onnx opset
+    that governs op semantics)."""
     version = 0
+    domain = ""
     for field_number, _, value in wire.iter_fields(data):
-        if field_number == 2:
+        if field_number == 1:
+            domain = value.decode("utf-8", errors="replace")
+        elif field_number == 2:
             version = value
-    return version
+    return version if domain in ("", "ai.onnx") else 0
 
 
 def read_onnx(path: str) -> OnnxModel:

@@ -43,6 +43,14 @@ def iter_fields(data: bytes) -> Iterator[Tuple[int, int, object]]:
             pos += 8
         elif wire_type == WIRETYPE_LEN:
             length, pos = read_varint(data, pos)
+            if pos + length > len(data):
+                # python slicing would silently CLAMP a truncated field
+                # and the caller would fail later with an unrelated
+                # shape/frombuffer error — say what actually happened
+                raise ValueError(
+                    f"truncated protobuf: field {field_number} declares "
+                    f"{length} bytes with {len(data) - pos} remaining "
+                    "(corrupt or incomplete file?)")
             value = data[pos:pos + length]
             pos += length
         elif wire_type == WIRETYPE_FIXED32:

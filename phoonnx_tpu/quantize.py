@@ -45,6 +45,17 @@ def quantize_voice(model_path: str, output_path: str,
     if n_deq:
         LOG.info("input already carried %d quantized tensors "
                  "(re-quantizing from the dequantized weights)", n_deq)
+    unresolved = [k for k in named if k.endswith("_quantized")]
+    if unresolved:
+        # same guard TTSVoice.load applies: an ambiguous per-channel
+        # triple (square weights) cannot be dequantized by name, and a
+        # partial import would re-export those layers from RANDOM
+        # initialization — a voice that synthesizes noise with no error
+        raise click.ClickException(
+            f"{len(unresolved)} quantized tensors could not be resolved "
+            f"by name (first: {unresolved[0]!r}); this voice cannot be "
+            "re-quantized — it runs via its own graph as-is"
+        )
     if routed_fraction(named) < 0.25:
         raise click.ClickException(
             "this voice's weights do not match the VITS import layout — "
