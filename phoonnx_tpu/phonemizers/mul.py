@@ -474,23 +474,41 @@ class GoruutPhonemizer(BasePhonemizer):
 class EpitranPhonemizer(BasePhonemizer):
     """epitran transliteration-based phonemizer (mul.py:620-672)."""
 
+    # the installed epitran build's inventory, transcribed from the
+    # reference VERBATIM (mul.py:623-642) — a trimmed list broke 73
+    # reference-supported languages (fin/hrv/lav/kat/khm/uig/...)
+    # and silently resolved Cantonese ('yue') to Mandarin
     EPITRAN_LANGS = [
-        'aar-Latn', 'amh-Ethi', 'ara-Arab', 'aze-Cyrl', 'aze-Latn',
-        'ben-Beng', 'cat-Latn', 'ceb-Latn', 'ces-Latn', 'cmn-Hans',
-        'cmn-Hant', 'ckb-Arab', 'deu-Latn', 'eng-Latn', 'epo-Latn',
-        'est-Latn', 'eus-Latn', 'fas-Arab', 'fra-Latn', 'ful-Latn',
-        'gan-Latn', 'glg-Latn', 'hau-Latn', 'hin-Deva', 'hun-Latn',
-        'ind-Latn', 'ita-Latn', 'jav-Latn', 'jpn-Hrgn', 'jpn-Ktkn',
-        'kaz-Cyrl', 'kin-Latn', 'kir-Cyrl', 'kor-Hang', 'lao-Laoo',
-        'lij-Latn', 'lit-Latn', 'mal-Mlym', 'mar-Deva', 'mlt-Latn',
-        'mon-Cyrl', 'mri-Latn', 'msa-Latn', 'mya-Mymr', 'nld-Latn',
-        'nya-Latn', 'ori-Orya', 'orm-Latn', 'pan-Guru', 'pol-Latn',
-        'por-Latn', 'ron-Latn', 'rus-Cyrl', 'sin-Sinh', 'sna-Latn',
-        'som-Latn', 'spa-Latn', 'sqi-Latn', 'srp-Latn', 'swa-Latn',
-        'swe-Latn', 'tam-Taml', 'tel-Telu', 'tgk-Cyrl', 'tgl-Latn',
-        'tha-Thai', 'tir-Ethi', 'tuk-Latn', 'tur-Latn', 'ukr-Cyrl',
-        'urd-Arab', 'uzb-Latn', 'vie-Latn', 'xho-Latn', 'yor-Latn',
-        'zul-Latn',
+        'hsn-Latn', 'ful-Latn', 'jpn-Ktkn-red', 'tel-Telu', 'nld-Latn',
+        'aze-Latn', 'amh-Ethi-pp', 'msa-Latn', 'spa-Latn-eu', 'ori-Orya',
+        'bxk-Latn', 'spa-Latn', 'kir-Cyrl', 'lij-Latn', 'kin-Latn',
+        'ces-Latn', 'sin-Sinh', 'urd-Arab', 'vie-Latn', 'gan-Latn',
+        'fra-Latn', 'nan-Latn', 'kaz-Latn', 'swe-Latn', 'jpn-Ktkn',
+        'tam-Taml', 'sag-Latn', 'csb-Latn', 'pii-latn_Holopainen2019',
+        'yue-Latn', 'got-Latn', 'tur-Latn', 'aar-Latn', 'jav-Latn',
+        'ita-Latn', 'sna-Latn', 'ilo-Latn', 'tam-Taml-red', 'kmr-Latn-red',
+        'uzb-Cyrl', 'amh-Ethi', 'mya-Mymr', 'aii-Syrc', 'lit-Latn',
+        'kmr-Latn', 'hat-Latn-bab', 'ltc-Latn-bax', 'Goth2Latn', 'quy-Latn',
+        'hau-Latn', 'ood-Latn-alv', 'vie-Latn-so', 'run-Latn', 'orm-Latn',
+        'ind-Latn', 'kir-Latn', 'mal-Mlym', 'ben-Beng-red', 'hun-Latn',
+        'uew', 'sqi-Latn', 'jpn-Hrgn', 'deu-Latn-np', 'xho-Latn',
+        'fra-Latn-rev', 'fra-Latn-np', 'kaz-Cyrl-bab', 'jpn-Hrgn-red',
+        'Latn2Goth', 'glg-Latn', 'uig-Arab', 'amh-Ethi-red', 'zul-Latn',
+        'hin-Deva', 'uzb-Latn', 'tir-Ethi-red', 'kaz-Cyrl', 'mlt-Latn',
+        'deu-Latn-nar', 'est-Latn', 'eng-Latn', 'pii-latn_Wiktionary',
+        'ckb-Arab', 'nya-Latn', 'mon-Cyrl-bab', 'fra-Latn-p', 'ood-Latn-sax',
+        'ukr-Cyrl', 'tgl-Latn-red', 'lsm-Latn', 'kor-Hang', 'lav-Latn',
+        'generic-Latn', 'tur-Latn-red', 'srp-Latn', 'tir-Ethi', 'kbd-Cyrl',
+        'hrv-Latn', 'srp-Cyrl', 'tpi-Latn', 'khm-Khmr', 'jam-Latn',
+        'ben-Beng-east', 'por-Latn', 'cmn-Latn', 'cat-Latn', 'tha-Thai',
+        'ara-Arab', 'ben-Beng', 'fin-Latn', 'hmn-Latn', 'lez-Cyrl',
+        'fas-Arab', 'lao-Laoo-prereform', 'mar-Deva', 'yor-Latn', 'ron-Latn',
+        'tgl-Latn', 'lao-Laoo', 'deu-Latn', 'pan-Guru', 'tuk-Latn',
+        'tir-Ethi-pp', 'rus-Cyrl', 'swa-Latn-red', 'ceb-Latn', 'wuu-Latn',
+        'hak-Latn', 'mri-Latn', 'epo-Latn', 'pol-Latn', 'tur-Latn-bab',
+        'kat-Geor', 'tgk-Cyrl', 'aze-Cyrl', 'vie-Latn-ce', 'swa-Latn',
+        'tuk-Cyrl', 'vie-Latn-no', 'nan-Latn-tl', 'zha-Latn', 'cjy-Latn',
+        'ava-Cyrl', 'som-Latn', 'kir-Arab'
     ]
 
     def __init__(self):
@@ -566,20 +584,24 @@ class TransphonePhonemizer(BasePhonemizer):
 
     def __init__(self):
         super().__init__(Alphabet.IPA)
-        self._tokenizer = None
-
-    @property
-    def tokenizer(self):
-        if self._tokenizer is None:
-            from transphone import read_tokenizer
-
-            self._tokenizer = read_tokenizer("g2p")
-        return self._tokenizer
+        self._models = {}
 
     def get_lang(self, target_lang: str) -> str:
         return target_lang.split("-")[0].lower()
 
     def phonemize_string(self, text: str, lang: str) -> str:
+        # one tokenizer PER LANGUAGE (reference mul.py:1344-1352):
+        # read_tokenizer takes the language id — a single shared
+        # tokenizer would phonemize every language with the same
+        # phonology, and tokenize's second positional parameter is
+        # use_space, NOT the language
+        from transphone import read_tokenizer
+
         lang = self.get_lang(lang)
-        tokens = self.tokenizer.tokenize(text, lang)
-        return "".join(tokens).replace("<SPACE>", " ")
+        pho = self._models.get(lang)
+        if pho is None:
+            self._models[lang] = pho = read_tokenizer(lang)
+        return "".join(
+            p if p != "<SPACE>" else " "
+            for p in pho.tokenize(text, use_space=True)
+        ).strip()

@@ -60,6 +60,17 @@ def _inventories():
     return consonants, vowels, obstruents, sonorants
 
 
+@lru_cache(maxsize=1)
+def _ipa_inventories():
+    """Transcribed (IPA-symbol) sonorant/vowel inventories — computed
+    once, not per word (the _inter_v/_alternate_lr hot path re-ran ~25
+    _transcribe lookups per helper per word)."""
+    _, vowels, _, sonorants = _inventories()
+    ipa_sonorants = tuple("".join(_transcribe(s)) for s in sonorants)
+    ipa_vowels = tuple("".join(_transcribe(v)) for v in vowels)
+    return ipa_sonorants, ipa_vowels
+
+
 def hangul_to_jamos(hangul: str) -> List[str]:
     out = []
     for letter in hangul:
@@ -200,8 +211,7 @@ _VOICING = {"p": "b", "t": "d", "k": "ɡ", "tɕ": "dʑ"}
 
 
 def _inter_v(symbols: List[str]) -> List[str]:
-    _, _, _, sonorants = _inventories()
-    ipa_sonorants = ["".join(_transcribe(s)) for s in sonorants]
+    ipa_sonorants, _ = _ipa_inventories()
     out = list(symbols)
     for i in range(1, len(symbols) - 1):
         if symbols[i] not in _VOICING:
@@ -216,8 +226,7 @@ def _inter_v(symbols: List[str]) -> List[str]:
 
 
 def _alternate_lr(symbols: List[str]) -> List[str]:
-    _, vowels, _, _ = _inventories()
-    ipa_vowels = ["".join(_transcribe(v)) for v in vowels]
+    _, ipa_vowels = _ipa_inventories()
     out = list(symbols)
     for i in range(1, len(symbols) - 1):
         if symbols[i] == "l" and symbols[i - 1] in ipa_vowels \
@@ -226,12 +235,91 @@ def _alternate_lr(symbols: List[str]) -> List[str]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Hanja -> hangul (reference hangul2ipa.py:210-293, 639-655): Korean text
+# routinely mixes in 漢字; without this the to_jamo cleanup regex silently
+# DELETED those syllables from the synthesized speech.
+# ---------------------------------------------------------------------------
+
+_HIGHV_DIPHTHONGS = ("ㅑ", "ㅕ", "ㅖ", "ㅛ", "ㅠ", "ㅣ")
+
+
+@lru_cache(maxsize=1)
+def _jajeon() -> dict:
+    """hanja -> hangul reading, from ko_tables/hanja.tsv (keys stored as
+    U+XXXX code points in the file)."""
+    jajeon = {}
+    path = os.path.join(_TABLES_DIR, "hanja.tsv")
+    with open(path, newline="", encoding="utf-8") as f:
+        for row in csv.reader(f, delimiter="\t"):
+            if len(row) < 2:
+                continue
+            jajeon[chr(int(row[0].strip("U+"), 16))] = row[1]
+    return jajeon
+
+
+def _is_han(ch: str) -> bool:
+    code = ord(ch)
+    return (0x3400 <= code <= 0x4DBF or 0x4E00 <= code <= 0x9FFF
+            or 0xF900 <= code <= 0xFAFF or 0x20000 <= code <= 0x2A6DF)
+
+
+def _jamo_to_syllable(jamos: str) -> str:
+    onset = ONSET_LIST.index(jamos[0])
+    vowel = VOWEL_LIST.index(jamos[1])
+    coda = CODA_LIST.index(jamos[2]) if len(jamos) > 2 else 0
+    return chr(GA_CODE + onset * ONSET_SPAN + vowel * CODA_SPAN + coda)
+
+
+def _initial_rule(char: str) -> str:
+    """Word-initial 두음법칙: ㄹ -> ㄴ, and ㄴ before a high vowel/
+    diphthong -> ㅇ (reference hangul2ipa.py:243-263)."""
+    jamos = "".join(hangul_to_jamos(char))
+    if len(jamos) < 2:
+        return char
+    onset, nucleus = jamos[0], jamos[1]
+    changed = False
+    if onset == "ㄹ":
+        onset, changed = "ㄴ", True
+    if onset == "ㄴ" and nucleus in _HIGHV_DIPHTHONGS:
+        onset, changed = "ㅇ", True
+    if not changed:
+        return char
+    return _jamo_to_syllable(onset + nucleus + jamos[2:])
+
+
+def sanitize(word: str) -> str:
+    """Convert hanja to their hangul readings (incl. the 不-pronunciation
+    rules and the word-initial rule) and drop inner spaces."""
+    word = word.replace(" ", "")
+    hanja_idx = [i for i, ch in enumerate(word) if _is_han(ch)]
+    if not hanja_idx:
+        return word
+    jajeon = _jajeon()
+    chars = list(word)
+    for i in hanja_idx:
+        if chars[i] == "不" and i < len(chars) - 1:
+            if chars[i + 1] == "實":  # special case: 不實 = 부실
+                chars[i], chars[i + 1] = "부", "실"
+                continue
+            # 不 is 부 [pu] before an alveolar ㄷ/ㅈ, 불 otherwise
+            chars[i + 1] = jajeon.get(chars[i + 1], chars[i + 1])
+            nxt = "".join(hangul_to_jamos(chars[i + 1]))
+            chars[i] = "부" if (nxt and nxt[0] in ("ㄷ", "ㅈ")) else "불"
+            continue
+        chars[i] = jajeon.get(chars[i], chars[i])
+        if i == 0:
+            chars[i] = _initial_rule(chars[i])
+    return "".join(chars)
+
+
 def convert_word(hangul: str, rules: str = "pastcnhovr") -> str:
     """One word of hangul -> IPA string."""
     if not hangul:
         return ""
     _, _, obstruents, _ = _inventories()
 
+    hangul = sanitize(hangul)
     jamo = to_jamo(hangul)
     jamo = _simplify_coda(jamo)
 

@@ -27,8 +27,19 @@ NUMERALS = set("0123456789٠١٢٣٤٥٦٧٨٩")
 ARABIC_DIACRITICS = set(map(chr, [1618, 1617, 1614, 1615, 1616, 1611, 1612,
                                   1613]))
 # shadda+haraka sequences normalised to their composed order
-NORMALIZED_DIAC_MAP = {"َّ": "َّ", "ًّ": "ًّ", "ُّ": "ُّ", "ٌّ": "ٌّ",
-                       "ِّ": "ِّ", "ٍّ": "ٍّ"}
+# haraka+shadda (the codepoint order common in real text) -> the
+# composed shadda+haraka order hint_id_map.json actually contains.
+# Written with escapes: bidi rendering made a literal transcription
+# silently map every key to ITSELF, so normalization was a no-op and
+# hint_id_map[d] raised KeyError on haraka-first input.
+NORMALIZED_DIAC_MAP = {
+    "\u064e\u0651": "\u0651\u064e",
+    "\u064b\u0651": "\u0651\u064b",
+    "\u064f\u0651": "\u0651\u064f",
+    "\u064c\u0651": "\u0651\u064c",
+    "\u0650\u0651": "\u0651\u0650",
+    "\u064d\u0651": "\u0651\u064d",
+}
 SUKOON = chr(0x652)
 
 

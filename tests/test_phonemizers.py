@@ -242,3 +242,44 @@ def test_arabic_ipa_pipeline_to_ids():
     ipa = pho.phonemize_string("مرحبا بالعالم", "ar")
     ids = phonemes_to_ids(list(ipa))
     assert len(ids) > 4
+
+
+def test_hangul2ipa_hanja_conversion():
+    """Hanja characters convert to their hangul readings (incl. the
+    不-pronunciation rules and the word-initial 두음법칙) instead of
+    being silently deleted from the synthesized speech (found by
+    review; parity values from the reference implementation)."""
+    from phoonnx_tpu.thirdparty.hangul2ipa import hangul2ipa, sanitize
+
+    assert hangul2ipa("韓國 사람") == "häŋɡuk säɾäm"
+    assert sanitize("不實") == "부실"
+    assert sanitize("不動産") == "부동산"  # 부 before alveolar ㄷ
+    assert sanitize("李舜臣")[0] == "이"  # word-initial rule: 리 -> 이
+
+
+def test_tashkeel_diac_normalization_swaps_order():
+    """haraka+shadda normalizes to the composed shadda+haraka order the
+    hint map contains — bidi rendering made a literal transcription map
+    every key to ITSELF (diacritize then crashed with KeyError on
+    haraka-first input; found by review)."""
+    from phoonnx_tpu.thirdparty.tashkeel import NORMALIZED_DIAC_MAP
+
+    assert NORMALIZED_DIAC_MAP, "map must not be empty"
+    for key, value in NORMALIZED_DIAC_MAP.items():
+        assert key != value, hex(ord(key[0]))
+        assert key[::-1] == value
+        assert key[1] == "ّ"  # shadda second in the key...
+        assert value[0] == "ّ"  # ...first in the normalized form
+
+
+def test_epitran_reference_inventory():
+    """The epitran language list is an interchange table transcribed
+    from the reference VERBATIM — a trimmed list broke 73 languages and
+    resolved Cantonese to Mandarin (found by review)."""
+    from phoonnx_tpu.phonemizers.mul import EpitranPhonemizer as E
+
+    assert len(E.EPITRAN_LANGS) == 145
+    assert E.get_lang("fi") == "fin-Latn"
+    assert E.get_lang("yue") == "yue-Latn"
+    assert E.get_lang("ka") == "kat-Geor"
+    assert E.get_lang("km") == "khm-Khmr"
