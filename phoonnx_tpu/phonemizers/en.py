@@ -1,11 +1,14 @@
 """English phonemizers (reference: phoonnx/phonemizers/en.py)."""
 
+import logging
 import os
 from typing import Optional
 
 from phoonnx_tpu.config import Alphabet
 from phoonnx_tpu.phonemizers.base import BasePhonemizer
 from phoonnx_tpu.thirdparty.arpa2ipa import arpa_to_ipa_lookup
+
+LOG = logging.getLogger(__name__)
 
 
 class DeepPhonemizer(BasePhonemizer):
@@ -42,11 +45,36 @@ class DeepPhonemizer(BasePhonemizer):
                 os.path.expanduser("~/.local/share/deepphonemizer"), model
             )
             if not os.path.isfile(cached):
-                raise FileNotFoundError(
-                    f"DeepPhonemizer model {model} not found; download it "
-                    f"from {self.MODELS.get(model, '<unknown model>')} to "
-                    f"{cached}"
-                )
+                url = self.MODELS.get(model)
+                if url is None:
+                    raise FileNotFoundError(
+                        f"DeepPhonemizer model {model} not found and not "
+                        f"a known downloadable checkpoint "
+                        f"({sorted(self.MODELS)})"
+                    )
+                # auto-download known checkpoints on first use, like the
+                # reference (en.py:35-52)
+                os.makedirs(os.path.dirname(cached), exist_ok=True)
+                import urllib.request
+
+                LOG.info("downloading DeepPhonemizer model from %s", url)
+                tmp = cached + ".part"
+                try:
+                    with urllib.request.urlopen(url, timeout=60) as resp, \
+                            open(tmp, "wb") as f:
+                        while True:
+                            chunk = resp.read(1 << 20)
+                            if not chunk:
+                                break
+                            f.write(chunk)
+                    os.replace(tmp, cached)
+                except Exception as exc:
+                    if os.path.exists(tmp):
+                        os.remove(tmp)
+                    raise IOError(
+                        f"failed to download DeepPhonemizer model from "
+                        f"{url}: {exc} — place the file at {cached} "
+                        "manually") from exc
             model = cached
         self.phonemizer = Phonemizer.from_checkpoint(model)
 

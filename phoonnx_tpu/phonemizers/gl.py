@@ -31,13 +31,17 @@ COTOVIA2IPA = {
     "L": "ʎ", "r": "ɾ", "rr": "r", "X": "x",
 }
 
-_SORTED_COTOVIA_KEYS = sorted(COTOVIA2IPA, key=len, reverse=True)
+_COTOVIA_PATTERN = re.compile("|".join(
+    re.escape(k) for k in sorted(COTOVIA2IPA, key=len, reverse=True)))
 
 
 def cotovia2ipa(text: str) -> str:
-    for key in _SORTED_COTOVIA_KEYS:
-        text = text.replace(key, COTOVIA2IPA[key])
-    return text
+    """SINGLE-PASS longest-match substitution: sequential str.replace
+    corrupted the trill — 'rr' mapped to IPA 'r' first, which the later
+    'r'->'ɾ' pass rewrote to a tap, collapsing minimal pairs like
+    caro/carro (divergence fix: the reference has the same cascade bug).
+    """
+    return _COTOVIA_PATTERN.sub(lambda m: COTOVIA2IPA[m.group(0)], text)
 
 
 class CotoviaPhonemizer(BasePhonemizer):
@@ -59,9 +63,10 @@ class CotoviaPhonemizer(BasePhonemizer):
 
     @staticmethod
     def find_cotovia() -> str:
-        which = subprocess.run(
-            ["which", "cotovia"], capture_output=True, text=True
-        ).stdout.strip()
+        import shutil
+
+        which = shutil.which("cotovia")  # no subprocess, no crash when
+        # the external 'which' binary itself is absent
         if which and os.path.isfile(which):
             return which
         bundled = os.path.join(
@@ -78,11 +83,16 @@ class CotoviaPhonemizer(BasePhonemizer):
         self.get_lang(lang)
         # Input goes in as utf-8 (like the reference's `echo | cotovia`);
         # cotovia answers in latin-1 (the reference pipes through iconv).
-        proc = subprocess.run(
-            [self.cotovia_bin, "-t", "-n", "-S"],
-            input=text.encode("utf-8"),
-            capture_output=True, check=True,
-        )
+        try:
+            proc = subprocess.run(
+                [self.cotovia_bin, "-t", "-n", "-S"],
+                input=text.encode("utf-8"),
+                capture_output=True, check=True,
+            )
+        except subprocess.CalledProcessError as exc:
+            raise CotoviaError(
+                f"cotovia failed ({exc.returncode}): "
+                f"{exc.stderr.decode('iso-8859-1', 'replace')}") from None
         out = proc.stdout.decode("iso-8859-1").strip()
 
         # Punctuation fixes from the official inference script (gl.py:146-179)

@@ -178,8 +178,12 @@ def test_cotovia2ipa_table():
     from phoonnx_tpu.phonemizers.gl import cotovia2ipa
 
     assert cotovia2ipa("tS") == "tʃ"
-    # sequential substitution: "rr" -> "r" -> "ɾ" (reference quirk)
-    assert cotovia2ipa("rr") == "ɾ"
+    # SINGLE-PASS longest-match: the reference's sequential replace
+    # cascaded "rr" -> "r" -> "ɾ", collapsing the trill/tap minimal
+    # pair (caro/carro) — divergence fix, found by review
+    assert cotovia2ipa("rr") == "r"
+    assert cotovia2ipa("karro") == "karo"
+    assert cotovia2ipa("karo") == "kaɾo"
     assert cotovia2ipa("pau") == " "
 
 
