@@ -15,7 +15,7 @@ stage boundaries and overlaps independent work), but the split shows
 where optimization effort pays.
 
 Usage: python tools/profile_infer.py [--preset medium] [--chain 20]
-       [--reps 3] [--dtype float32]
+       [--reps 3] [--dtype float32] [--batch 1]
 """
 
 import argparse
@@ -34,6 +34,7 @@ def main() -> None:
                     choices=["float32", "bfloat16"])
     ap.add_argument("--preset", default="medium",
                     choices=["micro", "medium", "high"])
+    ap.add_argument("--batch", type=int, default=1)
     args = ap.parse_args()
 
     import jax
@@ -58,23 +59,26 @@ def main() -> None:
     dtype = jnp.dtype(args.dtype)
 
     t_text, max_frames = 128, 512
+    batch = args.batch
     packed = vits_model.pack_decoder_params(params, hp, max_frames)
     packed = jax.device_put(packed)
 
     rng0 = np.random.default_rng(0)
-    ids = jnp.asarray(rng0.integers(4, 160, (1, t_text)), jnp.int32)
-    lengths = jnp.asarray([t_text], jnp.int32)
+    ids = jnp.asarray(rng0.integers(4, 160, (batch, t_text)), jnp.int32)
+    lengths = jnp.asarray([t_text] * batch, jnp.int32)
     x_mask = nn.sequence_mask(lengths, t_text)[..., None].astype(dtype)
-    y_mask = jnp.ones((1, max_frames, 1), dtype)
+    y_mask = jnp.ones((batch, max_frames, 1), dtype)
     h = hp.hidden_channels
-    x_h = jnp.asarray(rng0.standard_normal((1, t_text, h)), dtype)
+    x_h = jnp.asarray(rng0.standard_normal((batch, t_text, h)), dtype)
     z_p = jnp.asarray(
-        rng0.standard_normal((1, max_frames, hp.inter_channels)), dtype)
-    dpn = jnp.asarray(rng0.standard_normal((1, t_text, 2)), dtype)
+        rng0.standard_normal((batch, max_frames, hp.inter_channels)), dtype)
+    dpn = jnp.asarray(rng0.standard_normal((batch, t_text, 2)), dtype)
     w_ceil = jnp.abs(
-        jnp.asarray(rng0.standard_normal((1, t_text)), jnp.float32)) + 1.0
+        jnp.asarray(rng0.standard_normal((batch, t_text)),
+                    jnp.float32)) + 1.0
     m_p = jnp.asarray(
-        rng0.standard_normal((1, t_text, hp.inter_channels)), dtype)
+        rng0.standard_normal((batch, t_text, hp.inter_channels)), dtype)
+    frame_lengths = jnp.asarray([max_frames] * batch, jnp.int32)
 
     def _fetch(x):
         return np.asarray(x)
@@ -184,6 +188,14 @@ def main() -> None:
             params, hp, vary(i, z_p) * y_mask, g=None)
         return audio[:, ::1997].astype(jnp.float32).sum()
 
+    def f_vocoder_masked(i, params, z_p, y_mask, frame_lengths):
+        # production batched path: bucket-padded latents + per-conv
+        # tail zeroing (lengths one frame short so masking is live)
+        audio = vits_model.decode_audio(
+            params, hp, vary(i, z_p) * y_mask, g=None,
+            frame_lengths=frame_lengths - 1)
+        return audio[:, ::1997].astype(jnp.float32).sum()
+
     def f_full(i, params, ids, lengths):
         rng = jax.random.fold_in(jax.random.PRNGKey(7), i)
         audio, y_lengths, _ = vits_model.infer(
@@ -199,6 +211,8 @@ def main() -> None:
           y_mask, m_p)
     timed("coupling_flow(reverse)", f_flow, packed, z_p, y_mask)
     timed("vocoder(packed)", f_vocoder, packed, z_p, y_mask)
+    timed("vocoder(packed,masked)", f_vocoder_masked, packed, z_p, y_mask,
+          frame_lengths)
     timed("FULL infer", f_full, packed, ids, lengths)
 
 
