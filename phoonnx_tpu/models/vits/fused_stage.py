@@ -8,9 +8,12 @@ HBM, ~14 full-tensor passes per stage over tensors that reach 16.8 MB
 (T=131072 at 128 packed lanes). The arithmetic is tiny by comparison
 (bandwidth-bound at <10% MXU utilization).
 
-This kernel computes the ENTIRE group tile-by-tile in VMEM: one HBM
-read of the stage input (plus two halo tile reads) and one write of the
-stage output. Convs are expressed in tap form — a channel-packed conv
+This kernel computes the ENTIRE group tile-by-tile in VMEM: exactly one
+HBM read of the stage input and one write of the stage output. Halo
+context comes from a rolling carry — the sequential Pallas grid keeps
+the previous tile (and the tail of the one before it) in persistent
+scratch, and step ``t`` computes output tile ``t - 1`` using the head
+of the tile fetched at step ``t`` (one extra drain step per element). Convs are expressed in tap form — a channel-packed conv
 is a sum over a few static row offsets of ``x[t+off] @ W_off`` with
 dense ``[L, L]`` tap matrices (L = pack_r * C lanes, built by the same
 placement transform as nn.build_packed_kernel) — so every tap is one
@@ -21,9 +24,11 @@ Halo correctness: each tile is computed on a window extended by
 ``halo = sum of per-conv extents along the deepest branch``; values
 near the extended edges are inexact (their own context is missing) but
 the inexactness penetrates at most one conv-extent per conv, so the
-central TILE rows are EXACT — the standard overlap-compute scheme. The
-wrapper pre-pads the input by one tile on each side, which also
-reproduces the convs' zero padding at the true array edges.
+central TILE rows are EXACT — the standard overlap-compute scheme. At
+the true array edges the in-kernel validity mask (``bound``) zeroes
+every activation outside ``[0, valid)``, which reproduces the convs'
+zero padding exactly (and neutralizes stale carry scratch at element
+boundaries).
 
 Inference-only by construction: specs are attached by the engine's
 pack_decoder_params step (prebuilt packed kernels), which training
@@ -49,6 +54,12 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 # Test hook: run the kernel in interpreter mode on non-TPU backends so
 # CPU CI exercises the exact kernel semantics.
 FORCE_INTERPRET = False
+
+# Perf-decomposition experiment knobs (bench tooling only; NOT correct):
+# "nomask" skips the validity-bound multiplies, "nodots" skips the tap
+# matmuls, "nodma"  feeds the assembled window from the center block only.
+import os as _os
+_EXPERIMENT = _os.environ.get("PHOONNX_FUSED_STAGE_EXPERIMENT", "")
 
 
 def enabled() -> bool:
@@ -175,9 +186,11 @@ def build_group_spec(blocks, pack_r: int, lrelu_slope: float,
         if hb > cand:
             continue
         rows = cand + 2 * hb
+        n_work = 1 + 3 * len(branches)                 # asm + cur/act/tmp
         vmem = (n_taps_total * lanes * lanes * esize   # taps
-                + 5 * rows * lanes * 4                 # work buffers
-                + 8 * cand * lanes * esize)            # pipeline blocks
+                + n_work * rows * lanes * esize        # work buffers
+                + (cand + hb) * lanes * esize          # carry scratch
+                + 4 * cand * lanes * esize)            # pipeline blocks
         if vmem <= _VMEM_BUDGET:
             tile = cand
             break
@@ -218,21 +231,69 @@ def usable(spec, pack_r: int, x: Array) -> bool:
             and x.dtype in (jnp.float32, jnp.bfloat16))
 
 
-def _kernel(len_ref, xm_ref, xc_ref, xp_ref, w_ref, b_ref, out_ref,
-            asm, cur, act, tmp, acc, *, branches, tile, hb, max_off,
-            slope, n_blocks, out_dtype, t_true, pack_r, lane_c,
-            precision=None, pw_ref=None, pb_ref=None, post_offsets=None,
-            post_slope=None):
+def _kernel(len_ref, xc_ref, w_ref, b_ref, out_ref,
+            tail, prev, asm, cur, act, tmp, *, branches, tile, hb,
+            max_off, slope, n_blocks, out_dtype, t_true, pack_r, lane_c,
+            n_tiles, precision=None, pw_ref=None, pb_ref=None,
+            post_offsets=None, post_slope=None):
+    """cur/act/tmp are per-branch tuples of scratch refs."""
     from jax.experimental import pallas as pl
 
     rows = tile + 2 * hb
     wlen = rows - 2 * max_off
     win = slice(max_off, rows - max_off)
+    t_step = pl.program_id(1)
+    # hoisted out of pl.when: program_id inside a cond branch has no
+    # CPU lowering in interpret mode
+    valid = len_ref[pl.program_id(0)]
+    g0 = (t_step - 1) * tile - hb
 
-    # assemble the contiguous halo'd window: [prev tail | center | next head]
-    asm[0:hb, :] = xm_ref[0, tile - hb:tile, :]
-    asm[hb:hb + tile, :] = xc_ref[0, :, :]
-    asm[hb + tile:rows, :] = xp_ref[0, 0:hb, :]
+    # Rolling-carry pipeline: the grid runs one extra step per element;
+    # step t computes output tile j = t-1 from the PREVIOUS step's block
+    # (carried in ``prev``), the tail of the block before it (``tail``),
+    # and the head of the block read THIS step. Each input tile is read
+    # from HBM exactly once (the old 3-block halo scheme read everything
+    # three times, and its wrapper pre-padded the whole array in HBM).
+    # Cross-element carry garbage at j == 0 and rows past the array end
+    # are neutralized by the ``bound`` mask below (g < 0 / g >= t_true),
+    # exactly as the old scheme's zero pre-padding was.
+
+    @pl.when(t_step > 0)
+    def _compute():
+        # assemble [prev-prev tail | prev | current head]
+        asm[0:hb, :] = tail[:, :]
+        asm[hb:hb + tile, :] = prev[:, :]
+        asm[hb + tile:rows, :] = xc_ref[0, 0:hb, :]
+        _compute_group(valid, g0, asm, w_ref, b_ref, out_ref,
+                       cur, act, tmp, branches=branches, tile=tile,
+                       hb=hb, max_off=max_off, slope=slope,
+                       n_blocks=n_blocks, out_dtype=out_dtype,
+                       t_true=t_true, pack_r=pack_r, lane_c=lane_c,
+                       precision=precision, pw_ref=pw_ref, pb_ref=pb_ref,
+                       post_offsets=post_offsets, post_slope=post_slope)
+
+    # carry for the next step (the last step's update is dead)
+    @pl.when(t_step == 0)
+    def _init_tail():
+        # never read uninitialized ``prev``: fresh VMEM may hold NaN/Inf
+        # bit patterns and the multiply-mask cannot cancel those
+        tail[:, :] = jnp.zeros_like(tail)
+
+    @pl.when(t_step > 0)
+    def _carry_tail():
+        tail[:, :] = prev[tile - hb:tile, :]
+
+    prev[:, :] = xc_ref[0, :, :]
+
+
+def _compute_group(valid, g0, asm, w_ref, b_ref, out_ref, cur, act, tmp,
+                   *, branches, tile, hb, max_off, slope, n_blocks,
+                   out_dtype, t_true, pack_r, lane_c, precision=None,
+                   pw_ref=None, pb_ref=None, post_offsets=None,
+                   post_slope=None):
+    rows = tile + 2 * hb
+    wlen = rows - 2 * max_off
+    win = slice(max_off, rows - max_off)
 
     # XLA-path parity at the true edges: every conv zero-pads its OWN
     # input, so intermediate time positions outside [0, valid) must read
@@ -241,9 +302,7 @@ def _kernel(len_ref, xm_ref, xc_ref, xp_ref, w_ref, b_ref, out_ref,
     # documents). ``valid`` is the per-batch-element true length in TIME
     # positions (callers pass t_true * pack_r when unmasked), so a
     # bucket-padded decode is bit-equal to the exact-length decode.
-    valid = len_ref[pl.program_id(0)]
-    g = (jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-         + pl.program_id(1) * tile - hb)
+    g = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) + g0
     # float multiply-mask: [rows, 1] i1 broadcasts hit Mosaic relayout
     # limits, a dtype-matched multiplicand doesn't. Select in f32 (the
     # i32 compare's native (8,128) tiling) and cast — selecting straight
@@ -256,7 +315,7 @@ def _kernel(len_ref, xm_ref, xc_ref, xp_ref, w_ref, b_ref, out_ref,
     else:
         # packed rows carry pack_r time positions across the lane dim
         # (lane block phi = lane // C): mask at sample granularity
-        lanes = xc_ref.shape[-1]
+        lanes = asm.shape[-1]
         phi = (jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
                // lane_c)
         pos = g * pack_r + phi
@@ -264,6 +323,9 @@ def _kernel(len_ref, xm_ref, xc_ref, xp_ref, w_ref, b_ref, out_ref,
         bound = jnp.where(keep, jnp.ones((rows, lanes), jnp.float32),
                           jnp.zeros((rows, lanes), jnp.float32)).astype(
                               out_dtype)
+
+    if "nomask" in _EXPERIMENT:
+        bound = jnp.ones((), out_dtype)
 
     def lrelu(v):
         # max form, exact for 0 < slope < 1 (bf16 vector compares are
@@ -273,41 +335,54 @@ def _kernel(len_ref, xm_ref, xc_ref, xp_ref, w_ref, b_ref, out_ref,
     def lrelu_at(v, s_):
         return jnp.maximum(v, s_ * v) * bound
 
-    first = True
-    for branch in branches:
-        cur[:, :] = asm[:, :]
-        for unit in branch:
-            src = cur
-            for w0, offsets, b_idx in unit:
-                act[:, :] = lrelu(src[:, :])
+    # Per-branch scratch streams (cur/act/tmp) break the write-after-read
+    # hazards a single shared buffer set imposes: with distinct refs the
+    # branches' op chains are truly independent, so Mosaic's async MXU
+    # and VPU queues overlap one branch's tap matmuls with another's
+    # activation passes instead of serializing the whole group. Units
+    # are walked in lockstep across branches to put independent work
+    # adjacent in program order.
+    nb = len(branches)
+    for bi in range(nb):
+        cur[bi][:, :] = asm[:, :]
+    max_units = max(len(br) for br in branches)
+    for ui in range(max_units):
+        for bi, branch in enumerate(branches):
+            if ui >= len(branch):
+                continue
+            src = cur[bi]
+            for w0, offsets, b_idx in branch[ui]:
+                act[bi][:, :] = lrelu(src[:, :])
                 y = None
-                for j, off in enumerate(offsets):
-                    xs = act[max_off + off: max_off + off + wlen, :]
-                    c = jnp.dot(xs, w_ref[w0 + j], precision=precision,
-                                preferred_element_type=jnp.float32)
-                    y = c if y is None else y + c
+                if "nodots" in _EXPERIMENT:
+                    y = act[bi][max_off:max_off + wlen, :].astype(
+                        jnp.float32)
+                else:
+                    for j, off in enumerate(offsets):
+                        xs = act[bi][max_off + off: max_off + off + wlen, :]
+                        c = jnp.dot(xs, w_ref[w0 + j], precision=precision,
+                                    preferred_element_type=jnp.float32)
+                        y = c if y is None else y + c
                 y = y + b_ref[b_idx, :].astype(jnp.float32)
-                tmp[win, :] = y.astype(out_dtype)
-                src = tmp
-            cur[win, :] = cur[win, :] + tmp[win, :]
-        if first:
-            acc[:, :] = cur[:, :]
-            first = False
-        else:
-            acc[:, :] = acc[:, :] + cur[:, :]
+                tmp[bi][win, :] = y.astype(out_dtype)
+                src = tmp[bi]
+            cur[bi][win, :] = cur[bi][win, :] + tmp[bi][win, :]
     # mask the OUTPUT rows too: the residual path carries biases into
     # positions >= valid, and the NEXT stage's transposed conv (or the
     # iSTFT head's convs) would tap them back into the valid span
-    mean = (acc[:, :] / jnp.asarray(n_blocks, out_dtype)) * bound
+    acc = cur[0][:, :]
+    for bi in range(1, nb):
+        acc = acc + cur[bi][:, :]
+    mean = (acc / jnp.asarray(n_blocks, out_dtype)) * bound
     if pw_ref is None:
         out_ref[0, :, :] = mean[hb:hb + tile, :]
         return
     # fused tail: leaky_relu(post_slope) -> conv_post taps -> tanh; the
     # full-width group output never touches HBM
-    act[:, :] = lrelu_at(mean, post_slope)
+    act[0][:, :] = lrelu_at(mean, post_slope)
     y = None
     for j, off in enumerate(post_offsets):
-        xs = act[max_off + off: max_off + off + wlen, :]
+        xs = act[0][max_off + off: max_off + off + wlen, :]
         c = jnp.dot(xs, pw_ref[j], precision=precision,
                     preferred_element_type=jnp.float32)
         y = c if y is None else y + c
@@ -334,7 +409,10 @@ def apply_group(spec, x: Array, valid: Optional[Array] = None) -> Array:
     pack_r = int(spec["r"])
     n_tiles = -(-t_len // tile)
     t_pad = n_tiles * tile
-    xp = jnp.pad(x, ((0, 0), (tile, tile + t_pad - t_len), (0, 0)))
+    # tile-alignment pad only (identity when already aligned) — the
+    # rolling-carry kernel needs no halo pre-padding in HBM
+    xp = x if t_pad == t_len else jnp.pad(
+        x, ((0, 0), (0, t_pad - t_len), (0, 0)))
     if valid is None:
         lengths = jnp.full((batch,), t_len * pack_r, jnp.int32)
     else:
@@ -357,56 +435,57 @@ def apply_group(spec, x: Array, valid: Optional[Array] = None) -> Array:
         extra_specs = [pl.BlockSpec(memory_space=pltpu.VMEM),
                        pl.BlockSpec(memory_space=pltpu.VMEM)]
 
-    def kernel(lens, xm, xc, xn, w, b, *rest):
+    nb = len(spec["branches"])
+
+    def kernel(lens, xc, w, b, *rest):
         if has_post:
             pw, pb, out = rest[0], rest[1], rest[2]
             scratch = rest[3:]
-            _kernel(lens, xm, xc, xn, w, b, out, *scratch,
-                    branches=tuple(spec["branches"]), tile=tile, hb=hb,
-                    max_off=int(spec["max_off"]),
-                    slope=float(spec["slope"]),
-                    n_blocks=len(spec["branches"]), out_dtype=x.dtype,
-                    t_true=t_len, pack_r=pack_r, lane_c=lanes // pack_r,
-                    precision=precision, pw_ref=pw, pb_ref=pb, **kw)
         else:
+            pw = pb = None
             out = rest[0]
             scratch = rest[1:]
-            _kernel(lens, xm, xc, xn, w, b, out, *scratch,
-                    branches=tuple(spec["branches"]), tile=tile, hb=hb,
-                    max_off=int(spec["max_off"]),
-                    slope=float(spec["slope"]),
-                    n_blocks=len(spec["branches"]), out_dtype=x.dtype,
-                    t_true=t_len, pack_r=pack_r, lane_c=lanes // pack_r,
-                    precision=precision)
+        tail, prev, asm = scratch[0], scratch[1], scratch[2]
+        cur = tuple(scratch[3:3 + nb])
+        act = tuple(scratch[3 + nb:3 + 2 * nb])
+        tmp = tuple(scratch[3 + 2 * nb:3 + 3 * nb])
+        _kernel(lens, xc, w, b, out, tail, prev, asm, cur, act, tmp,
+                branches=tuple(spec["branches"]), tile=tile, hb=hb,
+                max_off=int(spec["max_off"]),
+                slope=float(spec["slope"]),
+                n_blocks=nb, out_dtype=x.dtype,
+                t_true=t_len, pack_r=pack_r, lane_c=lanes // pack_r,
+                n_tiles=n_tiles, precision=precision,
+                pw_ref=pw, pb_ref=pb, **kw)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # lengths [B] lands whole in SMEM
-        grid=(batch, n_tiles),
+        grid=(batch, n_tiles + 1),
         in_specs=[
-            pl.BlockSpec((1, tile, lanes), lambda b, t, *_: (b, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, lanes), lambda b, t, *_: (b, t + 1, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, lanes), lambda b, t, *_: (b, t + 2, 0),
-                         memory_space=pltpu.VMEM),
+            # one read per tile: step t fetches block t (clamped on the
+            # carry-drain step, where the unchanged index skips the DMA)
+            pl.BlockSpec(
+                (1, tile, lanes),
+                lambda b, t, *_: (b, jnp.minimum(t, n_tiles - 1), 0),
+                memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # taps
             pl.BlockSpec(memory_space=pltpu.VMEM),   # biases
         ] + extra_specs,
-        out_specs=pl.BlockSpec((1, tile, out_lanes),
-                               lambda b, t, *_: (b, t, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, tile, out_lanes),
+            lambda b, t, *_: (b, jnp.maximum(t - 1, 0), 0),
+            memory_space=pltpu.VMEM),
         scratch_shapes=[
+            pltpu.VMEM((hb, lanes), x.dtype),    # tail carry
+            pltpu.VMEM((tile, lanes), x.dtype),  # prev block carry
             pltpu.VMEM((rows, lanes), x.dtype),  # asm
-            pltpu.VMEM((rows, lanes), x.dtype),  # cur
-            pltpu.VMEM((rows, lanes), x.dtype),  # act
-            pltpu.VMEM((rows, lanes), x.dtype),  # tmp
-            pltpu.VMEM((rows, lanes), x.dtype),  # acc
-        ],
+        ] + [pltpu.VMEM((rows, lanes), x.dtype)  # per-branch cur/act/tmp
+             for _ in range(3 * nb)],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((batch, t_pad, out_lanes), x.dtype),
         interpret=FORCE_INTERPRET and jax.default_backend() != "tpu",
-    )(lengths, xp, xp, xp, spec["W"], spec["b"], *extra_in)
+    )(lengths, xp, spec["W"], spec["b"], *extra_in)
     return out[:, :t_len]

@@ -129,6 +129,22 @@ def main() -> None:
 
             timed(f"stage{i} XLA    (T={t}, r={stage_r}, "
                   f"C={out_ch})", f_xla, x)
+
+            # native unpacked convs: [B, T, C] straight through XLA
+            xn = jnp.asarray(
+                rng0.standard_normal((batch, t, out_ch)), dtype)
+
+            def f_native(it, xx, blocks=blocks):
+                acc = None
+                xv = vary(it, xx)
+                for block in blocks:
+                    out = resblock_fn(block, xv, pack_r=1, packed_io=False)
+                    acc = out if acc is None else acc + out
+                y = acc / len(blocks)
+                return y[:, ::257].astype(jnp.float32).sum()
+
+            timed(f"stage{i} native (T={t}, r=1, "
+                  f"C={out_ch})", f_native, xn)
             pack_r = stage_r
 
         # the transposed-conv chain alone
