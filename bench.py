@@ -47,6 +47,12 @@ TARGET_RTF = 0.02
 N_CHAIN = 20
 _T0 = time.monotonic()
 _BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+# Reference chip state for cross-round comparability: the matmul
+# calibration measured ~225 f32 TFLOP/s on this chip in a quiet round-1
+# session. Normalized metrics scale measured times by
+# (calibrated_peak / REF_PEAK) so rounds taken under different shared-
+# chip contention states compare apples to apples (VERDICT r3 #2).
+REF_PEAK_F32 = 225e12
 
 
 def _over_budget() -> bool:
@@ -133,13 +139,24 @@ def main() -> None:
 
         return jax.lax.fori_loop(0, 8, body, a)[0, 0]
 
-    _fetch(cal_chain(a_cal))
-    cal_best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
+    def calibrate():
+        # vary the operand per rep: identical (executable, value) pairs
+        # can be served from a relay cache on this backend (the same
+        # trap the synthesis chains avoid via fold_in)
         _fetch(cal_chain(a_cal))
-        cal_best = min(cal_best, time.perf_counter() - t0)
-    peak_flops = 8 * 2 * n_cal ** 3 / max(cal_best - rtt, 1e-9)
+        cal_best = float("inf")
+        for rep in range(3):
+            arg = a_cal + jnp.float32((rep + 1) * 1e-6)
+            _fetch(arg)
+            t0 = time.perf_counter()
+            _fetch(cal_chain(arg))
+            cal_best = min(cal_best, time.perf_counter() - t0)
+        return 8 * 2 * n_cal ** 3 / max(cal_best - rtt, 1e-9)
+
+    # Calibration brackets the run (pre here, post after the last
+    # section) so contention drift during the run is visible in the
+    # artifact, and every headline metric gets a normalized twin.
+    peak_flops = calibrate()
 
     def chained_seconds(run_params, ids_c, lengths_c, n_chain=N_CHAIN,
                         reps=3):
@@ -203,9 +220,10 @@ def main() -> None:
     sweep = {"fp32": {}, "bf16": {}}
     peak_tp, peak_mfu, peak_cfg = 0.0, 0.0, None
     for dtype_name, dtype, batches in (
-            ("fp32", jnp.float32, (4, 16, 64, 256)),
-            ("bf16", jnp.bfloat16, (16, 64, 256))):
+            ("fp32", jnp.float32, (4, 16, 64, 128, 256)),
+            ("bf16", jnp.bfloat16, (16, 64, 128, 256))):
         prev = 0.0
+        small_gains = 0
         for batch in batches:
             if _over_budget():
                 break
@@ -217,12 +235,58 @@ def main() -> None:
             if tp > peak_tp:
                 peak_tp, peak_mfu = tp, mfu
                 peak_cfg = f"{dtype_name}/b{batch}"
-            if tp < prev * 1.05 and batch >= 64:
-                break  # <5% gain: saturated, stop compiling bigger
+            # saturation stop: only after TWO consecutive <5% gains, and
+            # never on a single decline (a decline can be contention
+            # noise — VERDICT r3's sweep stopped at b64 on one)
+            small_gains = small_gains + 1 if tp < prev * 1.05 else 0
+            if small_gains >= 2:
+                break
             prev = tp
 
     batch16_fp32 = (sweep["fp32"].get("16") or {}).get("audio_sec_per_sec")
     batch16_bf16 = (sweep["bf16"].get("16") or {}).get("audio_sec_per_sec")
+
+    # Mixed-length batch: realistic per-element text lengths (the
+    # identical-length sweep above is the best case for lane packing;
+    # this measures the padded-bucket cost a production batcher pays,
+    # with throughput credited only for each element's TRUE audio).
+    mixed_tp = None
+    if not _over_budget():
+        rng_mix = np.random.default_rng(7)
+        mix_batch = 16
+        mix_lengths = rng_mix.integers(32, t_text + 1, mix_batch)
+        ids_mix = jnp.asarray(
+            rng_mix.integers(4, 160, (mix_batch, t_text)), jnp.int32)
+        ids_mix = jnp.where(
+            jnp.arange(t_text)[None, :] < jnp.asarray(mix_lengths)[:, None],
+            ids_mix, 0)
+        lengths_mix = jnp.asarray(mix_lengths, jnp.int32)
+
+        @jax.jit
+        def chain_mix(params, ids_c, lengths_c, base_rng):
+            def body(i, carry):
+                acc, secs = carry
+                rng = jax.random.fold_in(base_rng, i)
+                audio, y_lengths = forward(params, ids_c, lengths_c, rng)
+                acc = acc + audio[:, ::1997].astype(jnp.float32).sum()
+                secs = secs + y_lengths.astype(jnp.float32).sum()
+                return acc, secs
+
+            return jax.lax.fori_loop(
+                0, 8, body, (jnp.float32(0.0), jnp.float32(0.0)))
+
+        _fetch(chain_mix(packed, ids_mix, lengths_mix,
+                         jax.random.PRNGKey(0))[0])
+        best_mix, frames_sum = float("inf"), None
+        for rep in range(2):
+            t0 = time.perf_counter()
+            _acc, fsum = chain_mix(packed, ids_mix, lengths_mix,
+                                   jax.random.PRNGKey(rep + 1))
+            _fetch(_acc)
+            best_mix = min(best_mix, time.perf_counter() - t0)
+            frames_sum = float(_fetch(fsum))
+        audio_s_per_call = frames_sum / 8 * hp.hop_length / sample_rate
+        mixed_tp = audio_s_per_call / (max(best_mix - rtt, 1e-9) / 8)
 
     # Client-visible single-call latency (dispatch + compute + full audio
     # fetch; on a remote-tunnel TPU the round-trip dominates)
@@ -353,18 +417,72 @@ def main() -> None:
         ttfa_ms = float(np.median(ttfa) * 1000)
 
     # Config 3 (host side): the non-IPA Hangul front-end — hangul2ipa
-    # G2P + phonemes_to_ids (pure Python, the same work the reference
-    # does per utterance before its ONNX call).
+    # G2P + phonemes_to_ids over a CORPUS-DERIVED id map (the
+    # preprocess-style inventory map, ref preprocess.py:526-552). The
+    # default 161-symbol IPA map lacks some hangul2ipa outputs, so using
+    # it here would silently skip symbols (VERDICT r3 #5) — the corpus
+    # map covers the front-end's real inventory and the path is
+    # warning-clean.
     from phoonnx_tpu.phoneme_ids import phonemes_to_ids
     from phoonnx_tpu.thirdparty.hangul2ipa import hangul2ipa
 
-    ko_text = "안녕하세요 만나서 반갑습니다"
+    ko_texts = ["안녕하세요 만나서 반갑습니다", "오늘 날씨가 참 좋네요",
+                "한국어 음성 합성 시스템입니다"]
+    ko_phonemes = [list(hangul2ipa(t)) for t in ko_texts]
+    inventory = sorted({p for ph in ko_phonemes for p in ph})
+    ko_map = {"_": [0], "^": [1], "$": [2], " ": [3]}
+    for sym in inventory:
+        if sym not in ko_map:
+            ko_map[sym] = [len(ko_map)]
     t0 = time.perf_counter()
     n_frontend = 20
     for _ in range(n_frontend):
-        ipa = hangul2ipa(ko_text)
-        phonemes_to_ids(list(ipa))
+        ipa = hangul2ipa(ko_texts[0])
+        ko_ids = phonemes_to_ids(list(ipa), id_map=ko_map)
     hangul_ms = (time.perf_counter() - t0) / n_frontend * 1000
+
+    # Config 3 (device side): ids -> audio through a voice whose
+    # embedding table is sized to that corpus map, so the number covers
+    # the real non-IPA path end to end (G2P + tokenize above, synthesis
+    # here).
+    non_ipa_device_ms = None
+    if not _over_budget():
+        hp_ko = VitsHParams.preset("medium", n_vocab=len(ko_map))
+        packed_ko = vits_model.pack_decoder_params(
+            jax.device_put(vits_model.random_params(jax.random.PRNGKey(2),
+                                                    hp_ko)),
+            hp_ko, max_frames)
+        ko_arr = np.zeros((1, t_text), np.int32)
+        ko_trim = ko_ids[:t_text]
+        ko_arr[0, :len(ko_trim)] = ko_trim
+        ids_ko = jnp.asarray(ko_arr)
+        lengths_ko = jnp.asarray([len(ko_trim)], jnp.int32)
+
+        @jax.jit
+        def chain_ko(params, ids_c, lengths_c, base_rng):
+            def body(i, acc):
+                rng = jax.random.fold_in(base_rng, i)
+                audio, _, _ = vits_model.infer(
+                    params, hp_ko, ids_c, lengths_c,
+                    max_frames=max_frames,
+                    noise_scale=jnp.float32(0.667),
+                    length_scale=jnp.float32(1.0),
+                    noise_w=jnp.float32(0.8),
+                    rng=rng,
+                )
+                return acc + audio[:, ::1997].astype(jnp.float32).sum()
+
+            return jax.lax.fori_loop(0, N_CHAIN, body, jnp.float32(0.0))
+
+        _fetch(chain_ko(packed_ko, ids_ko, lengths_ko,
+                        jax.random.PRNGKey(0)))
+        best_ko = float("inf")
+        for rep in range(3):
+            t0 = time.perf_counter()
+            _fetch(chain_ko(packed_ko, ids_ko, lengths_ko,
+                            jax.random.PRNGKey(rep + 1)))
+            best_ko = min(best_ko, time.perf_counter() - t0)
+        non_ipa_device_ms = max(best_ko - rtt, 1e-9) / N_CHAIN * 1000
 
     # Config 3 (device side): diacritizer-shaped aux model (tashkeel
     # biLSTM tagger geometry) on the compiled lowering.
@@ -386,7 +504,9 @@ def main() -> None:
                 t0 = time.perf_counter()
                 runner.run(feeds_fn(2 + i, None))
                 times.append(time.perf_counter() - t0)
-            tashkeel_ms = float(np.median(times) * 1000)
+            # single dispatch+fetch per call: wall = RTT + device; the
+            # tunnel round-trip is not the model's cost
+            tashkeel_ms = max(float(np.median(times)) - rtt, 0.0) * 1000
         except Exception:
             tashkeel_ms = None
 
@@ -394,6 +514,12 @@ def main() -> None:
     step_s = min(step_s, chained_seconds(packed, ids, lengths, reps=5))
     rtf = step_s / audio_seconds
     mfu_single = gflops_utt * 1e9 / step_s / peak_flops
+
+    # post-run calibration brackets contention drift; normalized twins
+    # use the bracket mean so round-over-round history is auditable
+    peak_flops_post = calibrate()
+    cal_mean = (peak_flops + peak_flops_post) / 2.0
+    norm = cal_mean / REF_PEAK_F32  # <1 = chip slower than ref state
 
     def rnd(v, n=1):
         return None if v is None else round(v, n)
@@ -406,16 +532,27 @@ def main() -> None:
         "extra": {
             "audio_sec_per_sec_per_chip": round(1.0 / rtf, 1),
             "device_ms_per_utterance": round(step_s * 1000, 3),
+            "device_ms_per_utterance_norm225": round(
+                step_s * 1000 * norm, 3),
+            "audio_sec_per_sec_norm225": round(1.0 / rtf / norm, 1),
             "client_latency_ms_incl_fetch": round(latency_ms, 2),
             "rtt_ms": round(rtt * 1000, 2),
             "batch16_fp32_audio_sec_per_sec": batch16_fp32,
             "batch16_bf16_audio_sec_per_sec": batch16_bf16,
             "batch_sweep": sweep,
             "peak_audio_sec_per_sec": rnd(peak_tp),
+            "peak_audio_sec_per_sec_norm225": rnd(
+                None if peak_tp == 0 else peak_tp / norm),
+            "peak_vs_single_stream": rnd(
+                None if peak_tp == 0 else peak_tp * rtf, 3),
+            "mixed_length_b16_audio_sec_per_sec": rnd(mixed_tp),
             "saturating_batch": peak_cfg,
             "mfu_at_peak": rnd(peak_mfu, 4),
             "rtf_high_preset_fp32": rnd(rtf_high, 6),
-            "calibrated_peak_tflops": round(peak_flops / 1e12, 1),
+            "calibrated_peak_tflops_pre": round(peak_flops / 1e12, 1),
+            "calibrated_peak_tflops_post": round(
+                peak_flops_post / 1e12, 1),
+            "calibration_norm_factor": round(norm, 4),
             "model_gflop_per_utterance": round(gflops_utt, 2),
             "flop_source": "analytic (phoonnx_tpu.flops)",
             "mfu": round(mfu_single, 4),
@@ -423,6 +560,7 @@ def main() -> None:
             "multispeaker_device_ms_per_utterance": rnd(ms_device_ms, 3),
             "streaming_ttfa_ms": rnd(ttfa_ms, 2),
             "hangul_frontend_ms_per_utterance": round(hangul_ms, 2),
+            "non_ipa_device_ms": rnd(non_ipa_device_ms, 3),
             "diacritizer_aux_device_ms": rnd(tashkeel_ms, 2),
             "byt5_words_per_s": rnd(byt5_words_per_s),
             "frames": max_frames,

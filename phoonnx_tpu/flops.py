@@ -125,6 +125,130 @@ def decoder_flops(hp: VitsHParams, frames: int) -> float:
     return fl
 
 
+def posterior_flops(hp: VitsHParams, frames: int) -> float:
+    """Posterior encoder (posterior.py:18-49): pre 1x1 + WN(k=5, 16
+    layers) + proj to 2*inter (model.py:145-148 fixes k=5, d=1, L=16)."""
+    y, h = frames, hp.hidden_channels
+    per_wn_layer = _mm(y, 2 * h, h * 5) + _mm(y, 2 * h, h)
+    return (_mm(y, h, hp.spec_channels)
+            + 16 * per_wn_layer
+            + _mm(y, 2 * hp.inter_channels, h))
+
+
+def sdp_nll_flops(hp: VitsHParams, t_text: int) -> float:
+    """SDP training NLL (duration.py:75-143): main trunk + duration
+    posterior trunk, then 4 posterior ConvFlows + 4 prior ConvFlows."""
+    t = t_text
+    fc = hp.hidden_channels
+    trunk = (_mm(t, fc, hp.hidden_channels)
+             + _dds_conv_flops(t, fc, hp.kernel_size, 3)
+             + _mm(t, fc, fc))
+    post_trunk = (_mm(t, fc, 1)
+                  + _dds_conv_flops(t, fc, hp.kernel_size, 3)
+                  + _mm(t, fc, fc))
+    n_bins = 10
+    per_cf = (_mm(t, fc, 1)
+              + _dds_conv_flops(t, fc, hp.kernel_size, 3)
+              + _mm(t, 3 * n_bins - 1, fc))
+    return trunk + post_trunk + 8 * per_cf
+
+
+def mas_flops(hp: VitsHParams, t_text: int, frames: int) -> float:
+    """Alignment score matrix (model.py train path): the z_p/m_p
+    neg-cent einsums over inter_channels; the O(T_y*T_x) dynamic
+    program itself is excluded (comparisons, not MACs)."""
+    return 2 * _mm(frames, t_text, hp.inter_channels)
+
+
+def disc_p_flops(period: int, n_samples: int, channel_scale: int = 1,
+                 kernel: int = 5, stride: int = 3) -> float:
+    """One period discriminator forward (discriminator.py:48-92):
+    fold [n] -> [n/p, p, 1], five (k,1) conv2d stages + post."""
+    cs = channel_scale
+    chans = [(1, 32 // cs), (32 // cs, 128 // cs),
+             (128 // cs, 512 // cs), (512 // cs, 1024 // cs),
+             (1024 // cs, 1024 // cs)]
+    h = -(-n_samples // period)
+    fl = 0.0
+    for i, (i_ch, o_ch) in enumerate(chans):
+        s = stride if i < len(chans) - 1 else 1
+        h_out = -(-h // s)
+        fl += _mm(h_out * period, o_ch, i_ch * kernel)
+        h = h_out
+    fl += _mm(h * period, 1, (1024 // cs) * 3)  # conv_post (3,1)
+    return fl
+
+
+def disc_s_flops(n_samples: int, channel_scale: int = 1) -> float:
+    """Scale discriminator forward (discriminator.py:94-133): grouped
+    strided 1d convs + post."""
+    cs = channel_scale
+    specs = [(1, 16 // cs, 15, 1, 1),
+             (16 // cs, 64 // cs, 41, 4, 4),
+             (64 // cs, 256 // cs, 41, 4, 16 // cs if cs <= 4 else 4),
+             (256 // cs, 1024 // cs, 41, 4, 64 // cs),
+             (1024 // cs, 1024 // cs, 41, 4, 256 // cs),
+             (1024 // cs, 1024 // cs, 5, 1, 1)]
+    t = n_samples
+    fl = 0.0
+    for i_ch, o_ch, k, s, groups in specs:
+        t_out = -(-t // s)
+        fl += _mm(t_out, o_ch, (i_ch // groups) * k)
+        t = t_out
+    fl += _mm(t, 1, (1024 // cs) * 3)
+    return fl
+
+
+def discriminator_flops(hp: VitsHParams, n_samples: int,
+                        periods=(2, 3, 5, 7, 11),
+                        channel_scale: int = 1) -> float:
+    """One MPD+MSD forward over one waveform [n_samples]."""
+    return (sum(disc_p_flops(p, n_samples, channel_scale)
+                for p in periods)
+            + disc_s_flops(n_samples, channel_scale))
+
+
+def train_generator_fwd_flops(hp: VitsHParams, t_text: int,
+                              frames: int) -> float:
+    """train_forward (model.py:300-400): encoder, SDP NLL, posterior,
+    flow forward, MAS scores, decoder on the SEGMENT."""
+    return (text_encoder_flops(hp, t_text)
+            + sdp_nll_flops(hp, t_text)
+            + posterior_flops(hp, frames)
+            + flow_flops(hp, frames)
+            + mas_flops(hp, t_text, frames)
+            + decoder_flops(hp, hp.segment_size))
+
+
+def train_step_flops(hp: VitsHParams, t_text: int, frames: int,
+                     periods=(2, 3, 5, 7, 11),
+                     channel_scale: int = 1) -> float:
+    """Analytic FLOPs of ONE fused G+D train step per batch element.
+
+    Conventions (documented so the MFU denominator is auditable):
+    backward-through-params+activations = 2x forward; the generator
+    loss differentiates the full train_forward (3x fwd total). The
+    discriminator runs 4 forwards per step — D(y), D(y_hat) in the
+    generator loss and both again (stop-gradded inputs) in the
+    discriminator loss — plus an input-gradient backward through
+    D(y_hat) for the G update (~1x fwd) and a params backward for the
+    D update (~2x fwd): 7x one discriminator forward in total.
+    """
+    seg_samples = hp.segment_size * hp.hop_length
+    gen = 3.0 * train_generator_fwd_flops(hp, t_text, frames)
+    disc = 7.0 * discriminator_flops(hp, seg_samples, periods,
+                                     channel_scale)
+    return gen + disc
+
+
+def train_step_gflops(hp: VitsHParams, t_text: int, frames: int,
+                      batch_size: int = 1,
+                      periods=(2, 3, 5, 7, 11),
+                      channel_scale: int = 1) -> float:
+    return batch_size * train_step_flops(
+        hp, t_text, frames, periods, channel_scale) / 1e9
+
+
 def infer_flops(hp: VitsHParams, t_text: int, frames: int,
                 speaker: bool = False) -> float:
     """Total model FLOPs of one inference forward at static buckets

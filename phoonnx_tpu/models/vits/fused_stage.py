@@ -48,7 +48,7 @@ from phoonnx_tpu.models.vits.statics import (StaticFloat, StaticInt,
 
 Array = jax.Array
 
-TILE_CANDIDATES = (512, 256, 128)
+TILE_CANDIDATES = (1024, 512, 256, 128)
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 # Test hook: run the kernel in interpreter mode on non-TPU backends so
@@ -218,17 +218,21 @@ def build_group_spec(blocks, pack_r: int, lrelu_slope: float,
 
 
 def usable(spec, pack_r: int, x: Array) -> bool:
-    """Measured policy (v5e, chained A/B, tools/bench_tail_zero.py):
-    the fused stage wins at every batch and dtype. fp32: batch-1 decode
-    1.57->0.71 ms, batch-16 throughput +37%. bf16 batched looked ~5%
-    worse back when the XLA path carried no masking, but with the
-    padding-bit-equality contract the XLA path pays per-conv tail
-    zeroing the kernel gets for free from its scalar-prefetch lengths —
-    re-measured bf16 batched decode: b16 0.706->0.632, b64
-    0.753->0.648 ms/utt (-11/-14%)."""
+    """Measured policy (v5e, chained A/B, tools/bench_tail_zero.py +
+    tools/bench_vocoder_parts.py): the fused stage wins at every batch
+    and dtype for packed (r > 1) stages — fp32 batch-1 decode
+    1.57->0.71 ms, bf16 batched decode -11/-14% at b16/b64 vs the
+    XLA path with its padding-parity tail zeroing. The exception is
+    unpacked full-lane stages (r == 1, C >= 128) at batch: the kernel's
+    sequential (batch, tile) grid gives zero batch amortization
+    (~0.038 ms/utt flat), while XLA's native batched convs amortize
+    nearly perfectly above the algorithm-selection hump at small batch
+    (0.035 b1, ~0.10 b2-b4, 0.021 b8, 0.016 ms/utt b16) — so r == 1
+    stages hand off to the XLA conv path from batch 8 up."""
     return (spec is not None and enabled()
             and int(spec["r"]) == pack_r and int(spec["L"]) == x.shape[-1]
-            and x.dtype in (jnp.float32, jnp.bfloat16))
+            and x.dtype in (jnp.float32, jnp.bfloat16)
+            and not (int(spec["r"]) == 1 and x.shape[0] >= 8))
 
 
 def _kernel(len_ref, xc_ref, w_ref, b_ref, out_ref,
@@ -351,7 +355,8 @@ def _compute_group(valid, g0, asm, w_ref, b_ref, out_ref, cur, act, tmp,
             if ui >= len(branch):
                 continue
             src = cur[bi]
-            for w0, offsets, b_idx in branch[ui]:
+            unit = branch[ui]
+            for ci, (w0, offsets, b_idx) in enumerate(unit):
                 act[bi][:, :] = lrelu(src[:, :])
                 y = None
                 if "nodots" in _EXPERIMENT:
@@ -364,9 +369,14 @@ def _compute_group(valid, g0, asm, w_ref, b_ref, out_ref, cur, act, tmp,
                                     preferred_element_type=jnp.float32)
                         y = c if y is None else y + c
                 y = y + b_ref[b_idx, :].astype(jnp.float32)
-                tmp[bi][win, :] = y.astype(out_dtype)
-                src = tmp[bi]
-            cur[bi][win, :] = cur[bi][win, :] + tmp[bi][win, :]
+                if ci + 1 == len(unit):
+                    # last conv of the unit: fuse the residual add —
+                    # skips a tmp write + read-back pass per unit
+                    cur[bi][win, :] = (cur[bi][win, :]
+                                       + y.astype(out_dtype))
+                else:
+                    tmp[bi][win, :] = y.astype(out_dtype)
+                    src = tmp[bi]
     # mask the OUTPUT rows too: the residual path carries biases into
     # positions >= valid, and the NEXT stage's transposed conv (or the
     # iSTFT head's convs) would tap them back into the valid span

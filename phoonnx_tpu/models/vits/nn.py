@@ -44,17 +44,51 @@ def conv1d(
     dilation: int = 1,
     groups: int = 1,
 ) -> Array:
-    """1D cross-correlation matching torch.nn.Conv1d semantics."""
-    out = jax.lax.conv_general_dilated(
-        x,
-        weight,
-        window_strides=(stride,),
-        padding=[(padding, padding)],
-        rhs_dilation=(dilation,),
-        dimension_numbers=_CONV_DN,
-        feature_group_count=groups,
-        preferred_element_type=x.dtype,
-    )
+    """1D cross-correlation matching torch.nn.Conv1d semantics.
+
+    groups > 1 deliberately avoids ``feature_group_count``: XLA's SPMD
+    partitioner (Shardy AND GSPMD, probed on jax 0.9) scales the
+    grouped-conv WEIGHT gradient by the size of any idle mesh axis —
+    a (data=4, model=2) mesh returns exactly 2x the true dW for a
+    replicated-weight, batch-sharded grouped conv (see
+    tests/test_multidevice_equivalence.py, which caught it). The
+    per-tap batched einsum below is the same arithmetic expressed as
+    dot_general, whose partitioning is correct; for depthwise convs
+    (c_per_group == 1) it degenerates to shifted multiplies, which is
+    what a depthwise conv is.
+    """
+    if groups == 1:
+        out = jax.lax.conv_general_dilated(
+            x,
+            weight,
+            window_strides=(stride,),
+            padding=[(padding, padding)],
+            rhs_dilation=(dilation,),
+            dimension_numbers=_CONV_DN,
+            preferred_element_type=x.dtype,
+        )
+        if bias is not None:
+            out = out + bias
+        return out
+
+    out_ch, cg, kernel = weight.shape
+    og = out_ch // groups
+    xp = jnp.pad(x, ((0, 0), (padding, padding), (0, 0)))
+    b, tp, _ = xp.shape
+    t_out = (tp - (kernel - 1) * dilation - 1) // stride + 1
+    xg = xp.reshape(b, tp, groups, cg)
+    # [O, I/g, K] -> [K, g, I/g, O/g]
+    wt = jnp.transpose(weight.reshape(groups, og, cg, kernel),
+                       (3, 0, 2, 1))
+    y = None
+    for j in range(kernel):
+        lo = j * dilation
+        sl = jax.lax.slice_in_dim(
+            xg, lo, lo + (t_out - 1) * stride + 1, stride=stride, axis=1)
+        c = jnp.einsum("btgc,gco->btgo", sl, wt[j],
+                       preferred_element_type=x.dtype)
+        y = c if y is None else y + c
+    out = y.reshape(b, t_out, out_ch)
     if bias is not None:
         out = out + bias
     return out

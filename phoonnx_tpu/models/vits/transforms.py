@@ -69,10 +69,20 @@ def rational_quadratic_spline(
     derivatives = min_derivative + jax.nn.softplus(unnormalized_derivatives)
 
     bin_idx = _searchsorted(cumheights if inverse else cumwidths, inputs)
-    bin_idx = jnp.clip(bin_idx, 0, num_bins - 1)[..., None]
+    bin_idx = jnp.clip(bin_idx, 0, num_bins - 1)
+
+    # One-hot contraction instead of take_along_axis: K is tiny (10
+    # bins) and TPU lowers the per-element gather terribly (measured
+    # 0.146 ms for a [16,128,1] spline batch — most of the SDP's device
+    # time); the masked sum is exact (one 1.0 per row, adding zeros)
+    # and fuses into plain vector ops.
+    onehot = (bin_idx[..., None]
+              == jnp.arange(num_bins, dtype=bin_idx.dtype)).astype(
+                  inputs.dtype)
 
     def pick(table: Array) -> Array:
-        return jnp.take_along_axis(table, bin_idx, axis=-1)[..., 0]
+        # tables may carry K+1 knots; indices are clipped to [0, K-1]
+        return jnp.sum(table[..., :num_bins] * onehot, axis=-1)
 
     in_cumwidths = pick(cumwidths)
     in_widths = pick(widths)

@@ -825,16 +825,64 @@ def _j_lstm(node, x, w, r, b=None, seq_lens=None, h0=None, c0=None, p=None):
             ), jnp.where(mask, h_new, jnp.float32(0))
 
         (h, c), ys = jax.lax.scan(
-            step, (h, c), (gx, jnp.arange(t_len, dtype=jnp.int32)))
+            step, (h, c), (gx, jnp.arange(t_len, dtype=jnp.int32)),
+            unroll=4)
         if reverse:
             ys = _j_reverse_rows(ys, lens)
         return ys, h, c
 
+    def run_bidir():
+        # Both directions in ONE scan (the reverse lane walks the
+        # row-reversed sequence): halves the sequential loop trips,
+        # which dominate this op's device time — tiny [B, H] recurrence
+        # matmuls cost less than the per-iteration loop overhead.
+        wd = jnp.asarray(w, jnp.float32)  # [2, 4H, I]
+        rd = jnp.asarray(r, jnp.float32)
+        bd = (jnp.asarray(b, jnp.float32) if b is not None
+              else jnp.zeros((2, 8 * hidden), jnp.float32))
+        wb = bd[:, None, :4 * hidden]  # [2, 1, 4H]
+        rb = bd[:, None, 4 * hidden:]
+        h = (jnp.asarray(h0, jnp.float32) if h0 is not None
+             else jnp.zeros((2, batch, hidden), jnp.float32))
+        c = (jnp.asarray(c0, jnp.float32) if c0 is not None
+             else jnp.zeros((2, batch, hidden), jnp.float32))
+        xs = jnp.stack([x, _j_reverse_rows(x, lens)], axis=1)  # [T,2,B,I]
+        gx = jnp.einsum("tdbi,dgi->tdbg", xs, wd) + wb  # [T, 2, B, 4H]
+
+        def step(carry, inp):
+            h, c = carry  # [2, B, H]
+            gxt, t = inp
+            gates = gxt + jnp.einsum("dbh,dgh->dbg", h, rd) + rb
+            i = _j_sigmoid(gates[..., :hidden])
+            o = _j_sigmoid(gates[..., hidden:2 * hidden])
+            f = _j_sigmoid(gates[..., 2 * hidden:3 * hidden])
+            g = jnp.tanh(gates[..., 3 * hidden:])
+            c_new = f * c + i * g
+            h_new = o * jnp.tanh(c_new)
+            if lens is None:
+                return (h_new, c_new), h_new
+            mask = (t < lens)[None, :, None]
+            return (
+                jnp.where(mask, h_new, h),
+                jnp.where(mask, c_new, c),
+            ), jnp.where(mask, h_new, jnp.float32(0))
+
+        (h, c), ys = jax.lax.scan(
+            step, (h, c), (gx, jnp.arange(t_len, dtype=jnp.int32)),
+            unroll=4)
+        # ys [T, 2, B, H]: un-reverse the backward lane's rows
+        ys = ys.at[:, 1].set(_j_reverse_rows(ys[:, 1], lens))
+        return ys, h, c
+
+    if direction == "bidirectional":
+        y, y_h, y_c = run_bidir()
+        return y, y_h, y_c
+
     results = []
-    if direction in ("forward", "bidirectional"):
+    if direction == "forward":
         results.append(run_dir(0, False))
-    if direction in ("reverse", "bidirectional"):
-        results.append(run_dir(0 if direction == "reverse" else 1, True))
+    if direction == "reverse":
+        results.append(run_dir(0, True))
     y = jnp.stack([res[0] for res in results], axis=1)  # [T, D, B, H]
     y_h = jnp.stack([res[1] for res in results])
     y_c = jnp.stack([res[2] for res in results])
@@ -1794,4 +1842,11 @@ class JaxGraphRunner:
                 else:
                     step.run(env, self.executor)
         wanted = list(outputs or self.model.outputs)
-        return [np.asarray(env[name]) for name in wanted]
+        outs = [env[name] for name in wanted]
+        # start all device->host copies before blocking on any: on a
+        # remote-tunnel backend each blocking fetch pays a full RTT, so
+        # sequential np.asarray over k outputs costs k round-trips
+        for o in outs:
+            if hasattr(o, "copy_to_host_async"):
+                o.copy_to_host_async()
+        return [np.asarray(o) for o in outs]

@@ -113,9 +113,13 @@ def main() -> None:
 
     _fetch(cal_chain(a_cal))
     cal_best = float("inf")
-    for _ in range(args.reps):
+    for rep in range(args.reps):
+        # vary the operand: identical (executable, value) calls can be
+        # relay-cached on this backend
+        arg = a_cal + jnp.float32((rep + 1) * 1e-6)
+        _fetch(arg)
         t0 = time.perf_counter()
-        _fetch(cal_chain(a_cal))
+        _fetch(cal_chain(arg))
         cal_best = min(cal_best, time.perf_counter() - t0)
     peak = 8 * 2 * n_cal ** 3 / max(cal_best - rtt, 1e-9)
     print(f"calibrated peak: {peak / 1e12:.1f} TFLOP/s ({args.dtype})")
