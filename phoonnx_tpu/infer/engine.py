@@ -145,6 +145,7 @@ class VitsEngine:
         self._fused = {}
         self._latents = {}
         self._decode_chunk = {}
+        self._first_chunk = {}
 
     def _params_for_frames(self, t_frames: int):
         """Params view with the decoder's packed kernels precomputed for a
@@ -326,6 +327,58 @@ class VitsEngine:
             self._decode_chunk[key] = decode_chunk
         return self._decode_chunk[key]
 
+    # right context (frames) the inverse coupling flow reads past any
+    # output frame: 4 couplings x WN(4 layers, k=5, d=1) x (5-1)/2.
+    # Latents computed on a prefix of this much extra context are
+    # bit-equal to the full-bucket latents on the used span.
+    _FLOW_CONTEXT = 32
+
+    def _get_first_chunk(self, t_bucket: int, chunk: int, overlap: int):
+        """ONE program for time-to-first-audio: encoder + durations +
+        prefix latents + the first decoder window, fused so the first
+        audio needs a single dispatch/fetch round-trip instead of three
+        (phase1 -> latents -> chunk each paid the tunnel RTT; VERDICT
+        r3 #7). The latent prefix carries _FLOW_CONTEXT extra frames so
+        the flow's right context makes the used span bit-equal to the
+        full-bucket latents the remaining chunks are decoded from (the
+        prior noise matches because threefry bits are keyed by flat
+        position, identical on a common prefix).
+        """
+        key = (t_bucket, chunk, overlap)
+        if key not in self._first_chunk:
+            hp = self.hp
+            prec = self.matmul_precision
+            window = chunk + 2 * overlap
+            prefix = window + self._FLOW_CONTEXT
+            up = hp.total_upsample
+
+            @jax.jit
+            def first_chunk(params, ids, lengths, noise_scale,
+                            length_scale, noise_w, sid, rng1, rng2):
+                with _prec_scope(prec):
+                    m_p, logs_p, w_ceil, x_mask, g = (
+                        vits_model.infer_durations(
+                            params, hp, ids, lengths, length_scale,
+                            noise_w,
+                            sid=sid if hp.n_speakers > 1 else None,
+                            rng=rng1,
+                        ))
+                    z_pre, y_lengths = vits_model.infer_latents(
+                        params, hp, m_p, logs_p, w_ceil, x_mask, prefix,
+                        noise_scale, g=g, rng=rng2,
+                    )
+                    valid = jnp.clip(y_lengths, 0, window).astype(
+                        jnp.int32)
+                    audio = vits_model.decode_audio(
+                        params, hp, z_pre[:, :window], g=g,
+                        frame_lengths=valid)
+                    audio = jax.lax.slice_in_dim(
+                        audio, 0, chunk * up, axis=1)
+                return audio, m_p, logs_p, w_ceil, x_mask, g, y_lengths
+
+            self._first_chunk[key] = first_chunk
+        return self._first_chunk[key]
+
     @staticmethod
     @jax.jit
     def _to_pcm16(audio):
@@ -433,29 +486,51 @@ class VitsEngine:
                                  np.random.randint(0, 2 ** 31 - 1))
         rng1, rng2 = jax.random.split(rng)
 
-        phase1 = self._get_phase1(1, t_bucket)
-        m_p, logs_p, w_ceil, x_mask, g = phase1(
-            self.params, jnp.asarray(ids), jnp.asarray(lengths),
+        chunk = max(1, chunk_frames)
+        overlap = max(0, overlap_frames)
+        window = chunk + 2 * overlap
+        up = self.hp.total_upsample
+
+        # first audio in ONE dispatch: encoder + durations + prefix
+        # latents + first decoder window, fused (see _get_first_chunk)
+        dec_params = self._params_for_frames(window)
+        first = self._get_first_chunk(t_bucket, chunk, overlap)
+        audio1, m_p, logs_p, w_ceil, x_mask, g, _y_pre = first(
+            dec_params, jnp.asarray(ids), jnp.asarray(lengths),
+            jnp.asarray(noise_scale, self.dtype),
             jnp.asarray(length_scale, self.dtype),
             jnp.asarray(noise_w, self.dtype),
-            jnp.asarray(sid), rng1,
+            jnp.asarray(sid), rng1, rng2,
         )
-        frames = int(np.max(np.asarray(jnp.sum(w_ceil, axis=-1))))
+        if self.fetch_pcm16:
+            audio1 = self._to_pcm16(audio1)
+        # overlap the bookkeeping fetch with the audio fetch
+        w_sum = jnp.sum(w_ceil, axis=-1)
+        for buf in (w_sum, audio1):
+            if hasattr(buf, "copy_to_host_async"):
+                buf.copy_to_host_async()
+        wav1 = np.asarray(audio1)
+        wav1 = (wav1.astype(np.float32) / 32767.0 if self.fetch_pcm16
+                else wav1.astype(np.float32))
+        frames = int(np.max(np.asarray(w_sum)))
         f_bucket = self._frame_bucket_clamped(frames)
+        n_frames = max(min(frames, f_bucket), 1)
+        total_samples = n_frames * up
+
+        yield wav1[0, :min(chunk, n_frames) * up]
+        if n_frames <= chunk:
+            return
+
+        # remaining chunks decode from the full-bucket latents (their
+        # common prefix is bit-equal to the fused program's prefix)
         latents = self._get_latents(1, t_bucket, f_bucket)
-        z, y_lengths = latents(
+        z, _y_lengths = latents(
             self.params, m_p, logs_p, w_ceil, x_mask, g,
             jnp.asarray(noise_scale, self.dtype), rng2,
         )
-        n_frames = int(np.asarray(y_lengths)[0])
-        up = self.hp.total_upsample
-        total_samples = n_frames * up
         t_total = z.shape[1]
-
-        chunk = max(1, chunk_frames)
-        overlap = max(0, overlap_frames)
-        if chunk + 2 * overlap >= t_total:
-            # window would cover the whole buffer — monolithic decode
+        if window >= t_total:
+            # window covers the whole buffer — one monolithic tail
             audio = self._get_decode_chunk(1, t_total, t_total, 0)(
                 self._params_for_frames(t_total), z,
                 jnp.asarray(0, jnp.int32),
@@ -467,16 +542,14 @@ class VitsEngine:
             wav = np.asarray(audio)
             wav = (wav.astype(np.float32) / 32767.0 if self.fetch_pcm16
                    else wav.astype(np.float32))
-            yield wav[0, :total_samples]
+            yield wav[0, chunk * up:total_samples]
             return
 
-        window = chunk + 2 * overlap
         n_chunks = max(1, math.ceil(n_frames / chunk))
         decode = self._get_decode_chunk(1, t_total, chunk, overlap)
-        dec_params = self._params_for_frames(window)
 
         in_flight = []
-        for i in range(n_chunks):
+        for i in range(1, n_chunks):
             # clamp the window inside the real latent buffer so the kept
             # span always has >= overlap frames of true context (or the
             # true utterance edge) on each side
@@ -496,7 +569,7 @@ class VitsEngine:
             if self.fetch_pcm16:
                 audio = self._to_pcm16(audio)
             in_flight.append((audio, skip))
-        emitted = 0
+        emitted = chunk * up  # the fused first chunk
         for audio, skip in in_flight:
             wav = np.asarray(audio)
             wav = (wav.astype(np.float32) / 32767.0 if self.fetch_pcm16
