@@ -1228,18 +1228,84 @@ def _trace_if(node: OnnxNode, env: Dict[str, Any], ops):
                         make_branch("else_branch"), None)
 
 
+def _is_concrete_value(v) -> bool:
+    import jax
+
+    return not isinstance(v, jax.core.Tracer)
+
+
+def _loop_is_full_trip(node: OnnxNode, env: Dict[str, Any]) -> bool:
+    """True when the Loop provably runs all M iterations at trace time:
+    body cond passes through True AND the initial cond (if any) is a
+    concrete True. Mirrored by the staging guard — a dynamic-termination
+    loop takes the lax.while_loop path instead."""
+    import jax
+
+    if not _body_cond_passthrough(node.attributes["body"]):
+        return False
+    if len(node.inputs) > 1 and node.inputs[1]:
+        cond0 = env.get(node.inputs[1])
+        if isinstance(cond0, jax.core.Tracer):
+            return False
+        if cond0 is not None and not bool(np.asarray(cond0).reshape(())):
+            return False
+    return True
+
+
 def _trace_loop(node: OnnxNode, env: Dict[str, Any], ops):
-    """Static-trip-count Loop as lax.scan (guard: _control_flow_stageable
-    proved M plan-time-static and the body condition a True
-    pass-through, so the scan ignores cond)."""
+    """Loop staging: full-trip loops run as lax.scan (scan outputs
+    supported); dynamic-termination / traced-bound loops with NO scan
+    outputs run as a bounded lax.while_loop (VERDICT r3 #8) — their
+    carried outputs have static shapes, while scan outputs would have a
+    data-dependent length and stay on the guarded eager path."""
     import jax
 
     jnp = _jnp()
     body = node.attributes["body"]
-    max_trip = int(np.asarray(env[node.inputs[0]]).reshape(()))
     carried0 = tuple(jnp.asarray(env[name]) for name in node.inputs[2:])
     n_carried = len(carried0)
     n_scan = len(body.outputs) - 1 - n_carried
+    it_dtype = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+
+    if not _loop_is_full_trip(node, env) or not _is_concrete_value(
+            env[node.inputs[0]]):
+        # bounded while_loop: cond from iteration i gates iteration i+1,
+        # capped at the (possibly traced) trip bound M
+        assert n_scan == 0, "guard must refuse dynamic Loop w/ scans"
+        m_bound = jnp.asarray(env[node.inputs[0]]).reshape(()).astype(
+            it_dtype)
+        if len(node.inputs) > 1 and node.inputs[1]:
+            cond0 = jnp.asarray(env[node.inputs[1]]).reshape(()).astype(
+                bool)
+        else:
+            cond0 = jnp.asarray(True)
+
+        def cond_fn(state):
+            i, cond, _carry = state
+            return (i < m_bound) & cond
+
+        def body_fn(state):
+            i, cond, carry = state
+            child = _subgraph_env_traced(body, env)
+            child[body.inputs[0]] = i
+            child[body.inputs[1]] = cond
+            for name, val in zip(body.inputs[2:], carry):
+                child[name] = val
+            _exec_nodes_traced(body.nodes, child, ops)
+            new_cond = jnp.asarray(child[body.outputs[0]]).reshape(
+                ()).astype(bool)
+            new_carry = tuple(
+                jnp.asarray(child[name]).astype(init.dtype)
+                for name, init in zip(body.outputs[1:1 + n_carried],
+                                      carried0)
+            )
+            return i + 1, new_cond, new_carry
+
+        state0 = (jnp.asarray(0, it_dtype), cond0, carried0)
+        _i, _c, carry_f = jax.lax.while_loop(cond_fn, body_fn, state0)
+        return tuple(carry_f)
+
+    max_trip = int(np.asarray(env[node.inputs[0]]).reshape(()))
 
     def body_fn(carry, it):
         child = _subgraph_env_traced(body, env)
@@ -1320,18 +1386,20 @@ def _subgraph_ops_ok(graph: OnnxModel, supported: set) -> bool:
                        for k in ("then_branch", "else_branch")):
                 return False
         elif node.op_type == "Loop":
-            # a NESTED Loop is staged as lax.scan without the top-level
-            # env/value-static checks, so it must be provably
-            # full-trip: a trip count input, a condition that is absent
-            # or locally-provably True, and a body whose cond_out
-            # passes through
+            # a NESTED Loop is staged without the top-level env/
+            # value-static checks. Two stageable forms: provably
+            # full-trip (cond absent or locally-provably True, body
+            # cond passes through — lax.scan, scan outputs fine), or
+            # carried-only (no scan outputs — bounded lax.while_loop
+            # handles dynamic termination). Anything else refuses.
             if not node.inputs or not node.inputs[0]:
                 return False
-            if len(node.inputs) > 1 and node.inputs[1] and \
-                    not _name_provably_true(graph, node.inputs[1]):
-                return False
             body = node.attributes["body"]
-            if not _body_cond_passthrough(body):
+            n_scan = (len(body.outputs) - 1) - (len(node.inputs) - 2)
+            full_trip = _body_cond_passthrough(body) and not (
+                len(node.inputs) > 1 and node.inputs[1]
+                and not _name_provably_true(graph, node.inputs[1]))
+            if not full_trip and n_scan > 0:
                 return False
             if not _subgraph_ops_ok(body, supported):
                 return False
@@ -1763,21 +1831,29 @@ class JaxGraphRunner:
         if any(env.get(n) is None for n in all_names):
             return False
         if node.op_type == "Loop":
-            # scan needs a static trip count and a condition that
-            # provably stays True (dynamic-termination loops stay eager)
+            # a Loop needs a trip bound either way (lax has no unbounded
+            # scan output and an unbounded while would hide hangs)
             if not node.inputs or not node.inputs[0]:
                 return False
-            if not value_static.get(node.inputs[0], False):
-                return False
+            body = node.attributes["body"]
+            n_scan = (len(body.outputs) - 1) - (len(node.inputs) - 2)
+            full_trip = _body_cond_passthrough(body)
             if len(node.inputs) > 1 and node.inputs[1]:
                 cname = node.inputs[1]
                 if not value_static.get(cname, True):
-                    return False
-                cond0 = env.get(cname)
-                if cond0 is not None and not bool(
-                        np.asarray(cond0).reshape(())):
-                    return False
-            if not _body_cond_passthrough(node.attributes["body"]):
+                    full_trip = False  # runtime initial cond
+                else:
+                    cond0 = env.get(cname)
+                    if cond0 is not None and not bool(
+                            np.asarray(cond0).reshape(())):
+                        full_trip = False  # statically zero-trip
+            if full_trip and value_static.get(node.inputs[0], False):
+                pass  # lax.scan path: scan outputs fine
+            elif n_scan == 0:
+                pass  # bounded lax.while_loop path (carried-only)
+            else:
+                # dynamic termination with scan outputs: the output
+                # length is data-dependent — stays on the eager path
                 return False
 
         import jax

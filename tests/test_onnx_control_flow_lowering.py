@@ -82,8 +82,10 @@ def test_loop_static_trip_count_stages():
     np.testing.assert_allclose(out_sq, [2.0, 8.0, 32.0, 98.0])
 
 
-def test_loop_dynamic_trip_count_stays_eager():
-    """M fed as a graph input is not plan-time static -> eager."""
+def test_loop_dynamic_trip_count_stages_as_while():
+    """M fed as a graph input is not plan-time static; a carried-only
+    Loop still stages — bounded lax.while_loop takes M as a traced
+    bound (VERDICT r3 #8)."""
     body = subgraph(
         [("Identity", ["cond_in"], ["cond_out"], {}),
          ("Add", ["v_in", "one"], ["v_out"], {})],
@@ -95,12 +97,14 @@ def test_loop_dynamic_trip_count_stays_eager():
     model = build_model(b, ["M", "v0"], [vf])
     runner = assert_parity(model, {"M": np.asarray(3, np.int64),
                                    "v0": np.float32(1.0)})
-    assert runner.plan_stats()["eager"] == 1
+    assert runner.plan_stats()["eager"] == 0
 
 
-def test_loop_condition_termination_stays_eager():
-    """A body that can flip its condition cannot become a fixed-length
-    scan -> eager (parity with the interpreter's while semantics)."""
+def test_loop_condition_termination_stages_as_while():
+    """A body that can flip its condition stages as a bounded
+    lax.while_loop when it has no scan outputs: the while's early exit
+    reproduces the interpreter's semantics exactly (VERDICT r3 #8 —
+    previously this replayed eagerly on numpy)."""
     body = subgraph(
         [("Add", ["v_in", "one"], ["v_out"], {}),
          ("Less", ["v_out", "limit"], ["cond_out"], {})],
@@ -112,7 +116,45 @@ def test_loop_condition_termination_stays_eager():
     vf = b.n("Loop", [m, c, "v0"], body=body)
     model = build_model(b, ["v0"], [vf])
     runner = assert_parity(model, {"v0": np.float32(1.0)})
+    assert runner.plan_stats()["eager"] == 0
+
+
+def test_loop_dynamic_termination_with_scans_stays_eager():
+    """Dynamic termination WITH scan outputs cannot stage: the
+    concatenated scan-output length is data-dependent. Stays eager with
+    interpreter parity."""
+    body = subgraph(
+        [("Add", ["v_in", "one"], ["v_out"], {}),
+         ("Less", ["v_out", "limit"], ["cond_out"], {}),
+         ("Identity", ["v_out"], ["scan_out"], {})],
+        ["cond_out", "v_out", "scan_out"],
+        inputs=["iter", "cond_in", "v_in"],
+        initializers={"one": np.float32(1.0), "limit": np.float32(5.0)})
+    b = GraphBuilder()
+    m = b.init("M", np.asarray(100, np.int64))
+    c = b.init("cond", np.asarray(True))
+    vf, sf = b.n("Loop", [m, c, "v0"], n_out=2, body=body)
+    model = build_model(b, ["v0"], [vf, sf])
+    runner = assert_parity(model, {"v0": np.float32(1.0)})
     assert runner.plan_stats()["eager"] == 1
+
+
+def test_loop_runtime_initial_cond_stages_as_while():
+    """The initial condition arriving as a runtime input (possibly
+    False -> zero trips) stages on the while path."""
+    body = subgraph(
+        [("Identity", ["cond_in"], ["cond_out"], {}),
+         ("Add", ["v_in", "one"], ["v_out"], {})],
+        ["cond_out", "v_out"], inputs=["iter", "cond_in", "v_in"],
+        initializers={"one": np.float32(1.0)})
+    b = GraphBuilder()
+    m = b.init("M", np.asarray(4, np.int64))
+    vf = b.n("Loop", [m, "cond0", "v0"], body=body)
+    model = build_model(b, ["cond0", "v0"], [vf])
+    for cond in (True, False):
+        runner = assert_parity(model, {"cond0": np.asarray(cond),
+                                       "v0": np.float32(1.0)})
+        assert runner.plan_stats()["eager"] == 0
 
 
 def test_loop_outer_capture_weights_stage():
@@ -239,13 +281,12 @@ def test_scripted_voice_graph_zero_eager_nodes():
     np.testing.assert_allclose(loud, ref, rtol=1e-5, atol=1e-6)
 
 
-def test_nested_dynamic_loop_keeps_outer_eager():
-    """An early-terminating Loop NESTED inside an otherwise-stageable
-    outer Loop must keep the whole node eager: the staged lax.scan
-    ignores the condition, so staging would run the inner loop
-    full-trip and silently diverge from the interpreter (found by
-    review: plan call returned the interpreter's value, replays the
-    scan's)."""
+def test_nested_dynamic_loop_stages_as_while():
+    """An early-terminating carried-only Loop NESTED inside a
+    stageable outer Loop now stages too: the inner loop lowers as a
+    bounded lax.while_loop whose early exit matches the interpreter
+    (r3 refused this structurally because the scan path would have run
+    it full-trip; the while path makes it exact)."""
     inner_body = subgraph(
         [("Add", ["v_in", "one"], ["v_out"], {}),
          ("Less", ["v_out", "three"], ["cond_out"], {})],
@@ -266,7 +307,7 @@ def test_nested_dynamic_loop_keeps_outer_eager():
     out = b.add(wf, wf)
     model = build_model(b, ["w0"], [out])
     runner = assert_parity(model, {"w0": np.float32(0.0)})
-    assert runner.plan_stats()["eager"] == 1, runner.plan_stats()
+    assert runner.plan_stats()["eager"] == 0, runner.plan_stats()
 
 
 def test_plain_scatter_in_if_branch_keeps_node_eager():
