@@ -42,6 +42,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 TARGET_RTF = 0.02
 N_CHAIN = 20
@@ -137,7 +138,7 @@ def main() -> None:
             m = acc @ a
             return m / (jnp.abs(m).max() + 1.0)
 
-        return jax.lax.fori_loop(0, 8, body, a)[0, 0]
+        return jax.lax.fori_loop(0, 24, body, a)[0, 0]
 
     def calibrate():
         # vary the operand per rep: identical (executable, value) pairs
@@ -151,7 +152,7 @@ def main() -> None:
             t0 = time.perf_counter()
             _fetch(cal_chain(arg))
             cal_best = min(cal_best, time.perf_counter() - t0)
-        return 8 * 2 * n_cal ** 3 / max(cal_best - rtt, 1e-9)
+        return 24 * 2 * n_cal ** 3 / max(cal_best - rtt, 1e-9)
 
     # Calibration brackets the run (pre here, post after the last
     # section) so contention drift during the run is visible in the
@@ -287,6 +288,57 @@ def main() -> None:
             frames_sum = float(_fetch(fsum))
         audio_s_per_call = frames_sum / 8 * hp.hop_length / sample_rate
         mixed_tp = audio_s_per_call / (max(best_mix - rtt, 1e-9) / 8)
+
+    # Same mixed draw through frame-bucketed lanes (what the serving
+    # batcher does: short utterances decode at a smaller frame bucket
+    # instead of padding to the longest's) — the gap between this and
+    # the padded number above is the bucket-packing recovery.
+    mixed_bucketed_tp = None
+    if not _over_budget():
+        order = np.argsort(mix_lengths)
+        halves = [order[:mix_batch // 2], order[mix_batch // 2:]]
+        total_t = 0.0
+        total_audio = 0.0
+        for half in halves:
+            sub_lens = mix_lengths[half]
+            # engine-style frame budget from the sub-batch's longest
+            f_b = 256 if int(sub_lens.max()) * 4 <= 256 else max_frames
+            ids_h = jnp.asarray(np.asarray(ids_mix)[half])
+            lens_h = jnp.asarray(sub_lens, jnp.int32)
+
+            @partial(jax.jit, static_argnames=("mf",))
+            def chain_h(params, ids_c, lengths_c, base_rng, mf):
+                def body(i, carry):
+                    acc, secs = carry
+                    rng = jax.random.fold_in(base_rng, i)
+                    audio, y_l, _ = vits_model.infer(
+                        params, hp, ids_c, lengths_c, max_frames=mf,
+                        noise_scale=jnp.float32(0.667),
+                        length_scale=jnp.float32(1.0),
+                        noise_w=jnp.float32(0.8), rng=rng)
+                    acc = acc + audio[:, ::1997].astype(
+                        jnp.float32).sum()
+                    secs = secs + y_l.astype(jnp.float32).sum()
+                    return acc, secs
+
+                return jax.lax.fori_loop(
+                    0, 8, body, (jnp.float32(0.0), jnp.float32(0.0)))
+
+            run_p = (packed if f_b == max_frames
+                     else vits_model.pack_decoder_params(params, hp, f_b))
+            _fetch(chain_h(run_p, ids_h, lens_h,
+                           jax.random.PRNGKey(0), mf=f_b)[0])
+            best_h, fsum = float("inf"), None
+            for rep in range(2):
+                t0 = time.perf_counter()
+                _acc, fs = chain_h(run_p, ids_h, lens_h,
+                                   jax.random.PRNGKey(rep + 1), mf=f_b)
+                _fetch(_acc)
+                best_h = min(best_h, time.perf_counter() - t0)
+                fsum = float(_fetch(fs))
+            total_t += max(best_h - rtt, 1e-9) / 8
+            total_audio += fsum / 8 * hp.hop_length / sample_rate
+        mixed_bucketed_tp = total_audio / total_t
 
     # Client-visible single-call latency (dispatch + compute + full audio
     # fetch; on a remote-tunnel TPU the round-trip dominates)
@@ -546,6 +598,8 @@ def main() -> None:
             "peak_vs_single_stream": rnd(
                 None if peak_tp == 0 else peak_tp * rtf, 3),
             "mixed_length_b16_audio_sec_per_sec": rnd(mixed_tp),
+            "mixed_length_b16_bucketed_audio_sec_per_sec": rnd(
+                mixed_bucketed_tp),
             "saturating_batch": peak_cfg,
             "mfu_at_peak": rnd(peak_mfu, 4),
             "rtf_high_preset_fp32": rnd(rtf_high, 6),

@@ -390,6 +390,14 @@ class VitsEngine:
             return np.asarray(pcm).astype(np.float32) / 32767.0
         return np.asarray(audio, np.float32)
 
+    @staticmethod
+    def _start_host_copies(*bufs) -> None:
+        """Begin all device->host copies before blocking on any: each
+        blocking fetch on a tunnel backend pays a full round-trip."""
+        for buf in bufs:
+            if hasattr(buf, "copy_to_host_async"):
+                buf.copy_to_host_async()
+
     # -- public API ------------------------------------------------------
 
     def _frame_bucket_clamped(self, frames: int) -> int:
@@ -660,6 +668,8 @@ class VitsEngine:
             x_mask, g,
             jnp.asarray(noise_scale, self.dtype), rng2,
         )
+        if not self.fetch_pcm16:
+            self._start_host_copies(audio, y_lengths)
         audio_np = self._fetch_audio(audio)
         return audio_np, [int(n) for n in np.asarray(y_lengths)]
 
@@ -709,6 +719,7 @@ class VitsEngine:
         outputs: List[np.ndarray] = []
         upsample = self.hp.total_upsample
         for audio, y_lengths in in_flight:
+            self._start_host_copies(audio, y_lengths)
             wav = np.asarray(audio)
             if self.fetch_pcm16:
                 wav = wav.astype(np.float32) / 32767.0

@@ -277,6 +277,14 @@ def run_training(
 
     n_data = _math.gcd(batch_size, jax.device_count())
     use_mesh = n_data > 1 or jax.process_count() > 1
+    # single-device or pure-DP (n_model=1): the native grouped-conv
+    # autodiff is exact here and trains ~45% faster per step than the
+    # mesh-safe custom VJP (which exists because XLA SPMD scales
+    # grouped-conv dW by the size of any idle second mesh axis — see
+    # nn.conv1d; multi-axis meshes keep the correct default)
+    from phoonnx_tpu.models.vits import nn as _nn
+
+    _nn.set_grouped_conv_impl("native")
     mesh = None
     if use_mesh:
         mesh = make_mesh(n_data=n_data, n_model=1)

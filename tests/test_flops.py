@@ -74,3 +74,28 @@ def test_istft_decoder_cheaper_than_hifigan():
     # FLOPs) in exchange for the spectral heads + iSTFT
     assert (flops.decoder_flops(hp_i, 512)
             < 0.7 * flops.decoder_flops(hp_m, 512))
+
+
+def test_posterior_flops_hand_count():
+    hp = VitsHParams.preset("medium")
+    # pre 2*512*192*513 + 16 WN layers (2*512*384*192*5 + 2*512*384*192)
+    # + proj 2*512*384*192 = 7_424_114_688
+    assert flops.posterior_flops(hp, 512) == 7_424_114_688
+
+
+def test_disc_p_flops_hand_count():
+    # period 2 over 8192 samples, channels 1->32->128->512->1024->1024
+    # (k=5, stride 3 except last) + conv_post (3,1): 1_842_407_168
+    assert flops.disc_p_flops(2, 8192) == 1_842_407_168
+
+
+def test_train_step_magnitude_medium():
+    """One fused G+D step at (128 text, 512 frames): generator fwd+bwd
+    ~3x ~18 GFLOP, discriminators 7x ~10 GFLOP -> ~124 GFLOP/element.
+    Pin the magnitude so train MFU can't silently regress to a broken
+    denominator."""
+    hp = VitsHParams.preset("medium")
+    g = flops.train_step_gflops(hp, 128, 512, batch_size=1)
+    assert 110.0 < g < 140.0
+    # scales linearly in batch
+    assert flops.train_step_gflops(hp, 128, 512, batch_size=8) == 8 * g

@@ -142,3 +142,37 @@ def test_dp4_tp2_grads_equal_single_device(cfg):
     _assert_metrics_close(m1, m2)
     _assert_trees_close(gg1, gg2, "grads_g dp4tp2-vs-single")
     _assert_trees_close(gd1, gd2, "grads_d dp4tp2-vs-single")
+
+
+def test_grouped_conv_custom_vjp_matches_native_grads():
+    """Single-device oracle: the custom weight-gradient einsum must
+    equal the native grouped-conv autodiff exactly (the custom path
+    exists only because the NATIVE dW is miscounted under idle mesh
+    axes; on one device the native rule is correct)."""
+    import jax.numpy as jnp
+
+    from phoonnx_tpu.models.vits import nn
+
+    rng = np.random.default_rng(3)
+    for groups, stride, dilation, k, cin, cout in (
+            (4, 4, 1, 41, 16, 64), (8, 1, 2, 5, 8, 8), (16, 1, 1, 3, 16, 16)):
+        x = jnp.asarray(rng.standard_normal((2, 64, cin)), jnp.float32)
+        w = jnp.asarray(
+            rng.standard_normal((cout, cin // groups, k)) * 0.1,
+            jnp.float32)
+        pad = (k - 1) * dilation // 2
+
+        def loss_custom(x, w):
+            return (nn.conv1d(x, w, stride=stride, padding=pad,
+                              dilation=dilation, groups=groups) ** 2).sum()
+
+        def loss_native(x, w):
+            return (nn._grouped_conv_native(
+                x, w, stride, pad, dilation, groups) ** 2).sum()
+
+        gx_c, gw_c = jax.grad(loss_custom, argnums=(0, 1))(x, w)
+        gx_n, gw_n = jax.grad(loss_native, argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(gx_c), np.asarray(gx_n),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gw_c), np.asarray(gw_n),
+                                   rtol=1e-5, atol=1e-4)

@@ -66,7 +66,7 @@ def _calibrate(rtt: float) -> float:
             m = acc @ a
             return m / (jnp.abs(m).max() + 1.0)
 
-        return jax.lax.fori_loop(0, 8, body, a)[0, 0]
+        return jax.lax.fori_loop(0, 24, body, a)[0, 0]
 
     _fetch(cal_chain(a_cal))
     best = float("inf")
@@ -76,7 +76,7 @@ def _calibrate(rtt: float) -> float:
         t0 = time.perf_counter()
         _fetch(cal_chain(arg))
         best = min(best, time.perf_counter() - t0)
-    return 8 * 2 * n_cal ** 3 / max(best - rtt, 1e-9)
+    return 24 * 2 * n_cal ** 3 / max(best - rtt, 1e-9)
 
 
 def main() -> None:
@@ -93,6 +93,11 @@ def main() -> None:
                     choices=["auto", "scan", "pallas"])
     ap.add_argument("--out", default=None,
                     help="also write the result list to this JSON file")
+    ap.add_argument("--grouped-conv", default="native",
+                    choices=["native", "custom"],
+                    help="grouped-conv autodiff (run_training selects "
+                         "native on single-device/pure-DP; custom is "
+                         "the multi-axis-mesh-safe path, ~45%% slower)")
     args = ap.parse_args()
 
     import jax
@@ -100,8 +105,11 @@ def main() -> None:
     import numpy as np
 
     from phoonnx_tpu import flops as flops_mod
+    from phoonnx_tpu.models.vits import nn as vits_nn
     from phoonnx_tpu.models.vits.model import VitsHParams
     from phoonnx_tpu.train import step as train_step_mod
+
+    vits_nn.set_grouped_conv_impl(args.grouped_conv)
 
     hp = VitsHParams.preset(args.preset, n_vocab=161)
     rng = np.random.default_rng(0)
