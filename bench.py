@@ -160,10 +160,13 @@ def main() -> None:
     peak_flops = calibrate()
 
     def chained_seconds(run_params, ids_c, lengths_c, n_chain=N_CHAIN,
-                        reps=3):
+                        reps=3, key_base=0):
         """Best-of-reps device seconds per synthesis step
         (RTT-corrected; best-of because the bench chip is shared and
-        transient contention otherwise dominates — observed 3x swings)."""
+        transient contention otherwise dominates — observed 3x swings).
+        ``key_base`` keeps repeat measurements of the same compiled
+        chain on FRESH rng keys — the relay can serve an identical
+        (executable, arguments) pair from cache."""
 
         @jax.jit
         def chain(params, ids, lengths, base_rng):
@@ -176,12 +179,13 @@ def main() -> None:
 
             return jax.lax.fori_loop(0, n_chain, body, jnp.float32(0.0))
 
-        _fetch(chain(run_params, ids_c, lengths_c, jax.random.PRNGKey(0)))
+        _fetch(chain(run_params, ids_c, lengths_c,
+                     jax.random.PRNGKey(key_base)))
         best = float("inf")
         for rep in range(reps):
             t0 = time.perf_counter()
             _fetch(chain(run_params, ids_c, lengths_c,
-                         jax.random.PRNGKey(rep + 1)))
+                         jax.random.PRNGKey(key_base + rep + 1)))
             best = min(best, time.perf_counter() - t0)
         return max(best - rtt, 1e-9) / n_chain
 
@@ -538,7 +542,7 @@ def main() -> None:
 
     # Config 3 (device side): diacritizer-shaped aux model (tashkeel
     # biLSTM tagger geometry) on the compiled lowering.
-    tashkeel_ms = None
+    tashkeel_ms = tashkeel_wall_ms = None
     if not _over_budget():
         try:
             sys.path.insert(0, os.path.join(os.path.dirname(
@@ -557,13 +561,18 @@ def main() -> None:
                 runner.run(feeds_fn(2 + i, None))
                 times.append(time.perf_counter() - t0)
             # single dispatch+fetch per call: wall = RTT + device; the
-            # tunnel round-trip is not the model's cost
-            tashkeel_ms = max(float(np.median(times)) - rtt, 0.0) * 1000
+            # tunnel round-trip is not the model's cost. Both numbers
+            # go to the artifact — when device time is below the RTT
+            # jitter the subtraction floors near 0 and the wall is the
+            # honest bound.
+            tashkeel_wall_ms = float(np.median(times)) * 1000
+            tashkeel_ms = max(tashkeel_wall_ms - rtt * 1000, 0.0)
         except Exception:
-            tashkeel_ms = None
+            tashkeel_ms = tashkeel_wall_ms = None
 
     # headline re-measure (same compiled program; see note above)
-    step_s = min(step_s, chained_seconds(packed, ids, lengths, reps=5))
+    step_s = min(step_s, chained_seconds(packed, ids, lengths, reps=5,
+                                         key_base=100))
     rtf = step_s / audio_seconds
     mfu_single = gflops_utt * 1e9 / step_s / peak_flops
 
@@ -616,6 +625,7 @@ def main() -> None:
             "hangul_frontend_ms_per_utterance": round(hangul_ms, 2),
             "non_ipa_device_ms": rnd(non_ipa_device_ms, 3),
             "diacritizer_aux_device_ms": rnd(tashkeel_ms, 2),
+            "diacritizer_aux_wall_ms": rnd(tashkeel_wall_ms, 2),
             "byt5_words_per_s": rnd(byt5_words_per_s),
             "frames": max_frames,
             "bench_wall_s": round(time.monotonic() - _T0, 1),

@@ -405,7 +405,13 @@ def _j_arg_reduce(fn_name):
             out = getattr(jnp, fn_name)(data, axis=axis)
         if keepdims:
             out = jnp.expand_dims(out, axis)
-        return out.astype(jnp.int64)
+        # ONNX Arg{Max,Min} emit int64; without x64 jax canonicalizes
+        # to int32 anyway — request it directly instead of warning
+        import jax as _jax
+
+        idx_dtype = (jnp.int64 if _jax.config.jax_enable_x64
+                     else jnp.int32)
+        return out.astype(idx_dtype)
 
     return handler
 
