@@ -52,6 +52,12 @@ LOSS_RTOL = 1e-5
 
 @pytest.fixture(scope="module")
 def cfg():
+    # run_training selects the fast native grouped-conv autodiff (exact
+    # on its pure-DP meshes); these tests exercise multi-axis meshes,
+    # so pin the mesh-safe custom path regardless of session order
+    from phoonnx_tpu.models.vits import nn
+
+    nn.set_grouped_conv_impl("custom")
     return TrainConfig(steps_per_epoch=10, disc_periods=(2, 3),
                        disc_channel_scale=4)
 
