@@ -1147,6 +1147,13 @@ def _rnn_attrs_unsupported(node) -> bool:
 # arguments so the executable stays small and buffers are shared
 _BAKE_MAX_ELEMENTS = 4096
 
+# cap on the concrete trip bound a dynamic-termination Loop WITH scan
+# outputs may stage with (_PaddedLoopStep runs the FULL bound and pads
+# the unexecuted tail; an enormous bound — e.g. the ONNX "effectively
+# unbounded" INT64_MAX idiom — would allocate and compute the whole
+# padded extent, so those keep the eager path)
+_PADDED_LOOP_MAX_TRIP = 65536
+
 
 # -- staged control flow (If -> lax.cond, Loop -> lax.scan) -------------------
 #
@@ -1338,6 +1345,66 @@ def _trace_loop(node: OnnxNode, env: Dict[str, Any], ops):
     return tuple(carry_f) + tuple(scans)
 
 
+def _trace_loop_padded(node: OnnxNode, env: Dict[str, Any], ops):
+    """Masked full-trip staging for a dynamic-termination Loop WITH scan
+    outputs (the remaining eager case after VERDICT r3 #8; the pattern
+    of the reference's own autoregressive decode loop, mul.py:201-233,
+    if shipped as ONNX — onnxruntime runs it compiled, voice.py:167).
+
+    Requires a concrete trip bound M. The body runs as a lax.scan over
+    all M iterations carrying an ``active`` flag: once the body's cond
+    goes False the carry freezes and further iterations emit zero rows.
+    Returns ``carried finals + PADDED [M, ...] scan outputs + n`` where
+    n is the executed-iteration count — ONNX's true-length scan outputs
+    are restored by the host slicing ``out[:n]`` (_PaddedLoopStep.run),
+    which is why this form stages ALONE, never inside a larger segment.
+    """
+    import jax
+
+    jnp = _jnp()
+    body = node.attributes["body"]
+    carried0 = tuple(jnp.asarray(env[name]) for name in node.inputs[2:])
+    n_carried = len(carried0)
+    it_dtype = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+    max_trip = int(np.asarray(env[node.inputs[0]]).reshape(()))
+    if len(node.inputs) > 1 and node.inputs[1]:
+        cond0 = jnp.asarray(env[node.inputs[1]]).reshape(()).astype(bool)
+    else:
+        cond0 = jnp.asarray(True)
+
+    def body_fn(state, it):
+        active, carry = state
+        child = _subgraph_env_traced(body, env)
+        child[body.inputs[0]] = it
+        child[body.inputs[1]] = active
+        for name, val in zip(body.inputs[2:], carry):
+            child[name] = val
+        _exec_nodes_traced(body.nodes, child, ops)
+        new_cond = jnp.asarray(child[body.outputs[0]]).reshape(
+            ()).astype(bool)
+        # inactive iterations: freeze the carry, emit zero scan rows
+        # (dropped by the host slice); active prefix iterations see the
+        # same iteration number / carry chain as a sequential run
+        new_carry = tuple(
+            jnp.where(active,
+                      jnp.asarray(child[name]).astype(init.dtype), old)
+            for name, old, init in zip(body.outputs[1:1 + n_carried],
+                                       carry, carried0)
+        )
+        scans = tuple(
+            jnp.where(active, s, jnp.zeros_like(s))
+            for s in (jnp.asarray(child[name])
+                      for name in body.outputs[1 + n_carried:])
+        )
+        return (active & new_cond, new_carry), (active, scans)
+
+    iters = jnp.arange(max_trip, dtype=it_dtype)
+    (_, carry_f), (actives, scans) = jax.lax.scan(
+        body_fn, (cond0, carried0), iters, length=max_trip)
+    n = jnp.sum(actives.astype(it_dtype))
+    return tuple(carry_f) + tuple(scans) + (n,)
+
+
 def _body_cond_passthrough(body: OnnxModel) -> bool:
     """True when the Loop body's cond_out provably stays True: the
     cond_in passed through (directly or via Identity) or a constant/
@@ -1467,6 +1534,63 @@ class _Segment:
         outs = self._jit(*args)
         for name, value in zip(self.out_names, outs):
             env[name] = value
+
+
+class _PaddedLoopStep(_Segment):
+    """A dynamic-termination Loop WITH scan outputs, staged alone.
+
+    Wraps _trace_loop_padded in its own jitted program: the device
+    returns the final carried values, the scan outputs PADDED to the
+    trip bound, and the executed-iteration count n; ``run`` slices each
+    padded output to ``[:n]`` on the host so downstream steps see the
+    exact ONNX true-length arrays. A downstream jitted segment that
+    consumes a scan output simply retraces when n changes (the module's
+    standing data-dependent-boundary contract). Subclasses _Segment only
+    for the replay machinery's isinstance dispatch + device-buffer
+    sharing; the compiled body and output handling are its own.
+    """
+
+    def __init__(self, node: OnnxNode, dyn_inputs: List[str],
+                 static_vals: Dict[str, np.ndarray], static_dyn: frozenset):
+        import jax
+
+        self.node = node
+        self.dyn_inputs = dyn_inputs
+        self.static_dyn = static_dyn
+        self.n_carried = len(node.inputs) - 2
+        ops = _jax_ops()
+        static_vals = dict(static_vals)
+
+        def fn(*arrays):
+            env: Dict[str, Any] = dict(static_vals)
+            env[""] = None
+            env.update(zip(dyn_inputs, arrays))
+            return _trace_loop_padded(node, env, ops)
+
+        self._jit = jax.jit(fn)
+
+    def run(self, env: Dict[str, Any], dev_static: Dict[str, Any]) -> None:
+        import jax
+
+        args = []
+        for name in self.dyn_inputs:
+            if name in self.static_dyn:
+                buf = dev_static.get(name)
+                if buf is None:
+                    buf = dev_static[name] = jax.device_put(
+                        np.asarray(env[name]))
+                args.append(buf)
+            else:
+                args.append(env[name])
+        outs = self._jit(*args)
+        n = int(outs[-1])
+        for i, name in enumerate(self.node.outputs):
+            if not name:
+                continue
+            if i < self.n_carried:
+                env[name] = outs[i]
+            else:
+                env[name] = np.asarray(outs[i])[:n]
 
 
 def _graph_has_random(graph: OnnxModel) -> bool:
@@ -1706,6 +1830,44 @@ class JaxGraphRunner:
                 cf_ok = self._control_flow_stageable(
                     node, env, value_static, shape_static)
 
+            if cf_ok == "padded":
+                # dynamic-termination Loop WITH scan outputs: stages
+                # ALONE (_PaddedLoopStep slices the device's padded
+                # outputs to the executed count host-side, so it can
+                # never fuse into a segment). Carried outputs keep
+                # their input shapes (the stageable check required all
+                # inputs shape-static); scan outputs get a
+                # data-dependent leading dim, same flags the eager
+                # path would have set.
+                n_carried_node = len(node.inputs) - 2
+                for oi, out in enumerate(node.outputs):
+                    if out:
+                        value_static[out] = False
+                        shape_static[out] = oi < n_carried_node
+                flush()
+                names = [n for n in node.inputs if n]
+                names += [c for c in sorted(_node_captures(node))
+                          if c not in names]
+                loop_dyn: List[str] = []
+                loop_static: Dict[str, np.ndarray] = {}
+                loop_static_dyn = set()
+                for name in names:
+                    if value_static[name]:
+                        arr = np.asarray(env[name])
+                        if arr.size <= _BAKE_MAX_ELEMENTS:
+                            loop_static[name] = arr
+                        else:
+                            loop_dyn.append(name)
+                            loop_static_dyn.add(name)
+                            big_statics.add(name)
+                    else:
+                        loop_dyn.append(name)
+                n_jitted += 1
+                steps.append(_PaddedLoopStep(
+                    node, loop_dyn, loop_static,
+                    frozenset(loop_static_dyn)))
+                continue
+
             if node.op_type in ("Shape", "Size"):
                 out_vs = bool(in_ss[0])
                 out_ss = True
@@ -1836,6 +1998,7 @@ class JaxGraphRunner:
             return False
         if any(env.get(n) is None for n in all_names):
             return False
+        padded = False
         if node.op_type == "Loop":
             # a Loop needs a trip bound either way (lax has no unbounded
             # scan output and an unbounded while would hide hangs)
@@ -1858,14 +2021,27 @@ class JaxGraphRunner:
             elif n_scan == 0:
                 pass  # bounded lax.while_loop path (carried-only)
             else:
-                # dynamic termination with scan outputs: the output
-                # length is data-dependent — stays on the eager path
-                return False
+                # dynamic termination WITH scan outputs: the output
+                # length is data-dependent, so this form can never fuse
+                # into a segment — but with a concrete, sane trip bound
+                # it stages ALONE as a masked full-trip scan whose
+                # padded outputs the host slices to the executed count
+                # (_PaddedLoopStep); anything else stays eager
+                if not value_static.get(node.inputs[0], False):
+                    return False
+                m_val = env.get(node.inputs[0])
+                if m_val is None:
+                    return False
+                m_val = int(np.asarray(m_val).reshape(()))
+                if not 0 <= m_val <= _PADDED_LOOP_MAX_TRIP:
+                    return False
+                padded = True
 
         import jax
 
         ops = _jax_ops()
-        trace_fn = _trace_if if node.op_type == "If" else _trace_loop
+        trace_fn = (_trace_if if node.op_type == "If"
+                    else (_trace_loop_padded if padded else _trace_loop))
         # mirror the SEGMENT's argument split exactly: value-static
         # arrays above _BAKE_MAX_ELEMENTS become device arguments
         # (tracers) at the real jit trace, so the trial must treat them
@@ -1893,7 +2069,7 @@ class JaxGraphRunner:
             LOG.debug("control-flow node %s stays eager: %s",
                       node.name, exc)
             return False
-        return True
+        return "padded" if padded else True
 
     # -- replay -----------------------------------------------------------
 

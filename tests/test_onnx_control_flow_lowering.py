@@ -119,10 +119,12 @@ def test_loop_condition_termination_stages_as_while():
     assert runner.plan_stats()["eager"] == 0
 
 
-def test_loop_dynamic_termination_with_scans_stays_eager():
-    """Dynamic termination WITH scan outputs cannot stage: the
-    concatenated scan-output length is data-dependent. Stays eager with
-    interpreter parity."""
+def test_loop_dynamic_termination_with_scans_stages_padded():
+    """Dynamic termination WITH scan outputs: the concatenated
+    scan-output length is data-dependent, so the Loop cannot fuse into
+    a segment — it stages ALONE as a masked full-trip scan and the host
+    slices the padded outputs to the executed count (_PaddedLoopStep).
+    The interpreter's true-length scan output must come back exactly."""
     body = subgraph(
         [("Add", ["v_in", "one"], ["v_out"], {}),
          ("Less", ["v_out", "limit"], ["cond_out"], {}),
@@ -136,7 +138,58 @@ def test_loop_dynamic_termination_with_scans_stays_eager():
     vf, sf = b.n("Loop", [m, c, "v0"], n_out=2, body=body)
     model = build_model(b, ["v0"], [vf, sf])
     runner = assert_parity(model, {"v0": np.float32(1.0)})
+    assert runner.plan_stats()["eager"] == 0
+    out_v, out_s = runner.run({"v0": np.float32(1.0)})
+    assert float(out_v) == 5.0
+    np.testing.assert_allclose(out_s, [2.0, 3.0, 4.0, 5.0])
+
+
+def test_loop_dynamic_scans_huge_bound_stays_eager():
+    """The padded form runs the FULL trip bound on device; an
+    effectively-unbounded ONNX bound (INT64_MAX idiom) must keep the
+    eager path rather than allocate/compute the whole padded extent."""
+    body = subgraph(
+        [("Add", ["v_in", "one"], ["v_out"], {}),
+         ("Less", ["v_out", "limit"], ["cond_out"], {}),
+         ("Identity", ["v_out"], ["scan_out"], {})],
+        ["cond_out", "v_out", "scan_out"],
+        inputs=["iter", "cond_in", "v_in"],
+        initializers={"one": np.float32(1.0), "limit": np.float32(5.0)})
+    b = GraphBuilder()
+    m = b.init("M", np.asarray(np.iinfo(np.int64).max, np.int64))
+    c = b.init("cond", np.asarray(True))
+    vf, sf = b.n("Loop", [m, c, "v0"], n_out=2, body=body)
+    model = build_model(b, ["v0"], [vf, sf])
+    runner = assert_parity(model, {"v0": np.float32(1.0)})
     assert runner.plan_stats()["eager"] == 1
+
+
+def test_loop_dynamic_scans_runtime_cond_zero_trip():
+    """Padded staging with a RUNTIME initial condition: cond0=False
+    must execute zero iterations — empty scan output, carried passthrough
+    — and cond0=True replays the same plan with the true length."""
+    body = subgraph(
+        [("Add", ["v_in", "one"], ["v_out"], {}),
+         ("Less", ["v_out", "limit"], ["cond_out"], {}),
+         ("Identity", ["v_out"], ["scan_out"], {})],
+        ["cond_out", "v_out", "scan_out"],
+        inputs=["iter", "cond_in", "v_in"],
+        initializers={"one": np.float32(1.0), "limit": np.float32(3.0)})
+    b = GraphBuilder()
+    m = b.init("M", np.asarray(10, np.int64))
+    vf, sf = b.n("Loop", [m, "c0", "v0"], n_out=2, body=body)
+    model = build_model(b, ["c0", "v0"], [vf, sf])
+    runner = assert_parity(model, {"c0": np.asarray(False),
+                                   "v0": np.float32(1.0)})
+    assert runner.plan_stats()["eager"] == 0
+    out_v, out_s = runner.run({"c0": np.asarray(False),
+                               "v0": np.float32(1.0)})
+    assert float(out_v) == 1.0
+    assert out_s.shape[0] == 0
+    out_v, out_s = runner.run({"c0": np.asarray(True),
+                               "v0": np.float32(1.0)})
+    assert float(out_v) == 3.0
+    np.testing.assert_allclose(out_s, [2.0, 3.0])
 
 
 def test_loop_runtime_initial_cond_stages_as_while():
