@@ -1162,9 +1162,14 @@ _PADDED_LOOP_MAX_TRIP = 65536
 # branches trace to matching shapes becomes lax.cond, and a Loop with a
 # plan-time-static trip count and a pass-through condition becomes
 # lax.scan — both inside the surrounding jitted segment, so control flow
-# no longer splits segments or replays on the interpreter. Everything
-# else (dynamic trip counts, shape-mismatched branches, bodies drawing
-# host RNG noise or using unsupported ops) keeps the eager path; the
+# no longer splits segments or replays on the interpreter. Dynamic
+# termination stages too: carried-only Loops become a bounded
+# lax.while_loop in-segment, and Loops WITH scan outputs (concrete trip
+# bound) stage alone as a masked full-trip scan whose padded outputs the
+# host slices to the executed count (_PaddedLoopStep). What remains
+# eager: shape-mismatched If branches, bodies drawing host RNG noise or
+# using unsupported ops, runtime (non-concrete) trip bounds on
+# scan-output loops, and bounds past _PADDED_LOOP_MAX_TRIP. The
 # decision is made per node at plan time by TRIAL-TRACING the staged form
 # with jax.eval_shape over the signature's abstract values.
 
