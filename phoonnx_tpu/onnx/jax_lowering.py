@@ -1588,6 +1588,13 @@ class _PaddedLoopStep(_Segment):
             else:
                 args.append(env[name])
         outs = self._jit(*args)
+        # start every device->host copy before blocking on the count: on
+        # a remote-tunnel backend each blocking fetch pays a full RTT,
+        # so fetching n first and the padded outputs after would cost
+        # one RTT per scan output instead of ~one total
+        for o in outs:
+            if hasattr(o, "copy_to_host_async"):
+                o.copy_to_host_async()
         n = int(outs[-1])
         for i, name in enumerate(self.node.outputs):
             if not name:
