@@ -786,9 +786,17 @@ def _op_conv_transpose(node, x, w, b=None):
     strides = tuple(_attr(node, "strides", [1] * spatial))
     pads = list(_attr(node, "pads", [0] * (2 * spatial)))
     group = _attr(node, "group", 1)
-    if group != 1:
-        raise NotImplementedError("grouped ConvTranspose")
     kernel = w.shape[2:]
+    if group != 1:
+        # torch layout [C_in, C_out/g, K...] -> lax rhs [C_in/g,
+        # C_out, K...] with a group-major O axis, matching
+        # feature_group_count's slicing (group gi maps lhs C-slice gi
+        # to out O-slice gi)
+        ci, og = w.shape[0], w.shape[1]
+        w = np.transpose(
+            w.reshape((group, ci // group, og) + kernel),
+            (1, 0, 2) + tuple(range(3, 3 + spatial)),
+        ).reshape((ci // group, group * og) + kernel)
     pad_pairs = [
         (kernel[i] - 1 - pads[i], kernel[i] - 1 - pads[i + spatial])
         for i in range(spatial)
@@ -799,6 +807,7 @@ def _op_conv_transpose(node, x, w, b=None):
         jnp.asarray(x, jnp.float32), jnp.asarray(flipped, jnp.float32),
         window_strides=(1,) * spatial, padding=pad_pairs,
         lhs_dilation=strides, dimension_numbers=dims,
+        feature_group_count=group,
     )
     out = np.asarray(out)
     if b is not None:
@@ -1036,11 +1045,22 @@ def _op_scatter_elements(node, data, indices, updates):
 
 def _op_gather_nd(node, data, indices):
     batch_dims = _attr(node, "batch_dims", 0)
-    if batch_dims:
-        raise NotImplementedError("GatherND batch_dims > 0")
     data = np.asarray(data)
     idx = np.asarray(indices).astype(np.int64)
-    return data[tuple(np.moveaxis(idx, -1, 0))]
+    if not batch_dims:
+        return data[tuple(np.moveaxis(idx, -1, 0))]
+    # fold the leading batch dims into an extra index column (spec: the
+    # first batch_dims dims of data and indices match and are gathered
+    # elementwise)
+    bshape = data.shape[:batch_dims]
+    d2 = data.reshape((-1,) + data.shape[batch_dims:])
+    i2 = idx.reshape((-1,) + idx.shape[batch_dims:])
+    rows = np.arange(d2.shape[0]).reshape(
+        (-1,) + (1,) * (i2.ndim - 1))
+    rows = np.broadcast_to(rows, i2.shape[:-1] + (1,))
+    i3 = np.concatenate([rows, i2], axis=-1)
+    out = d2[tuple(np.moveaxis(i3, -1, 0))]
+    return out.reshape(bshape + out.shape[1:])
 
 
 def _op_topk(node, x, k):

@@ -203,20 +203,27 @@ def _j_conv_transpose(node, x, w, b=None):
     strides = tuple(_attr(node, "strides", [1] * spatial))
     pads = list(_attr(node, "pads", [0] * (2 * spatial)))
     group = _attr(node, "group", 1)
-    if group != 1:
-        raise NotImplementedError("grouped ConvTranspose")
     kernel = w.shape[2:]
+    w = jnp.asarray(w, jnp.float32)
+    if group != 1:
+        # torch layout [C_in, C_out/g, K...] -> lax rhs [C_in/g, C_out,
+        # K...] with a group-major O axis (see _op_conv_transpose)
+        ci, og = w.shape[0], w.shape[1]
+        w = jnp.transpose(
+            jnp.reshape(w, (group, ci // group, og) + kernel),
+            (1, 0, 2) + tuple(range(3, 3 + spatial)),
+        ).reshape((ci // group, group * og) + kernel)
     pad_pairs = [
         (kernel[i] - 1 - pads[i], kernel[i] - 1 - pads[i + spatial])
         for i in range(spatial)
     ]
     dims = ("NCH", "IOH", "NCH") if spatial == 1 else ("NCHW", "IOHW", "NCHW")
-    flipped = jnp.flip(jnp.asarray(w, jnp.float32),
-                       axis=tuple(range(2, w.ndim)))
+    flipped = jnp.flip(w, axis=tuple(range(2, w.ndim)))
     out = jax.lax.conv_general_dilated(
         jnp.asarray(x, jnp.float32), flipped,
         window_strides=(1,) * spatial, padding=pad_pairs,
         lhs_dilation=strides, dimension_numbers=dims,
+        feature_group_count=group,
     )
     if b is not None:
         out = out + jnp.reshape(b, (1, -1) + (1,) * spatial)
@@ -661,11 +668,23 @@ def _j_qlinear_conv(node, x, x_scale, x_zp, w, w_scale, w_zp,
 
 def _j_gather_nd(node, data, indices):
     jnp = _jnp()
+    batch_dims = _attr(node, "batch_dims", 0)
     idx = jnp.asarray(indices).astype(jnp.int32)
     last = idx.shape[-1]
-    dims = np.asarray(data.shape[:last], np.int32)
+    dims = np.asarray(data.shape[batch_dims:batch_dims + last], np.int32)
     idx = jnp.where(idx < 0, idx + dims, idx)
-    return data[tuple(jnp.moveaxis(idx, -1, 0))]
+    if not batch_dims:
+        return data[tuple(jnp.moveaxis(idx, -1, 0))]
+    # fold the (matching) leading batch dims into an extra index column
+    bshape = data.shape[:batch_dims]
+    d2 = jnp.reshape(data, (-1,) + data.shape[batch_dims:])
+    i2 = jnp.reshape(idx, (-1,) + idx.shape[batch_dims:])
+    rows = jnp.arange(d2.shape[0], dtype=jnp.int32).reshape(
+        (-1,) + (1,) * (i2.ndim - 1))
+    rows = jnp.broadcast_to(rows, i2.shape[:-1] + (1,))
+    i3 = jnp.concatenate([rows, i2], axis=-1)
+    out = d2[tuple(jnp.moveaxis(i3, -1, 0))]
+    return jnp.reshape(out, bshape + out.shape[1:])
 
 
 def _scatter_ref(node, data, ix, updates):
@@ -1115,8 +1134,6 @@ _NEVER_FOLD = {"RandomNormalLike", "RandomNormal", "RandomUniform",
 _LOWER_GUARDS: Dict[str, Any] = {
     "ScatterND": _guard_scatter_nd,
     "ScatterElements": _guard_scatter_elements,
-    # interpreter raises on batch_dims > 0; keep the refusal eager
-    "GatherND": lambda node, vals, vs: not _attr(node, "batch_dims", 0),
     # peephole LSTMs raise in the interpreter; keep the refusal eager.
     # layout=1 / custom activations / clip are unsupported in both the
     # scan lowering AND the interpreter (which now raises) — keep eager
@@ -1487,9 +1504,6 @@ def _subgraph_ops_ok(graph: OnnxModel, supported: set) -> bool:
             # reducing scatters combine duplicates associatively (safe);
             # plain assignment needs the concrete duplicate-free check
             if _attr(node, "reduction", "none") == "none":
-                return False
-        elif node.op_type == "GatherND":
-            if _attr(node, "batch_dims", 0):
                 return False
         elif node.op_type == "LSTM":
             # peephole weights (8th input) are silently ignored by the

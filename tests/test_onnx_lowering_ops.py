@@ -530,3 +530,74 @@ def test_rnn_unsupported_attrs_stay_eager_and_raise():
     runner = JaxGraphRunner(model)
     with pytest.raises(NotImplementedError):
         runner.run({"x": rng.standard_normal((4, 1, 3)).astype(np.float32)})
+
+
+def test_gather_nd_batch_dims_parity():
+    """GatherND batch_dims > 0 (previously refused by both engines):
+    spec example pinned exactly, plus a random batch_dims=2 case with
+    negative indices, staged with zero eager nodes."""
+    # ONNX spec example: batch_dims=1
+    b = GraphBuilder()
+    out = b.n("GatherND", ["x", "idx"], batch_dims=1)
+    model = build_model(b, ["x"], [out])
+    x = np.asarray([[[0, 1], [2, 3]], [[4, 5], [6, 7]]], np.float32)
+    idx = np.asarray([[1], [0]], np.int64)
+    runner = assert_parity(model, {"x": x, "idx": idx})
+    assert runner.plan_stats()["eager"] == 0
+    (got,) = runner.run({"x": x, "idx": idx})
+    np.testing.assert_array_equal(got, [[2.0, 3.0], [4.0, 5.0]])
+
+    rng = np.random.default_rng(11)
+    b = GraphBuilder()
+    out = b.n("GatherND", ["x", "idx"], batch_dims=2)
+    model = build_model(b, ["x"], [out])
+    x = rng.standard_normal((2, 3, 4, 5)).astype(np.float32)
+    idx = rng.integers(-4, 4, (2, 3, 6, 1)).astype(np.int64)
+    runner = assert_parity(model, {"x": x, "idx": idx})
+    assert runner.plan_stats()["eager"] == 0
+    (got,) = runner.run({"x": x, "idx": idx})
+    want = np.stack([
+        np.stack([x[i, j][idx[i, j, :, 0]] for j in range(3)])
+        for i in range(2)
+    ])
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+@pytest.mark.parametrize("spatial", [1, 2])
+def test_conv_transpose_grouped_matches_torch(spatial):
+    """Grouped ConvTranspose (previously refused): pinned against the
+    torch oracle (the layout the reference's exporters emit,
+    phoonnx_train models.py upsample stack is ConvTranspose1d) and
+    staged with zero eager nodes."""
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(12)
+    group, cin, cout_per_g, k, stride, pad = 4, 8, 3, 5, 2, 2
+    if spatial == 1:
+        xshape, wshape = (2, cin, 13), (cin, cout_per_g, k)
+    else:
+        xshape, wshape = (2, cin, 9, 7), (cin, cout_per_g, k, 3)
+    x = rng.standard_normal(xshape).astype(np.float32)
+    w = (rng.standard_normal(wshape) * 0.3).astype(np.float32)
+    bias = rng.standard_normal((group * cout_per_g,)).astype(np.float32)
+
+    b = GraphBuilder()
+    wn = b.init("w", w)
+    bn = b.init("bias", bias)
+    attrs = dict(group=group, strides=[stride] * spatial,
+                 pads=[pad] * (2 * spatial))
+    if spatial == 2:
+        attrs["pads"] = [pad, 1, pad, 1]
+    out = b.n("ConvTranspose", ["x", wn, bn], **attrs)
+    model = build_model(b, ["x"], [out])
+    runner = assert_parity(model, {"x": x}, rtol=1e-4, atol=1e-4)
+    assert runner.plan_stats()["eager"] == 0
+
+    with torch.no_grad():
+        fn = (torch.nn.functional.conv_transpose1d if spatial == 1
+              else torch.nn.functional.conv_transpose2d)
+        tpad = pad if spatial == 1 else (pad, 1)
+        want = fn(torch.from_numpy(x), torch.from_numpy(w),
+                  torch.from_numpy(bias), stride=stride, padding=tpad,
+                  groups=group).numpy()
+    (got,) = runner.run({"x": x})
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
