@@ -257,24 +257,21 @@ def _op_gemm(node, a, b, c=None):
     return out.astype(np.float32)
 
 
-def _op_conv(node, x, w, b=None):
-    """Conv 1D/2D via im2col-free direct loops on small tensors."""
-    group = _attr(node, "group", 1)
-    spatial = x.ndim - 2
-    strides = tuple(_attr(node, "strides", [1] * spatial))
-    dilations = tuple(_attr(node, "dilations", [1] * spatial))
+def _conv_pad_list(node, x_shape, kernel, strides, dilations, spatial):
+    """Resolve a conv's pads attribute, honoring auto_pad (SAME_UPPER /
+    SAME_LOWER / VALID) when explicit pads are absent. Total pad per
+    axis is max((ceil(in/s)-1)*s + (k-1)*d + 1 - in, 0); SAME_UPPER
+    puts the odd sample at the end, SAME_LOWER at the start."""
     pads = _attr(node, "pads")
     auto_pad = _attr(node, "auto_pad", "NOTSET")
-    kernel = w.shape[2:]
+    if isinstance(auto_pad, bytes):
+        auto_pad = auto_pad.decode()
     if pads is None:
         if auto_pad in ("SAME_UPPER", "SAME_LOWER"):
-            # total pad depends on the input size under stride:
-            # max((ceil(in/s)-1)*s + (k-1)*d + 1 - in, 0); SAME_UPPER
-            # puts the odd sample at the end, SAME_LOWER at the start
             begins, ends = [], []
             for i, (k, d, stride) in enumerate(
                     zip(kernel, dilations, strides)):
-                in_size = x.shape[2 + i]
+                in_size = x_shape[2 + i]
                 out_size = -(-in_size // stride)
                 total = max(
                     (out_size - 1) * stride + (k - 1) * d + 1 - in_size, 0
@@ -289,7 +286,18 @@ def _op_conv(node, x, w, b=None):
             pads = begins + ends
         else:
             pads = [0] * (2 * spatial)
-    pads = list(pads)
+    return list(pads)
+
+
+def _op_conv(node, x, w, b=None):
+    """Conv 1D/2D via im2col-free direct loops on small tensors."""
+    group = _attr(node, "group", 1)
+    spatial = x.ndim - 2
+    strides = tuple(_attr(node, "strides", [1] * spatial))
+    dilations = tuple(_attr(node, "dilations", [1] * spatial))
+    kernel = w.shape[2:]
+    pads = _conv_pad_list(node, x.shape, kernel, strides, dilations,
+                          spatial)
 
     import jax
     import jax.numpy as jnp
@@ -920,9 +928,8 @@ def _int_conv_exact(node, x, w, x_zp=None, w_zp=None):
     group = _attr(node, "group", 1)
     strides = tuple(_attr(node, "strides", [1] * spatial))
     dilations = tuple(_attr(node, "dilations", [1] * spatial))
-    pads = list(_attr(node, "pads", [0] * (2 * spatial)))
-    if _attr(node, "auto_pad", "NOTSET") not in ("NOTSET", b"NOTSET"):
-        raise NotImplementedError("auto_pad in integer conv")
+    pads = _conv_pad_list(node, x.shape, w.shape[2:], strides, dilations,
+                          spatial)
     x64 = np.asarray(x).astype(np.int64)
     w64 = np.asarray(w).astype(np.int64)
     if x_zp is not None:

@@ -150,6 +150,8 @@ def _j_gemm(node, a, b, c=None):
 def _conv_pads(node, x_shape, kernel, strides, dilations, spatial):
     pads = _attr(node, "pads")
     auto_pad = _attr(node, "auto_pad", "NOTSET")
+    if isinstance(auto_pad, bytes):
+        auto_pad = auto_pad.decode()
     if pads is None:
         if auto_pad in ("SAME_UPPER", "SAME_LOWER"):
             begins, ends = [], []
@@ -620,7 +622,8 @@ def _j_int_conv(node, x, w, x_zp=None, w_zp=None):
     group = _attr(node, "group", 1)
     strides = tuple(_attr(node, "strides", [1] * spatial))
     dilations = tuple(_attr(node, "dilations", [1] * spatial))
-    pads = list(_attr(node, "pads", [0] * (2 * spatial)))
+    pads = _conv_pads(node, x.shape, w.shape[2:], strides, dilations,
+                      spatial)
     x32 = jnp.asarray(x).astype(jnp.int32)
     w32 = jnp.asarray(w).astype(jnp.int32)
     if x_zp is not None:  # per-tensor scalar (ONNX spec)

@@ -601,3 +601,38 @@ def test_conv_transpose_grouped_matches_torch(spatial):
                   groups=group).numpy()
     (got,) = runner.run({"x": x})
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("auto_pad", ["SAME_UPPER", "SAME_LOWER", "VALID"])
+def test_conv_integer_auto_pad(auto_pad):
+    """auto_pad in integer convs (previously refused): the resolved pads
+    must match an explicit-pads run of the same geometry, bit-exactly,
+    in both engines."""
+    rng = np.random.default_rng(23)
+    x = rng.integers(0, 255, (1, 4, 22)).astype(np.uint8)
+    w = rng.integers(-127, 127, (8, 4, 3)).astype(np.int8)
+
+    b = GraphBuilder()
+    out = b.n("ConvInteger", [
+        "x", b.init("w", w), b.init("x_z", np.uint8(128)),
+        b.init("w_z", np.int8(3)),
+    ], auto_pad=auto_pad, strides=[2])
+    model = build_model(b, ["x"], [out])
+    runner = assert_parity(model, {"x": x})
+    assert runner.plan_stats()["eager"] == 0
+    (got,) = runner.run({"x": x})
+
+    # oracle: explicit pads per the ONNX SAME formula (in 22, s 2, k 3
+    # -> out 11, total pad 1 — odd, so UPPER puts it at the end and
+    # LOWER at the start); VALID -> no padding
+    explicit = {"SAME_UPPER": [0, 1], "SAME_LOWER": [1, 0],
+                "VALID": [0, 0]}[auto_pad]
+    b2 = GraphBuilder()
+    out2 = b2.n("ConvInteger", [
+        "x", b2.init("w", w), b2.init("x_z", np.uint8(128)),
+        b2.init("w_z", np.int8(3)),
+    ], pads=explicit, strides=[2])
+    model2 = build_model(b2, ["x"], [out2])
+    from phoonnx_tpu.onnx.executor import OnnxExecutor as _Ex
+    (want,) = _Ex(model2).run({"x": x})
+    np.testing.assert_array_equal(got, want)
