@@ -224,9 +224,14 @@ def main() -> None:
 
     sweep = {"fp32": {}, "bf16": {}}
     peak_tp, peak_mfu, peak_cfg = 0.0, 0.0, None
+    # batch 1 rides in each sweep so the peak/single-stream ratio has a
+    # same-session, same-methodology (chained, reps=2) denominator —
+    # the headline single-stream number is best-of-10 across two quiet
+    # windows, and dividing the sweep's best-of-2 peak by it understated
+    # the batching gain on a contended chip (r4 preview: 0.839)
     for dtype_name, dtype, batches in (
-            ("fp32", jnp.float32, (4, 16, 64, 128, 256)),
-            ("bf16", jnp.bfloat16, (16, 64, 128, 256))):
+            ("fp32", jnp.float32, (1, 4, 16, 64, 128, 256)),
+            ("bf16", jnp.bfloat16, (1, 16, 64, 128, 256))):
         prev = 0.0
         small_gains = 0
         for batch in batches:
@@ -237,7 +242,7 @@ def main() -> None:
                 "audio_sec_per_sec": round(tp, 1),
                 "mfu": round(mfu, 4),
             }
-            if tp > peak_tp:
+            if tp > peak_tp and batch > 1:  # peak_* means peak BATCHED
                 peak_tp, peak_mfu = tp, mfu
                 peak_cfg = f"{dtype_name}/b{batch}"
             # saturation stop: only after TWO consecutive <5% gains, and
@@ -250,6 +255,15 @@ def main() -> None:
 
     batch16_fp32 = (sweep["fp32"].get("16") or {}).get("audio_sec_per_sec")
     batch16_bf16 = (sweep["bf16"].get("16") or {}).get("audio_sec_per_sec")
+    b1_fp32 = (sweep["fp32"].get("1") or {}).get("audio_sec_per_sec")
+    b1_bf16 = (sweep["bf16"].get("1") or {}).get("audio_sec_per_sec")
+    # same-session batching gain: sweep peak over the best sweep b1
+    # (identical chained methodology and chip window — see the sweep
+    # comment above; the headline-relative ratio stays in the artifact
+    # for continuity but mixes measurement windows)
+    b1_best = max([v for v in (b1_fp32, b1_bf16) if v], default=None)
+    batch_gain_same_session = (
+        None if not b1_best or not peak_tp else peak_tp / b1_best)
 
     # Mixed-length batch: realistic per-element text lengths (the
     # identical-length sweep above is the best case for lane packing;
@@ -606,6 +620,8 @@ def main() -> None:
                 None if peak_tp == 0 else peak_tp / norm),
             "peak_vs_single_stream": rnd(
                 None if peak_tp == 0 else peak_tp * rtf, 3),
+            "peak_vs_single_stream_same_session": rnd(
+                batch_gain_same_session, 3),
             "mixed_length_b16_audio_sec_per_sec": rnd(mixed_tp),
             "mixed_length_b16_bucketed_audio_sec_per_sec": rnd(
                 mixed_bucketed_tp),

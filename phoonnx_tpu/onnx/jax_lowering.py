@@ -82,7 +82,8 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from phoonnx_tpu.onnx.executor import OnnxExecutor, _attr
+from phoonnx_tpu.onnx.executor import (OnnxExecutor, _attr,
+                                       _conv_pad_list as _conv_pads)
 from phoonnx_tpu.onnx.reader import _DTYPES as _DTYPE_BY_ONNX
 from phoonnx_tpu.onnx.reader import OnnxModel, OnnxNode
 
@@ -147,32 +148,9 @@ def _j_gemm(node, a, b, c=None):
     return out.astype(jnp.float32)
 
 
-def _conv_pads(node, x_shape, kernel, strides, dilations, spatial):
-    pads = _attr(node, "pads")
-    auto_pad = _attr(node, "auto_pad", "NOTSET")
-    if isinstance(auto_pad, bytes):
-        auto_pad = auto_pad.decode()
-    if pads is None:
-        if auto_pad in ("SAME_UPPER", "SAME_LOWER"):
-            begins, ends = [], []
-            for i, (k, d, stride) in enumerate(
-                    zip(kernel, dilations, strides)):
-                in_size = x_shape[2 + i]
-                out_size = -(-in_size // stride)
-                total = max(
-                    (out_size - 1) * stride + (k - 1) * d + 1 - in_size, 0
-                )
-                small, big = total // 2, total - total // 2
-                if auto_pad == "SAME_UPPER":
-                    begins.append(small)
-                    ends.append(big)
-                else:
-                    begins.append(big)
-                    ends.append(small)
-            pads = begins + ends
-        else:
-            pads = [0] * (2 * spatial)
-    return list(pads)
+# pad resolution (incl. auto_pad) is shared with the interpreter —
+# executor._conv_pad_list, imported above as _conv_pads — so the two
+# engines' bit-exact parity contract has one copy of the SAME math
 
 
 def _j_conv(node, x, w, b=None):
@@ -1410,9 +1388,21 @@ def _trace_loop_padded(node: OnnxNode, env: Dict[str, Any], ops):
         # inactive iterations: freeze the carry, emit zero scan rows
         # (dropped by the host slice); active prefix iterations see the
         # same iteration number / carry chain as a sequential run
+        def frozen(name, old, init):
+            new = jnp.asarray(child[name]).astype(init.dtype)
+            if new.shape != old.shape:
+                # jnp.where would silently BROADCAST a shape-unstable
+                # carry (e.g. a body reducing (1,) to scalar), making it
+                # look scan-stable and diverging from the interpreter's
+                # output shape — raise so the eval_shape trial routes
+                # the loop to the eager path, like the scan/while forms
+                raise ValueError(
+                    f"Loop carry '{name}' shape-unstable: "
+                    f"{new.shape} vs {old.shape}")
+            return jnp.where(active, new, old)
+
         new_carry = tuple(
-            jnp.where(active,
-                      jnp.asarray(child[name]).astype(init.dtype), old)
+            frozen(name, old, init)
             for name, old, init in zip(body.outputs[1:1 + n_carried],
                                        carry, carried0)
         )
@@ -1540,7 +1530,8 @@ class _Segment:
 
         self._jit = jax.jit(fn)
 
-    def run(self, env: Dict[str, Any], dev_static: Dict[str, Any]) -> None:
+    def _args(self, env: Dict[str, Any], dev_static: Dict[str, Any]):
+        """Marshal dyn args, device-caching the signature-constant ones."""
         import jax
 
         args = []
@@ -1553,7 +1544,10 @@ class _Segment:
                 args.append(buf)
             else:
                 args.append(env[name])
-        outs = self._jit(*args)
+        return args
+
+    def run(self, env: Dict[str, Any], dev_static: Dict[str, Any]) -> None:
+        outs = self._jit(*self._args(env, dev_static))
         for name, value in zip(self.out_names, outs):
             env[name] = value
 
@@ -1592,24 +1586,16 @@ class _PaddedLoopStep(_Segment):
         self._jit = jax.jit(fn)
 
     def run(self, env: Dict[str, Any], dev_static: Dict[str, Any]) -> None:
-        import jax
-
-        args = []
-        for name in self.dyn_inputs:
-            if name in self.static_dyn:
-                buf = dev_static.get(name)
-                if buf is None:
-                    buf = dev_static[name] = jax.device_put(
-                        np.asarray(env[name]))
-                args.append(buf)
-            else:
-                args.append(env[name])
-        outs = self._jit(*args)
-        # start every device->host copy before blocking on the count: on
-        # a remote-tunnel backend each blocking fetch pays a full RTT,
-        # so fetching n first and the padded outputs after would cost
-        # one RTT per scan output instead of ~one total
-        for o in outs:
+        outs = self._jit(*self._args(env, dev_static))
+        # start the device->host copies the host will actually read —
+        # the padded scan outputs and the count — before blocking on
+        # the count: on a remote-tunnel backend each blocking fetch
+        # pays a full RTT, so fetching n first and the outputs after
+        # would cost one RTT per scan output instead of ~one total.
+        # Carried outputs stay device-resident (the next segment may be
+        # their only consumer; a large carried state, e.g. a KV cache,
+        # must not pay a D2H transfer the host never reads).
+        for o in outs[self.n_carried:]:
             if hasattr(o, "copy_to_host_async"):
                 o.copy_to_host_async()
         n = int(outs[-1])
@@ -1805,6 +1791,34 @@ class JaxGraphRunner:
         big_statics: set = set()  # static values passed as device args
         n_jitted = n_eager = n_folded = n_draws = 0
 
+        def split_inputs(names):
+            """Classify step inputs: bake small value-static arrays,
+            pass big ones as device-resident args, rest dynamic."""
+            dyn_inputs: List[str] = []
+            static_vals: Dict[str, np.ndarray] = {}
+            static_dyn = set()
+            for name in names:
+                if value_static[name]:
+                    arr = np.asarray(env[name])
+                    if arr.size <= _BAKE_MAX_ELEMENTS:
+                        static_vals[name] = arr
+                    else:
+                        # weights etc: device-resident argument
+                        dyn_inputs.append(name)
+                        static_dyn.add(name)
+                        big_statics.add(name)
+                else:
+                    dyn_inputs.append(name)
+            return dyn_inputs, static_vals, static_dyn
+
+        def node_input_names(node):
+            names = list(node.inputs)
+            if node.op_type in ("If", "Loop"):
+                # staged control flow reads outer captures beyond the
+                # node's declared inputs
+                names += sorted(_node_captures(node))
+            return names
+
         def flush():
             nonlocal n_jitted
             if not pending:
@@ -1812,31 +1826,15 @@ class JaxGraphRunner:
             produced = set()
             for _, node in pending:
                 produced.update(o for o in node.outputs if o)
-            dyn_inputs: List[str] = []
-            static_vals: Dict[str, np.ndarray] = {}
-            static_dyn = set()
             seen = set()
+            ordered: List[str] = []
             for _, node in pending:
-                names = list(node.inputs)
-                if node.op_type in ("If", "Loop"):
-                    # staged control flow reads outer captures beyond the
-                    # node's declared inputs
-                    names += sorted(_node_captures(node))
-                for name in names:
+                for name in node_input_names(node):
                     if not name or name in produced or name in seen:
                         continue
                     seen.add(name)
-                    if value_static[name]:
-                        arr = np.asarray(env[name])
-                        if arr.size <= _BAKE_MAX_ELEMENTS:
-                            static_vals[name] = arr
-                        else:
-                            # weights etc: device-resident argument
-                            dyn_inputs.append(name)
-                            static_dyn.add(name)
-                            big_statics.add(name)
-                    else:
-                        dyn_inputs.append(name)
+                    ordered.append(name)
+            dyn_inputs, static_vals, static_dyn = split_inputs(ordered)
             # export only outputs consumed AFTER the segment (or wanted)
             seg_end = pending[-1][0]
             out_names = [o for _, node in pending for o in node.outputs
@@ -1874,23 +1872,11 @@ class JaxGraphRunner:
                         value_static[out] = False
                         shape_static[out] = oi < n_carried_node
                 flush()
-                names = [n for n in node.inputs if n]
-                names += [c for c in sorted(_node_captures(node))
-                          if c not in names]
-                loop_dyn: List[str] = []
-                loop_static: Dict[str, np.ndarray] = {}
-                loop_static_dyn = set()
-                for name in names:
-                    if value_static[name]:
-                        arr = np.asarray(env[name])
-                        if arr.size <= _BAKE_MAX_ELEMENTS:
-                            loop_static[name] = arr
-                        else:
-                            loop_dyn.append(name)
-                            loop_static_dyn.add(name)
-                            big_statics.add(name)
-                    else:
-                        loop_dyn.append(name)
+                names: List[str] = []
+                for name in node_input_names(node):
+                    if name and name not in names:
+                        names.append(name)
+                loop_dyn, loop_static, loop_static_dyn = split_inputs(names)
                 n_jitted += 1
                 steps.append(_PaddedLoopStep(
                     node, loop_dyn, loop_static,

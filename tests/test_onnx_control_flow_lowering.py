@@ -427,3 +427,28 @@ def test_nested_fulltrip_loop_still_stages():
     model = build_model(b, ["w0"], [out])
     runner = assert_parity(model, {"w0": np.float32(0.0)})
     assert runner.plan_stats()["eager"] == 0, runner.plan_stats()
+
+
+def test_loop_dynamic_scans_shape_unstable_carry_stays_eager():
+    """A body that reduces its (1,)-shaped carry to a scalar: jnp.where
+    would silently broadcast it back, so the padded form must REFUSE
+    (shape check raises in the trial trace) and the loop replay eagerly
+    with the interpreter's output shapes on every call."""
+    body = subgraph(
+        [("ReduceSum", ["v_in"], ["v_scalar"], {"keepdims": 0}),
+         ("Add", ["v_scalar", "one"], ["v_out"], {}),
+         ("Less", ["v_out", "limit"], ["cond_out"], {}),
+         ("Identity", ["v_out"], ["scan_out"], {})],
+        ["cond_out", "v_out", "scan_out"],
+        inputs=["iter", "cond_in", "v_in"],
+        initializers={"one": np.float32(1.0), "limit": np.float32(5.0)})
+    b = GraphBuilder()
+    m = b.init("M", np.asarray(100, np.int64))
+    c = b.init("cond", np.asarray(True))
+    vf, sf = b.n("Loop", [m, c, "v0"], n_out=2, body=body)
+    model = build_model(b, ["v0"], [vf, sf])
+    v0 = np.asarray([1.0], np.float32)
+    runner = assert_parity(model, {"v0": v0})
+    assert runner.plan_stats()["eager"] == 1
+    out_v, _out_s = runner.run({"v0": v0})
+    assert np.asarray(out_v).shape == ()  # interpreter's scalar carry
