@@ -15,6 +15,23 @@ multi-speaker synthesis with per-call speaker ids (config 2), the
 non-IPA Hangul front-end and a diacritizer-shaped aux model (config 3),
 and the ByT5 G2P batch decode (config 4).
 
+CONTENTION POLICY (VERDICT r4 #1): the bench chip is shared, and a
+degraded window can misstate device time by an order of magnitude
+(round 4 captured its artifact at 6.1 TFLOP/s calibrated — 2.7% of the
+225 TFLOP/s reference state — making every headline a raw number x37).
+This bench therefore:
+
+* calibrates FIRST and, while the calibrated matmul peak is below
+  ``CAL_OK_FRAC`` of the reference state, sleeps and retries within a
+  bounded wait budget before starting the headline sections;
+* stamps every major section with a quick calibration
+  (``extra["cal_stamps"]``) so per-section chip state is auditable;
+* re-measures the headline at the end and keeps the better window;
+* marks the artifact ``chip_state: "ok" | "degraded"``. Degraded
+  artifacts still carry raw + normalized numbers, but the flag says
+  the raw numbers are NOT steady-state and the normalization is doing
+  real work — do not use them for round-over-round perf claims.
+
 FLOPs/MFU are ANALYTIC (phoonnx_tpu.flops, closed-form from
 VitsHParams): XLA's cost_analysis() attributes ~zero FLOPs to the
 Pallas custom-calls holding most of the decoder compute and overcounts
@@ -54,6 +71,14 @@ _BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 # (calibrated_peak / REF_PEAK) so rounds taken under different shared-
 # chip contention states compare apples to apples (VERDICT r3 #2).
 REF_PEAK_F32 = 225e12
+# A window whose calibrated peak is below this fraction of the
+# reference state is DEGRADED: headline sections wait for a better
+# window (bounded budget below) rather than publish from it.
+CAL_OK_FRAC = 0.4
+# Total seconds the window gate may spend sleeping/retrying before
+# giving up and stamping the artifact degraded.
+_WINDOW_WAIT_S = float(os.environ.get(
+    "BENCH_WINDOW_WAIT_S", str(min(600.0, 0.4 * _BUDGET_S))))
 
 
 def _over_budget() -> bool:
@@ -126,7 +151,7 @@ def main() -> None:
     rtt = _measure_rtt()
 
     # Matmul-calibrated chip peak (the practically achievable ceiling on
-    # this chip/stack; ~225 f32 TFLOP/s on v5e) for the MFU extras.
+    # this chip/stack; ~225 f32 TFLOP/s on v5e in a quiet window).
     n_cal = 4096
     a_cal = jnp.asarray(
         np.random.default_rng(1).standard_normal((n_cal, n_cal)),
@@ -140,13 +165,13 @@ def main() -> None:
 
         return jax.lax.fori_loop(0, 24, body, a)[0, 0]
 
-    def calibrate():
+    def calibrate(reps: int = 3):
         # vary the operand per rep: identical (executable, value) pairs
         # can be served from a relay cache on this backend (the same
         # trap the synthesis chains avoid via fold_in)
         _fetch(cal_chain(a_cal))
         cal_best = float("inf")
-        for rep in range(3):
+        for rep in range(reps):
             arg = a_cal + jnp.float32((rep + 1) * 1e-6)
             _fetch(arg)
             t0 = time.perf_counter()
@@ -154,10 +179,25 @@ def main() -> None:
             cal_best = min(cal_best, time.perf_counter() - t0)
         return 24 * 2 * n_cal ** 3 / max(cal_best - rtt, 1e-9)
 
-    # Calibration brackets the run (pre here, post after the last
-    # section) so contention drift during the run is visible in the
-    # artifact, and every headline metric gets a normalized twin.
+    # -- window gate (VERDICT r4 #1): never START the headline in a
+    # degraded window when waiting can find a better one -----------------
+    cal_stamps = {}
+    window_attempts = []
+    t_gate = time.monotonic()
     peak_flops = calibrate()
+    window_attempts.append(round(peak_flops / 1e12, 1))
+    while (peak_flops < CAL_OK_FRAC * REF_PEAK_F32
+           and time.monotonic() - t_gate < _WINDOW_WAIT_S):
+        time.sleep(45.0)
+        peak_flops = calibrate()
+        window_attempts.append(round(peak_flops / 1e12, 1))
+    chip_state = ("ok" if peak_flops >= CAL_OK_FRAC * REF_PEAK_F32
+                  else "degraded")
+    cal_stamps["headline_pre"] = round(peak_flops / 1e12, 1)
+
+    def stamp(section: str) -> None:
+        """Quick per-section calibration stamp for auditability."""
+        cal_stamps[section] = round(calibrate(reps=2) / 1e12, 1)
 
     def chained_seconds(run_params, ids_c, lengths_c, n_chain=N_CHAIN,
                         reps=3, key_base=0):
@@ -192,8 +232,8 @@ def main() -> None:
     # Headline: single-utterance fp32 RTF (device compute per audio
     # second). Measured twice — here and again at the end of the run —
     # keeping the best: the shared bench chip has multi-minute
-    # contention spikes (calibrated peak swings 157-229 TFLOP/s), and a
-    # single early window can misstate steady-state device time by 2x.
+    # contention spikes, and a single early window can misstate
+    # steady-state device time by 2x.
     step_s = chained_seconds(packed, ids, lengths, reps=5)
     rtf = step_s / audio_seconds
     # Single-stream synthesis is latency- and bandwidth-bound (tiny
@@ -201,6 +241,7 @@ def main() -> None:
     mfu_single = gflops_utt * 1e9 / step_s / peak_flops
 
     # Config 5: batched throughput sweep to the ceiling, fp32 and bf16.
+    stamp("batch_sweep")
     bf16_packed = None
 
     def throughput(batch: int, dtype):
@@ -223,12 +264,12 @@ def main() -> None:
         return audio_per_sec, mfu
 
     sweep = {"fp32": {}, "bf16": {}}
-    peak_tp, peak_mfu, peak_cfg = 0.0, 0.0, None
+    peak_tp, peak_mfu, peak_cfg, peak_dtype = 0.0, 0.0, None, None
+    b1_by_dtype = {}
     # batch 1 rides in each sweep so the peak/single-stream ratio has a
-    # same-session, same-methodology (chained, reps=2) denominator —
-    # the headline single-stream number is best-of-10 across two quiet
-    # windows, and dividing the sweep's best-of-2 peak by it understated
-    # the batching gain on a contended chip (r4 preview: 0.839)
+    # same-session, same-methodology (chained, reps=2), SAME-DTYPE
+    # denominator (ADVICE r4: a cross-dtype ratio — bf16 peak over fp32
+    # b1 — mis-states the pure batching gain)
     for dtype_name, dtype, batches in (
             ("fp32", jnp.float32, (1, 4, 16, 64, 128, 256)),
             ("bf16", jnp.bfloat16, (1, 16, 64, 128, 256))):
@@ -242,9 +283,11 @@ def main() -> None:
                 "audio_sec_per_sec": round(tp, 1),
                 "mfu": round(mfu, 4),
             }
+            if batch == 1:
+                b1_by_dtype[dtype_name] = tp
             if tp > peak_tp and batch > 1:  # peak_* means peak BATCHED
                 peak_tp, peak_mfu = tp, mfu
-                peak_cfg = f"{dtype_name}/b{batch}"
+                peak_cfg, peak_dtype = f"{dtype_name}/b{batch}", dtype_name
             # saturation stop: only after TWO consecutive <5% gains, and
             # never on a single decline (a decline can be contention
             # noise — VERDICT r3's sweep stopped at b64 on one)
@@ -252,33 +295,31 @@ def main() -> None:
             if small_gains >= 2:
                 break
             prev = tp
+    stamp("batch_sweep_post")
 
     batch16_fp32 = (sweep["fp32"].get("16") or {}).get("audio_sec_per_sec")
     batch16_bf16 = (sweep["bf16"].get("16") or {}).get("audio_sec_per_sec")
-    b1_fp32 = (sweep["fp32"].get("1") or {}).get("audio_sec_per_sec")
-    b1_bf16 = (sweep["bf16"].get("1") or {}).get("audio_sec_per_sec")
-    # same-session batching gain: sweep peak over the best sweep b1
-    # (identical chained methodology and chip window — see the sweep
-    # comment above; the headline-relative ratio stays in the artifact
-    # for continuity but mixes measurement windows)
-    b1_best = max([v for v in (b1_fp32, b1_bf16) if v], default=None)
+    # same-session batching gain: sweep peak over the SAME DTYPE's sweep
+    # b1 (identical chained methodology, chip window, and numerics)
+    b1_same = b1_by_dtype.get(peak_dtype)
     batch_gain_same_session = (
-        None if not b1_best or not peak_tp else peak_tp / b1_best)
+        None if not b1_same or not peak_tp else peak_tp / b1_same)
 
     # Mixed-length batch: realistic per-element text lengths (the
     # identical-length sweep above is the best case for lane packing;
     # this measures the padded-bucket cost a production batcher pays,
     # with throughput credited only for each element's TRUE audio).
+    # >=5 reps (VERDICT r4: the r4 pair was reps=2 on a degraded chip
+    # and its bucketed<padded ordering was likely noise).
     mixed_tp = None
+    rng_mix = np.random.default_rng(7)
+    mix_batch = 16
+    mix_lengths = rng_mix.integers(32, t_text + 1, mix_batch)
+    ids_mix_np = rng_mix.integers(4, 160, (mix_batch, t_text))
+    ids_mix_np[np.arange(t_text)[None, :] >= mix_lengths[:, None]] = 0
     if not _over_budget():
-        rng_mix = np.random.default_rng(7)
-        mix_batch = 16
-        mix_lengths = rng_mix.integers(32, t_text + 1, mix_batch)
-        ids_mix = jnp.asarray(
-            rng_mix.integers(4, 160, (mix_batch, t_text)), jnp.int32)
-        ids_mix = jnp.where(
-            jnp.arange(t_text)[None, :] < jnp.asarray(mix_lengths)[:, None],
-            ids_mix, 0)
+        stamp("mixed_length")
+        ids_mix = jnp.asarray(ids_mix_np, jnp.int32)
         lengths_mix = jnp.asarray(mix_lengths, jnp.int32)
 
         @jax.jit
@@ -297,7 +338,7 @@ def main() -> None:
         _fetch(chain_mix(packed, ids_mix, lengths_mix,
                          jax.random.PRNGKey(0))[0])
         best_mix, frames_sum = float("inf"), None
-        for rep in range(2):
+        for rep in range(5):
             t0 = time.perf_counter()
             _acc, fsum = chain_mix(packed, ids_mix, lengths_mix,
                                    jax.random.PRNGKey(rep + 1))
@@ -307,56 +348,97 @@ def main() -> None:
         audio_s_per_call = frames_sum / 8 * hp.hop_length / sample_rate
         mixed_tp = audio_s_per_call / (max(best_mix - rtt, 1e-9) / 8)
 
-    # Same mixed draw through frame-bucketed lanes (what the serving
-    # batcher does: short utterances decode at a smaller frame bucket
-    # instead of padding to the longest's) — the gap between this and
-    # the padded number above is the bucket-packing recovery.
-    mixed_bucketed_tp = None
+    # Mixed-length through the REAL serving path (VERDICT r4 #1): the
+    # same 16-utterance draw submitted to serve.py's DynamicBatcher,
+    # which drains the backlog, length-sorts lanes, and chunks them at
+    # max_batch so short sentences dispatch at smaller text/frame
+    # buckets. Two arms, identical requests + batcher, differing ONLY
+    # in the engine's bucket ladder:
+    #   padded   — one bucket (128 text / 512 frames): every chunk pays
+    #              the global max, the r4 "padded" baseline;
+    #   bucketed — graduated ladder: the batcher's sorted chunks decode
+    #              at their own tightest bucket.
+    # Wall-clock includes per-dispatch tunnel RTT for both arms alike;
+    # throughput credits each arm's own fetched true-audio seconds.
+    serve_padded_tp = serve_bucketed_tp = None
+    serve_arm_audio = {}
     if not _over_budget():
-        order = np.argsort(mix_lengths)
-        halves = [order[:mix_batch // 2], order[mix_batch // 2:]]
-        total_t = 0.0
-        total_audio = 0.0
-        for half in halves:
-            sub_lens = mix_lengths[half]
-            # engine-style frame budget from the sub-batch's longest
-            f_b = 256 if int(sub_lens.max()) * 4 <= 256 else max_frames
-            ids_h = jnp.asarray(np.asarray(ids_mix)[half])
-            lens_h = jnp.asarray(sub_lens, jnp.int32)
+        stamp("mixed_serve")
+        from phoonnx_tpu.infer.engine import VitsEngine
+        from phoonnx_tpu.serve import DynamicBatcher
 
-            @partial(jax.jit, static_argnames=("mf",))
-            def chain_h(params, ids_c, lengths_c, base_rng, mf):
-                def body(i, carry):
-                    acc, secs = carry
-                    rng = jax.random.fold_in(base_rng, i)
-                    audio, y_l, _ = vits_model.infer(
-                        params, hp, ids_c, lengths_c, max_frames=mf,
-                        noise_scale=jnp.float32(0.667),
-                        length_scale=jnp.float32(1.0),
-                        noise_w=jnp.float32(0.8), rng=rng)
-                    acc = acc + audio[:, ::1997].astype(
-                        jnp.float32).sum()
-                    secs = secs + y_l.astype(jnp.float32).sum()
-                    return acc, secs
+        sent_lists = [
+            [int(v) for v in ids_mix_np[i][:mix_lengths[i]]]
+            for i in range(mix_batch)
+        ]
 
-                return jax.lax.fori_loop(
-                    0, 8, body, (jnp.float32(0.0), jnp.float32(0.0)))
+        def serve_arm(text_buckets, frame_buckets, label):
+            eng = VitsEngine(
+                params, hp, text_buckets=text_buckets,
+                frame_buckets=frame_buckets, mode="fused",
+                frames_per_token=4)
 
-            run_p = (packed if f_b == max_frames
-                     else vits_model.pack_decoder_params(params, hp, f_b))
-            _fetch(chain_h(run_p, ids_h, lens_h,
-                           jax.random.PRNGKey(0), mf=f_b)[0])
-            best_h, fsum = float("inf"), None
-            for rep in range(2):
+            def one_pass():
+                batcher = DynamicBatcher(eng, max_batch=4,
+                                         max_wait_ms=50.0,
+                                         autostart=False)
+                subs = [batcher.submit([s], (0.667, 1.0, 0.8), 0)
+                        for s in sent_lists]
                 t0 = time.perf_counter()
-                _acc, fs = chain_h(run_p, ids_h, lens_h,
-                                   jax.random.PRNGKey(rep + 1), mf=f_b)
-                _fetch(_acc)
-                best_h = min(best_h, time.perf_counter() - t0)
-                fsum = float(_fetch(fs))
-            total_t += max(best_h - rtt, 1e-9) / 8
-            total_audio += fsum / 8 * hp.hop_length / sample_rate
-        mixed_bucketed_tp = total_audio / total_t
+                batcher.start()
+                audio = [s.wait(timeout=600.0) for s in subs]
+                dt = time.perf_counter() - t0
+                batcher.stop()
+                secs = sum(len(a) for a in audio) / sample_rate
+                return dt, secs
+
+            one_pass()  # compile the arm's programs
+            best = float("inf")
+            audio_s = []
+            for _ in range(5):
+                dt, secs = one_pass()
+                best = min(best, dt)
+                audio_s.append(secs)
+            serve_arm_audio[label] = round(float(np.median(audio_s)), 2)
+            return float(np.median(audio_s)) / best
+
+        serve_padded_tp = serve_arm((t_text,), (max_frames,), "padded")
+        serve_bucketed_tp = serve_arm(
+            (32, 48, 64, 96, 128), (128, 192, 256, 384, 512), "bucketed")
+        stamp("mixed_serve_post")
+
+    # Config 3 (device side): diacritizer-shaped aux model (tashkeel
+    # biLSTM tagger geometry) on the compiled lowering. Placed early
+    # (VERDICT r4 #5: the fused-biLSTM win must land in the OFFICIAL
+    # artifact, not only in-session notes).
+    tashkeel_ms = tashkeel_wall_ms = None
+    if not _over_budget():
+        stamp("diacritizer_aux")
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "tools"))
+            import bench_aux
+
+            from phoonnx_tpu.onnx.jax_lowering import JaxGraphRunner
+
+            model, feeds_fn, _state = bench_aux.build_tashkeel()
+            runner = JaxGraphRunner(model)
+            runner.run(feeds_fn(0, None))  # plan + compile
+            runner.run(feeds_fn(1, None))
+            times = []
+            for i in range(20):
+                t0 = time.perf_counter()
+                runner.run(feeds_fn(2 + i, None))
+                times.append(time.perf_counter() - t0)
+            # single dispatch+fetch per call: wall = RTT + device; the
+            # tunnel round-trip is not the model's cost. Both numbers
+            # go to the artifact — when device time is below the RTT
+            # jitter the subtraction floors near 0 and the wall is the
+            # honest bound.
+            tashkeel_wall_ms = float(np.median(times)) * 1000
+            tashkeel_ms = max(tashkeel_wall_ms - rtt * 1000, 0.0)
+        except Exception:
+            tashkeel_ms = tashkeel_wall_ms = None
 
     # Client-visible single-call latency (dispatch + compute + full audio
     # fetch; on a remote-tunnel TPU the round-trip dominates)
@@ -392,6 +474,7 @@ def main() -> None:
     # High preset (piper's "high" voices; 4x medium's decoder FLOPs)
     rtf_high = mfu_high = None
     if not _over_budget():
+        stamp("high_preset")
         hp_high = VitsHParams.preset("high", n_vocab=161)
         params_high = vits_model.pack_decoder_params(
             jax.device_put(vits_model.random_params(jax.random.PRNGKey(0),
@@ -554,39 +637,11 @@ def main() -> None:
             best_ko = min(best_ko, time.perf_counter() - t0)
         non_ipa_device_ms = max(best_ko - rtt, 1e-9) / N_CHAIN * 1000
 
-    # Config 3 (device side): diacritizer-shaped aux model (tashkeel
-    # biLSTM tagger geometry) on the compiled lowering.
-    tashkeel_ms = tashkeel_wall_ms = None
-    if not _over_budget():
-        try:
-            sys.path.insert(0, os.path.join(os.path.dirname(
-                os.path.abspath(__file__)), "tools"))
-            import bench_aux
-
-            from phoonnx_tpu.onnx.jax_lowering import JaxGraphRunner
-
-            model, feeds_fn, _state = bench_aux.build_tashkeel()
-            runner = JaxGraphRunner(model)
-            runner.run(feeds_fn(0, None))  # plan + compile
-            runner.run(feeds_fn(1, None))
-            times = []
-            for i in range(10):
-                t0 = time.perf_counter()
-                runner.run(feeds_fn(2 + i, None))
-                times.append(time.perf_counter() - t0)
-            # single dispatch+fetch per call: wall = RTT + device; the
-            # tunnel round-trip is not the model's cost. Both numbers
-            # go to the artifact — when device time is below the RTT
-            # jitter the subtraction floors near 0 and the wall is the
-            # honest bound.
-            tashkeel_wall_ms = float(np.median(times)) * 1000
-            tashkeel_ms = max(tashkeel_wall_ms - rtt * 1000, 0.0)
-        except Exception:
-            tashkeel_ms = tashkeel_wall_ms = None
-
-    # headline re-measure (same compiled program; see note above)
-    step_s = min(step_s, chained_seconds(packed, ids, lengths, reps=5,
-                                         key_base=100))
+    # headline re-measure (same compiled program; keep the better
+    # window, stamped so the artifact shows WHICH window it came from)
+    stamp("headline_post")
+    step_s2 = chained_seconds(packed, ids, lengths, reps=5, key_base=100)
+    step_s = min(step_s, step_s2)
     rtf = step_s / audio_seconds
     mfu_single = gflops_utt * 1e9 / step_s / peak_flops
 
@@ -605,6 +660,9 @@ def main() -> None:
         "unit": "s_compute_per_s_audio",
         "vs_baseline": round(TARGET_RTF / rtf, 3),
         "extra": {
+            "chip_state": chip_state,
+            "window_gate_attempts_tflops": window_attempts,
+            "cal_stamps_tflops": cal_stamps,
             "audio_sec_per_sec_per_chip": round(1.0 / rtf, 1),
             "device_ms_per_utterance": round(step_s * 1000, 3),
             "device_ms_per_utterance_norm225": round(
@@ -620,11 +678,13 @@ def main() -> None:
                 None if peak_tp == 0 else peak_tp / norm),
             "peak_vs_single_stream": rnd(
                 None if peak_tp == 0 else peak_tp * rtf, 3),
-            "peak_vs_single_stream_same_session": rnd(
+            "peak_vs_single_stream_same_dtype": rnd(
                 batch_gain_same_session, 3),
             "mixed_length_b16_audio_sec_per_sec": rnd(mixed_tp),
-            "mixed_length_b16_bucketed_audio_sec_per_sec": rnd(
-                mixed_bucketed_tp),
+            "mixed_serve_padded_audio_sec_per_sec": rnd(serve_padded_tp),
+            "mixed_serve_bucketed_audio_sec_per_sec": rnd(
+                serve_bucketed_tp),
+            "mixed_serve_audio_sec_per_pass": serve_arm_audio,
             "saturating_batch": peak_cfg,
             "mfu_at_peak": rnd(peak_mfu, 4),
             "rtf_high_preset_fp32": rnd(rtf_high, 6),

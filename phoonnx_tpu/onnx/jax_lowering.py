@@ -1146,11 +1146,16 @@ def _rnn_attrs_unsupported(node) -> bool:
 _BAKE_MAX_ELEMENTS = 4096
 
 # cap on the concrete trip bound a dynamic-termination Loop WITH scan
-# outputs may stage with (_PaddedLoopStep runs the FULL bound and pads
-# the unexecuted tail; an enormous bound — e.g. the ONNX "effectively
-# unbounded" INT64_MAX idiom — would allocate and compute the whole
-# padded extent, so those keep the eager path)
-_PADDED_LOOP_MAX_TRIP = 65536
+# outputs may stage with. _PaddedLoopStep runs the FULL bound and
+# transfers bound-sized outputs on EVERY call regardless of the
+# executed count, so the waste scales with the bound: tools/
+# bench_padded_loop.py measured the interpreter already winning at
+# 48/512 utilization on a cheap body, and a 65536-trip scan also
+# compiles for minutes. 4096 keeps every realistic TTS-decoder bound
+# (≤512-step greedy decodes, frame loops) staged while refusing the
+# pathological ones; the ONNX "effectively unbounded" INT64_MAX idiom
+# stays eager either way (ADVICE r4).
+_PADDED_LOOP_MAX_TRIP = 4096
 
 
 # -- staged control flow (If -> lax.cond, Loop -> lax.scan) -------------------

@@ -155,6 +155,21 @@ class DynamicBatcher:
                 break
             subs.append(sub)
             lanes += len(sub.sentence_ids)
+        # Opportunistic over-drain: when the queue is backlogged past
+        # max_batch, pull what is ALREADY waiting (no extra waiting)
+        # into this group, up to 4x max_batch lanes. The group is
+        # chunked at max_batch per device dispatch either way; draining
+        # a deeper backlog at once lets the length-sorted chunking in
+        # _synthesize_group put short sentences in chunks that decode
+        # at a smaller bucket, instead of bucket composition being an
+        # accident of FIFO arrival order.
+        while lanes < 4 * self.max_batch:
+            try:
+                sub = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            subs.append(sub)
+            lanes += len(sub.sentence_ids)
 
         # group by scale scalars: one compiled program + scalar set each.
         # Explicitly-seeded submissions synthesize SOLO: the engine seeds
@@ -184,13 +199,26 @@ class DynamicBatcher:
                     sub.event.set()
                 return
             lanes = len(flat_ids)
+            # Length-sorted dispatch: the engine pads every lane to the
+            # chunk's text/frame bucket, so a chunk's cost is set by its
+            # LONGEST sentence. Sorting lanes by length before chunking
+            # groups short sentences together — those chunks decode at a
+            # smaller bucket (fewer frames, fewer FLOPs, fewer fetched
+            # bytes) instead of every chunk paying the global max. This
+            # is the serving-side bucket decision the bench's
+            # mixed-length "bucketed" arm measures. Order is restored
+            # below via the permutation; audio is reassembled per
+            # submission either way, so responses are unaffected.
+            order = sorted(range(lanes), key=lambda i: len(flat_ids[i]))
+            sorted_ids = [flat_ids[i] for i in order]
+            sorted_sids = [speaker_ids[i] for i in order]
+            rows_audio_s: List[Optional[np.ndarray]] = [None] * lanes
+            rows_frames_s: List[int] = [0] * lanes
             # a single submission can exceed max_batch on its own (one
             # request whose text splits into many sentences): cap every
             # device dispatch at max_batch lanes so one long document
-            # cannot force a giant fresh-compiling batch program
-            rows_audio: List[np.ndarray] = []
-            rows_frames: List[int] = []
-            # pad lanes up to a power-of-two batch bucket: the lane count
+            # cannot force a giant fresh-compiling batch program.
+            # Pad lanes up to a power-of-two batch bucket: the lane count
             # is part of the compile key, so arbitrary counts would pay a
             # fresh multi-second XLA compile per distinct concurrency
             # level, all on this single dispatcher thread. Engines that
@@ -198,8 +226,8 @@ class DynamicBatcher:
             # each pad row would be a REAL extra synthesis there.
             pads = getattr(self.engine, "compiled_batching", True)
             for start in range(0, lanes, self.max_batch):
-                chunk_ids = flat_ids[start:start + self.max_batch]
-                chunk_sids = speaker_ids[start:start + self.max_batch]
+                chunk_ids = sorted_ids[start:start + self.max_batch]
+                chunk_sids = sorted_sids[start:start + self.max_batch]
                 n_chunk = len(chunk_ids)
                 target = n_chunk
                 if pads:
@@ -214,8 +242,9 @@ class DynamicBatcher:
                     speaker_ids=chunk_sids + [0] * pad_rows, seed=seed,
                 )
                 for i in range(n_chunk):
-                    rows_audio.append(audio[i])
-                    rows_frames.append(frame_lengths[i])
+                    rows_audio_s[order[start + i]] = audio[i]
+                    rows_frames_s[order[start + i]] = frame_lengths[i]
+            rows_audio, rows_frames = rows_audio_s, rows_frames_s
             with self._stats_lock:
                 self.stats["batches"] += 1
                 self.stats["max_batch_seen"] = max(
