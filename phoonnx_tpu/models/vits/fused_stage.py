@@ -106,7 +106,7 @@ def _conv_taps(weight: Array, bias: Optional[Array], r: int,
 
 
 def build_group_spec(blocks, pack_r: int, lrelu_slope: float,
-                     dtype=jnp.float32, post=None):
+                     dtype=jnp.float32, post=None, dil_scale: int = 1):
     """Spec for one stage's resblock group, or None if it won't pay.
 
     blocks: the stage's resblock param subtrees (modules.init_resblock1/2
@@ -119,6 +119,18 @@ def build_group_spec(blocks, pack_r: int, lrelu_slope: float,
     kernel epilogue. The group's full-width output is then never written
     to HBM; the kernel's only output is the r-lane packed audio block
     (saves a write+read of the widest tensor in the model).
+
+    dil_scale: BATCH-PACKED lane mode (the r4 #3 experiment,
+    COMPONENTS.md "batch-packing the packed stages"): with
+    ``dil_scale == pack_r`` the lane blocks hold ``pack_r`` independent
+    BATCH elements at full time resolution instead of ``pack_r`` time
+    phases of one element — mathematically identical to scaling every
+    conv's dilation/padding by ``pack_r`` over the packed view, which
+    routes _conv_taps to its block-diagonal branch (identical weight
+    blocks per lane group, offsets in full-resolution rows). Input
+    layout: ``[B/r, T, r*C]`` with lane block e = batch element
+    ``bg*r + e``. Equal-length elements only (the in-kernel validity
+    mask is per lane GROUP, phase semantics).
     """
     branches = []
     all_mats, all_biases = [], []
@@ -144,7 +156,7 @@ def build_group_spec(blocks, pack_r: int, lrelu_slope: float,
                     nn.resolve_weight(conv).astype(dtype),
                     None if conv.get("bias") is None
                     else conv["bias"].astype(dtype),
-                    pack_r, d, pad)
+                    pack_r, d * dil_scale, pad * dil_scale)
                 lanes = mats.shape[-1]
                 convs.append((n_taps_total, offsets, len(all_biases)))
                 n_taps_total += len(offsets)

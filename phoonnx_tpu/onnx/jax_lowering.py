@@ -1353,18 +1353,29 @@ def _trace_loop(node: OnnxNode, env: Dict[str, Any], ops):
     return tuple(carry_f) + tuple(scans)
 
 
-def _trace_loop_padded(node: OnnxNode, env: Dict[str, Any], ops):
+def _trace_loop_padded(node: OnnxNode, env: Dict[str, Any], ops,
+                       pad_bound: Optional[int] = None):
     """Masked full-trip staging for a dynamic-termination Loop WITH scan
     outputs (the remaining eager case after VERDICT r3 #8; the pattern
     of the reference's own autoregressive decode loop, mul.py:201-233,
     if shipped as ONNX — onnxruntime runs it compiled, voice.py:167).
 
-    Requires a concrete trip bound M. The body runs as a lax.scan over
-    all M iterations carrying an ``active`` flag: once the body's cond
-    goes False the carry freezes and further iterations emit zero rows.
-    Returns ``carried finals + PADDED [M, ...] scan outputs + n`` where
-    n is the executed-iteration count — ONNX's true-length scan outputs
-    are restored by the host slicing ``out[:n]`` (_PaddedLoopStep.run),
+    Two bound modes:
+
+    * ``pad_bound is None``: the trip bound M is CONCRETE at trace time;
+      the scan runs M iterations.
+    * ``pad_bound`` given (VERDICT r4 #7): M is a RUNTIME value; the
+      scan runs ``pad_bound`` iterations (a power-of-two bucket chosen
+      per call by _PaddedLoopStep) and the active mask additionally
+      gates on ``it < M``, so executed semantics match a sequential
+      run of min(M, cond-termination) iterations.
+
+    The body runs as a lax.scan carrying an ``active`` flag: once the
+    body's cond goes False (or ``it`` reaches M) the carry freezes and
+    further iterations emit zero rows. Returns ``carried finals +
+    PADDED [bound, ...] scan outputs + n`` where n is the
+    executed-iteration count — ONNX's true-length scan outputs are
+    restored by the host slicing ``out[:n]`` (_PaddedLoopStep.run),
     which is why this form stages ALONE, never inside a larger segment.
     """
     import jax
@@ -1374,7 +1385,13 @@ def _trace_loop_padded(node: OnnxNode, env: Dict[str, Any], ops):
     carried0 = tuple(jnp.asarray(env[name]) for name in node.inputs[2:])
     n_carried = len(carried0)
     it_dtype = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
-    max_trip = int(np.asarray(env[node.inputs[0]]).reshape(()))
+    if pad_bound is None:
+        max_trip = int(np.asarray(env[node.inputs[0]]).reshape(()))
+        m_rt = None
+    else:
+        max_trip = int(pad_bound)
+        m_rt = jnp.asarray(env[node.inputs[0]]).reshape(()).astype(
+            it_dtype)
     if len(node.inputs) > 1 and node.inputs[1]:
         cond0 = jnp.asarray(env[node.inputs[1]]).reshape(()).astype(bool)
     else:
@@ -1382,6 +1399,11 @@ def _trace_loop_padded(node: OnnxNode, env: Dict[str, Any], ops):
 
     def body_fn(state, it):
         active, carry = state
+        if m_rt is not None:
+            # runtime trip bound: iterations at/past M are masked out
+            # exactly like cond-terminated ones (monotonic, so the
+            # chained ``active`` never resurrects)
+            active = active & (it < m_rt)
         child = _subgraph_env_traced(body, env)
         child[body.inputs[0]] = it
         child[body.inputs[1]] = active
@@ -1572,26 +1594,55 @@ class _PaddedLoopStep(_Segment):
     """
 
     def __init__(self, node: OnnxNode, dyn_inputs: List[str],
-                 static_vals: Dict[str, np.ndarray], static_dyn: frozenset):
+                 static_vals: Dict[str, np.ndarray], static_dyn: frozenset,
+                 runtime_m: bool = False, executor=None):
         import jax
 
         self.node = node
         self.dyn_inputs = dyn_inputs
         self.static_dyn = static_dyn
         self.n_carried = len(node.inputs) - 2
+        # runtime trip bound (VERDICT r4 #7): one compiled program per
+        # power-of-two pad bucket, chosen per call from the actual M;
+        # the interpreter handles the rare call whose M exceeds the
+        # staging cap (same waste bound the concrete-M path enforces)
+        self.runtime_m = runtime_m
+        self._executor = executor
+        self._jits: Dict[int, Any] = {}
         ops = _jax_ops()
         static_vals = dict(static_vals)
 
-        def fn(*arrays):
-            env: Dict[str, Any] = dict(static_vals)
-            env[""] = None
-            env.update(zip(dyn_inputs, arrays))
-            return _trace_loop_padded(node, env, ops)
+        def make_jit(pad_bound: Optional[int]):
+            def fn(*arrays):
+                env: Dict[str, Any] = dict(static_vals)
+                env[""] = None
+                env.update(zip(dyn_inputs, arrays))
+                return _trace_loop_padded(node, env, ops,
+                                          pad_bound=pad_bound)
 
-        self._jit = jax.jit(fn)
+            return jax.jit(fn)
+
+        self._make_jit = make_jit
+        self._jit = None if runtime_m else make_jit(None)
 
     def run(self, env: Dict[str, Any], dev_static: Dict[str, Any]) -> None:
-        outs = self._jit(*self._args(env, dev_static))
+        if self.runtime_m:
+            m = int(np.asarray(env[self.node.inputs[0]]).reshape(()))
+            bound = 16
+            while bound < m:
+                bound *= 2
+            if bound > _PADDED_LOOP_MAX_TRIP:
+                # past the staging cap the padded waste (bound vs the
+                # cond-terminated count) can dominate: replay this call
+                # on the interpreter instead
+                _EagerStep(self.node).run(env, self._executor)
+                return
+            jit = self._jits.get(bound)
+            if jit is None:
+                jit = self._jits[bound] = self._make_jit(bound)
+            outs = jit(*self._args(env, dev_static))
+        else:
+            outs = self._jit(*self._args(env, dev_static))
         # start the device->host copies the host will actually read —
         # the padded scan outputs and the count — before blocking on
         # the count: on a remote-tunnel backend each blocking fetch
@@ -1862,7 +1913,7 @@ class JaxGraphRunner:
                 cf_ok = self._control_flow_stageable(
                     node, env, value_static, shape_static)
 
-            if cf_ok == "padded":
+            if cf_ok in ("padded", "padded_runtime"):
                 # dynamic-termination Loop WITH scan outputs: stages
                 # ALONE (_PaddedLoopStep slices the device's padded
                 # outputs to the executed count host-side, so it can
@@ -1885,7 +1936,9 @@ class JaxGraphRunner:
                 n_jitted += 1
                 steps.append(_PaddedLoopStep(
                     node, loop_dyn, loop_static,
-                    frozenset(loop_static_dyn)))
+                    frozenset(loop_static_dyn),
+                    runtime_m=(cf_ok == "padded_runtime"),
+                    executor=executor))
                 continue
 
             if node.op_type in ("Shape", "Size"):
@@ -2043,25 +2096,37 @@ class JaxGraphRunner:
             else:
                 # dynamic termination WITH scan outputs: the output
                 # length is data-dependent, so this form can never fuse
-                # into a segment — but with a concrete, sane trip bound
-                # it stages ALONE as a masked full-trip scan whose
-                # padded outputs the host slices to the executed count
-                # (_PaddedLoopStep); anything else stays eager
-                if not value_static.get(node.inputs[0], False):
-                    return False
+                # into a segment — but with a sane trip bound it stages
+                # ALONE as a masked full-trip scan whose padded outputs
+                # the host slices to the executed count
+                # (_PaddedLoopStep). A RUNTIME (non-value-static) bound
+                # stages too (VERDICT r4 #7): the step picks a
+                # power-of-two pad bucket per call from the actual M
+                # and falls back to the interpreter past the cap. Only
+                # plans whose example M already exceeds the cap stay
+                # eager outright (the INT64_MAX "unbounded" idiom).
                 m_val = env.get(node.inputs[0])
                 if m_val is None:
                     return False
                 m_val = int(np.asarray(m_val).reshape(()))
                 if not 0 <= m_val <= _PADDED_LOOP_MAX_TRIP:
                     return False
-                padded = True
+                padded = ("runtime" if not value_static.get(
+                    node.inputs[0], False) else True)
 
         import jax
 
         ops = _jax_ops()
-        trace_fn = (_trace_if if node.op_type == "If"
-                    else (_trace_loop_padded if padded else _trace_loop))
+        if node.op_type == "If":
+            trace_fn = _trace_if
+        elif padded == "runtime":
+            # trial at a small bucket: the body's shape behavior is
+            # bound-independent, and eval_shape sees M as abstract
+            trace_fn = functools.partial(_trace_loop_padded, pad_bound=16)
+        elif padded:
+            trace_fn = _trace_loop_padded
+        else:
+            trace_fn = _trace_loop
         # mirror the SEGMENT's argument split exactly: value-static
         # arrays above _BAKE_MAX_ELEMENTS become device arguments
         # (tracers) at the real jit trace, so the trial must treat them
@@ -2089,6 +2154,8 @@ class JaxGraphRunner:
             LOG.debug("control-flow node %s stays eager: %s",
                       node.name, exc)
             return False
+        if padded == "runtime":
+            return "padded_runtime"
         return "padded" if padded else True
 
     # -- replay -----------------------------------------------------------

@@ -164,6 +164,50 @@ def test_loop_dynamic_scans_huge_bound_stays_eager():
     assert runner.plan_stats()["eager"] == 1
 
 
+def test_loop_dynamic_scans_runtime_bound_stages_padded():
+    """RUNTIME trip bound on a scan-output Loop (VERDICT r4 #7): M
+    arrives as a graph input, so no concrete bound exists at plan time.
+    The step stages anyway — per-call power-of-two pad buckets sized
+    from the actual M, active mask gated on both the body cond and
+    ``it < M`` — and only a call whose M exceeds the staging cap drops
+    to the interpreter (parity must hold there too)."""
+    body = subgraph(
+        [("Add", ["v_in", "one"], ["v_out"], {}),
+         ("Less", ["v_out", "limit"], ["cond_out"], {}),
+         ("Identity", ["v_out"], ["scan_out"], {})],
+        ["cond_out", "v_out", "scan_out"],
+        inputs=["iter", "cond_in", "v_in"],
+        initializers={"one": np.float32(1.0), "limit": np.float32(50.0)})
+    b = GraphBuilder()
+    c = b.init("cond", np.asarray(True))
+    vf, sf = b.n("Loop", ["M", c, "v0"], n_out=2, body=body)
+    model = build_model(b, ["M", "v0"], [vf, sf])
+    runner = assert_parity(model, {"M": np.asarray(7, np.int64),
+                                   "v0": np.float32(1.0)})
+    assert runner.plan_stats()["eager"] == 0
+
+    def run(m):
+        return runner.run({"M": np.asarray(m, np.int64),
+                           "v0": np.float32(1.0)})
+
+    # bound by M (7 < cond's 49)
+    out_v, out_s = run(7)
+    assert float(out_v) == 8.0
+    np.testing.assert_allclose(out_s, np.arange(2.0, 9.0))
+    # cond terminates before M (bucket grows 16 -> 128)
+    out_v, out_s = run(100)
+    assert float(out_v) == 50.0
+    np.testing.assert_allclose(out_s, np.arange(2.0, 51.0))
+    # zero-trip
+    out_v, out_s = run(0)
+    assert float(out_v) == 1.0
+    assert out_s.shape[0] == 0
+    # a later M past the staging cap: interpreter fallback, same result
+    out_v, out_s = run(100000)
+    assert float(out_v) == 50.0
+    np.testing.assert_allclose(out_s, np.arange(2.0, 51.0))
+
+
 def test_loop_dynamic_scans_runtime_cond_zero_trip():
     """Padded staging with a RUNTIME initial condition: cond0=False
     must execute zero iterations — empty scan output, carried passthrough
