@@ -277,14 +277,14 @@ def run_training(
 
     n_data = _math.gcd(batch_size, jax.device_count())
     use_mesh = n_data > 1 or jax.process_count() > 1
-    # single-device or pure-DP (n_model=1): the native grouped-conv
-    # autodiff is exact here and trains ~45% faster per step than the
-    # mesh-safe custom VJP (which exists because XLA SPMD scales
-    # grouped-conv dW by the size of any idle second mesh axis — see
-    # nn.conv1d; multi-axis meshes keep the correct default)
-    from phoonnx_tpu.models.vits import nn as _nn
-
-    _nn.set_grouped_conv_impl("native")
+    # Grouped-conv autodiff: the default "custom" VJP now costs the
+    # same as the native rule on every geometry (it IS the native dW
+    # plus a free analytic ones-probe that cancels XLA SPMD's
+    # idle-mesh-axis dW miscount in-graph — see nn._grouped_conv_bwd
+    # and the round-5 table in TRAINING.md; the old einsum dW it
+    # replaced was ~45% of the step, which is why a "native" fast path
+    # was selected here for single-device/pure-DP runs until round 5).
+    # One path for every mesh layout; no policy switch to get wrong.
     mesh = None
     if use_mesh:
         mesh = make_mesh(n_data=n_data, n_model=1)

@@ -93,11 +93,14 @@ def main() -> None:
                     choices=["auto", "scan", "pallas"])
     ap.add_argument("--out", default=None,
                     help="also write the result list to this JSON file")
-    ap.add_argument("--grouped-conv", default="native",
+    ap.add_argument("--grouped-conv", default="custom",
                     choices=["native", "custom"],
-                    help="grouped-conv autodiff (run_training selects "
-                         "native on single-device/pure-DP; custom is "
-                         "the multi-axis-mesh-safe path, ~45%% slower)")
+                    help="grouped-conv autodiff A/B knob. Since round 5 "
+                         "'custom' (the production path) matches "
+                         "'native' speed on every geometry: it is the "
+                         "native dW plus a free analytic probe that "
+                         "cancels the SPMD idle-axis miscount "
+                         "(nn._grouped_conv_bwd, TRAINING.md).")
     args = ap.parse_args()
 
     import jax
