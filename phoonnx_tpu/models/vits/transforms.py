@@ -56,8 +56,27 @@ def rational_quadratic_spline(
     """Monotone RQS on the box [left,right]x[bottom,top].
 
     inputs [...]; unnormalized_{widths,heights} [..., K];
-    unnormalized_derivatives [..., K+1]. Returns (outputs, logabsdet).
+    unnormalized_derivatives [..., K+1]. Returns (outputs, logabsdet)
+    in the input dtype.
+
+    Half-precision inputs are UPCAST and the spline computed in f32:
+    knot positions span [-tail_bound, tail_bound] (±5 here), where
+    bf16's 8-bit mantissa quantizes to 0.03125 — wider than the 0.01
+    minimum bin, so two consecutive cumsum knots can round to the SAME
+    value, collapsing a bin to zero width and sending delta = h/w to
+    inf (NaN downstream). Found in round 5 by a real bf16 training
+    run: the NaN lived in masked lanes (finite losses!) and poisoned
+    every duration-predictor parameter gradient from step ~20 on
+    (TRAINING.md "bf16 NaN" note). The spline tensors are [B, T, 1, K]
+    — f32 here costs nothing next to the convs around it.
     """
+    orig_dtype = inputs.dtype
+    if orig_dtype in (jnp.bfloat16, jnp.float16):
+        inputs = inputs.astype(jnp.float32)
+        unnormalized_widths = unnormalized_widths.astype(jnp.float32)
+        unnormalized_heights = unnormalized_heights.astype(jnp.float32)
+        unnormalized_derivatives = unnormalized_derivatives.astype(
+            jnp.float32)
     num_bins = unnormalized_widths.shape[-1]
 
     cumwidths, widths = _bin_positions(
@@ -116,7 +135,7 @@ def rational_quadratic_spline(
             + in_deriv * jnp.square(1 - root)
         )
         logabsdet = jnp.log(deriv_numerator) - 2 * jnp.log(denominator)
-        return outputs, -logabsdet
+        return outputs.astype(orig_dtype), (-logabsdet).astype(orig_dtype)
 
     theta = (inputs - in_cumwidths) / in_widths
     theta_1m = theta * (1 - theta)
@@ -134,7 +153,7 @@ def rational_quadratic_spline(
         + in_deriv * jnp.square(1 - theta)
     )
     logabsdet = jnp.log(deriv_numerator) - 2 * jnp.log(denominator)
-    return outputs, logabsdet
+    return outputs.astype(orig_dtype), logabsdet.astype(orig_dtype)
 
 
 def unconstrained_rational_quadratic_spline(

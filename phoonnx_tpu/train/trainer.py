@@ -165,6 +165,11 @@ def write_test_audio(params_g, hp, test_utts, out_dir) -> None:
             )
             n = int(np.asarray(y_lengths)[0]) * hp.total_upsample
             wav = np.asarray(audio, np.float32)[0, :n]
+            if wav.size == 0:
+                # early-training weights can round every predicted
+                # duration to zero frames — write a minimal silent file
+                # rather than abort the whole epoch's test audio
+                wav = np.zeros(hp.total_upsample, np.float32)
             # scale to make louder in [-1, 1] (lightning.py:299-300)
             wav = wav * (1.0 / max(0.01, float(np.abs(wav).max())))
             pcm = np.clip(wav * 32767.0, -32767.0, 32767.0).astype(np.int16)

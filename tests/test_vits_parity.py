@@ -190,6 +190,64 @@ def test_spline_matches_reference(ref):
         np.testing.assert_allclose(np.asarray(ld), to_np(ld_t), atol=1e-5)
 
 
+def test_spline_bf16_no_bin_collapse():
+    """bf16 knot positions near the tail bound quantize to 0.03125 —
+    coarser than the 0.01 minimum bin — so a pure-bf16 spline collapses
+    bins to zero width (delta = h/w -> inf -> NaN). Caught by a real
+    bf16 training run in round 5: the NaN lived in MASKED lanes (every
+    loss stayed finite) while poisoning all duration-predictor
+    parameter gradients. The transform must upcast half precision and
+    compute in f32 (transforms.rational_quadratic_spline docstring)."""
+    from phoonnx_tpu.models.vits.transforms import (
+        piecewise_rational_quadratic_transform,
+    )
+
+    num_bins = 10
+    n = 64
+    # one dominant width logit pushes the later knots toward +5 where
+    # the 0.01-wide minimum bins sit inside one bf16 quantum
+    uw = np.zeros((n, num_bins), np.float32)
+    uw[:, 0] = 12.0
+    uh = np.zeros((n, num_bins), np.float32)
+    ud = np.zeros((n, num_bins - 1), np.float32)
+    x = np.linspace(4.90, 4.999, n).astype(np.float32)
+    # pin: this case DOES collapse a bin when knots are built in bf16
+    from phoonnx_tpu.models.vits import transforms as T
+
+    _, widths16 = T._bin_positions(
+        jnp.asarray(uw, jnp.bfloat16), num_bins, 1e-3, -5.0, 5.0)
+    assert float(jnp.min(widths16)) == 0.0
+
+    def run(dtype, xs):
+        out, ld = piecewise_rational_quadratic_transform(
+            jnp.asarray(xs, dtype), jnp.asarray(uw, dtype),
+            jnp.asarray(uh, dtype), jnp.asarray(ud, dtype),
+            tails="linear", tail_bound=5.0)
+        return np.asarray(out, np.float32), np.asarray(ld, np.float32)
+
+    out16, ld16 = run(jnp.bfloat16, x)
+    assert np.isfinite(out16).all()
+    assert np.isfinite(ld16).all()
+    # value check vs f32 evaluated at the bf16-quantized inputs (input
+    # rounding is the only legitimate half-precision difference left)
+    xq = np.asarray(jnp.asarray(x, jnp.bfloat16), np.float32)
+    out32, ld32 = run(jnp.float32, xq)
+    np.testing.assert_allclose(out16, out32, atol=0.05)
+    np.testing.assert_allclose(ld16, ld32, atol=0.1)
+    # gradients through the bf16 spline must be finite too (the
+    # training failure mode was NaN param-grads with finite losses)
+    def loss(u):
+        out, ld = piecewise_rational_quadratic_transform(
+            jnp.asarray(x, jnp.bfloat16), u,
+            jnp.asarray(uh, jnp.bfloat16), jnp.asarray(ud, jnp.bfloat16),
+            tails="linear", tail_bound=5.0)
+        return (out.astype(jnp.float32).sum()
+                + ld.astype(jnp.float32).sum())
+
+    grad = jax.grad(loss)(jnp.asarray(uw, jnp.bfloat16))
+    assert bool(jnp.isfinite(grad.astype(jnp.float32)).all())
+
+
 # ---------------------------------------------------------------------------
 # Module parity (random weights transferred from torch)
 # ---------------------------------------------------------------------------
